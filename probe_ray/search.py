@@ -1,0 +1,719 @@
+"""Distributed query path over the inverted index.
+
+Two modes sharing one index (SURVEY.md §7.4):
+
+- **compat** (default; rank-identical to probe_ray.oracle, which encodes the
+  reference's semantics at document granularity): candidate retrieval from
+  postings + filename scan + substring-prefilter for exact/excluded terms,
+  then a verification ``map_batches`` over the candidates only that
+  recomputes the exact token vector (with query-scoped special terms),
+  applies the exact-literal injection rule and boolean admission, then
+  candidate-set BM25 statistics (N, df, avgdl over the CANDIDATE set —
+  ranking.rs:326-349) and boolean bool-query scoring with coverage boosts.
+
+- **global**: corpus-global statistics frozen at build time; index-only
+  retrieval + scoring (no substring verification), vectorized numpy scoring
+  over decoded postings with top-k. This is the 10^12-scale throughput path;
+  it is validated for self-consistency, not reference-identity.
+
+Candidate-generation narrowing vs the reference's full regex scan is
+documented in oracle.py and SURVEY.md §7.4: a doc can only be retrieved via
+token membership, the filename rule, or (for special terms) the tokenized
+prefilter + substring verification. The oracle implements the identical
+rule, and conformance tests assert engine == oracle exactly.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from probe_ray import codec
+from probe_ray import queryparse as qp
+from probe_ray import tokenizer as tok
+from probe_ray.build import IndexPaths
+from probe_ray.oracle import BM25_B, BM25_K1, coverage_boost, idf, score_expr
+
+RESULT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("rank", pa.int64()),
+        ("score", pa.float64()),
+        ("bm25_score", pa.float64()),
+        ("matched_terms", pa.list_(pa.string())),
+    ]
+)
+
+
+def _empty_result() -> pa.Table:
+    return RESULT_SCHEMA.empty_table()
+
+
+@dataclass
+class _QueryContext:
+    plan: qp.QueryPlan
+    filters: qp.SearchFilters
+    specials: frozenset[str]
+    filenames_enabled: bool
+    ast_all_exact: bool
+    language: str | None
+
+
+class Engine:
+    """A built index, ready to serve queries."""
+
+    def __init__(self, index: IndexPaths | str):
+        self.paths = index if isinstance(index, IndexPaths) else IndexPaths(index)
+        self._stats = self.paths.stats()
+        self._term_dict: np.ndarray | None = None
+
+    def _term_dictionary(self) -> np.ndarray:
+        """All indexed terms (cached). Used for substring-candidate
+        generation: probe's scan matches terms as case-insensitive
+        substrings of content (query.rs:363-393), so a doc whose token
+        'oauth2' contains the query term 'auth' must be retrievable. Tokens
+        are (near-always) literal substrings of the content they came from,
+        so scanning the TERM DICTIONARY for containment and unioning those
+        postings reproduces substring retrieval without touching content —
+        the candidates are then exactly re-verified against content. At
+        10^12 scale this dictionary scan is the piece an n-gram term index
+        would accelerate."""
+        if self._term_dict is None:
+            tbl = pq.read_table(self.paths.segments_dir, columns=["term"])
+            self._term_dict = np.unique(
+                np.asarray(tbl.column("term").to_pylist(), dtype=object)
+            )
+        return self._term_dict
+
+    def _expand_substring_terms(self, needles: list[str]) -> dict[str, list[str]]:
+        """For each needle, the indexed terms containing it as a substring."""
+        if not needles:
+            return {}
+        terms = self._term_dictionary()
+        out: dict[str, list[str]] = {}
+        arr = terms.astype(str)
+        for t in needles:
+            mask = np.char.find(arr, t) >= 0
+            out[t] = terms[mask].tolist()
+        return out
+
+    # -- segment access -----------------------------------------------------
+
+    def _read_postings(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+        """Read + decode postings for the given terms. Pruned at the read:
+        shard partition filter + parquet predicate pushdown on term."""
+        if not terms:
+            return {}
+        n_shards = self._stats["n_shards"]
+        from probe_ray.build import _term_shard
+
+        shards = sorted({_term_shard(t, n_shards) for t in terms})
+        dataset = pq.ParquetDataset(
+            self.paths.segments_dir,
+            filters=[("shard", "in", shards), ("term", "in", terms)],
+        )
+        table = dataset.read(columns=["term", "salt", "blob"])
+        out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        term_col = table.column("term").to_pylist()
+        salt_col = table.column("salt").to_pylist()
+        blob_col = table.column("blob").to_pylist()
+        by_term: dict[str, list[tuple[int, bytes]]] = {}
+        for t, s, b in zip(term_col, salt_col, blob_col):
+            by_term.setdefault(t, []).append((s, b))
+        for t, salted in by_term.items():
+            salted.sort()  # salt = doc-id range -> concatenation stays sorted
+            ids_parts, tf_parts = [], []
+            for _, blob in salted:
+                ids, tfs = codec.decode_postings(blob)
+                ids_parts.append(ids)
+                tf_parts.append(tfs)
+            out[t] = (np.concatenate(ids_parts), np.concatenate(tf_parts))
+        return out
+
+    def _docs_ds(self, columns: list[str]) -> rd.Dataset:
+        return rd.read_parquet(self.paths.docs_dir, columns=columns)
+
+    # -- filename matching --------------------------------------------------
+
+    def _filename_scan(self, ctx: _QueryContext) -> dict[int, set[str]]:
+        """Per-query scan of the narrow (doc_id, path_tokens) projection
+        implementing file_list_cache.rs:505-531. Returns doc_id -> matched
+        plan terms."""
+        term_tokens = {
+            t: tok.tokenize(t, ctx.specials) for t in ctx.plan.term_indices
+        }
+        term_tokens = {t: tt for t, tt in term_tokens.items() if tt}
+        if not term_tokens:
+            return {}
+        tt_ref = ray.put(term_tokens)
+
+        def scan(batch: pa.Table) -> pa.Table:
+            tts = ray.get(tt_ref)
+            ids = batch.column("doc_id").to_pylist()
+            ptoks = batch.column("path_tokens").to_pylist()
+            out_ids, out_terms = [], []
+            for did, fts in zip(ids, ptoks):
+                if not fts:
+                    continue
+                ft_set = set(fts)
+                for term, tts_list in tts.items():
+                    hit = any(t in ft_set for t in tts_list) or any(
+                        tt in ft or (len(ft) >= 3 and ft in tt)
+                        for tt in tts_list
+                        for ft in fts
+                    )
+                    if hit:
+                        out_ids.append(did)
+                        out_terms.append(term)
+            return pa.table(
+                {"doc_id": pa.array(out_ids, pa.int64()),
+                 "term": pa.array(out_terms, pa.string())}
+            )
+
+        matches = (
+            self._docs_ds(["doc_id", "path_tokens"])
+            .map_batches(scan, batch_format="pyarrow")
+            .take_all()
+        )
+        result: dict[int, set[str]] = {}
+        for row in matches:
+            result.setdefault(row["doc_id"], set()).add(row["term"])
+        return result
+
+    # -- candidate generation ----------------------------------------------
+
+    def _candidate_ids(
+        self, ctx: _QueryContext, fname_matches: dict[int, set[str]]
+    ) -> np.ndarray:
+        ti = ctx.plan.term_indices
+        plain = [t for t in ti if t not in ctx.specials]
+        special = [t for t in ti if t in ctx.specials]
+        # original-case keywords for special terms: the static-tokenization
+        # prefilter must see the original casing (camelCase splits) so its
+        # parts line up with the index built WITHOUT query-scoped specials
+        originals: dict[str, str] = {}
+        for term in qp.walk_terms(ctx.plan.ast):
+            if term.exact or term.excluded:
+                for kw in term.keywords:
+                    originals.setdefault(kw.lower(), kw)
+        lookup = set(plain)
+        special_parts: dict[str, list[str]] = {}
+        scan_terms: list[str] = []
+        for t in special:
+            parts = tok.tokenize(originals.get(t, t))  # STATIC prefilter
+            if parts:
+                special_parts[t] = parts
+                lookup.update(parts)
+            else:
+                scan_terms.append(t)
+        # substring-candidate expansion over the term dictionary (probe's
+        # scan is substring-based; see _term_dictionary)
+        expansion = self._expand_substring_terms(list(ti))
+        for exp in expansion.values():
+            lookup.update(exp)
+        postings = self._read_postings(sorted(lookup))
+        id_sets: list[np.ndarray] = []
+        for t in plain:
+            for w in expansion.get(t, []) or [t]:
+                if w in postings:
+                    id_sets.append(postings[w][0].astype(np.int64))
+        for t in special:
+            for w in expansion.get(t, []):
+                if w in postings:
+                    id_sets.append(postings[w][0].astype(np.int64))
+        for t, parts in special_parts.items():
+            sets = [postings[p][0].astype(np.int64) for p in parts if p in postings]
+            if len(sets) != len(parts):
+                continue  # some part matches nothing -> prefilter empty
+            inter = sets[0]
+            for s in sets[1:]:
+                inter = np.intersect1d(inter, s, assume_unique=True)
+            id_sets.append(inter)
+        if scan_terms:
+            id_sets.append(self._substring_scan(scan_terms))
+        if fname_matches:
+            id_sets.append(np.fromiter(fname_matches, dtype=np.int64))
+        if not id_sets:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(id_sets))
+
+    def _substring_scan(self, terms: list[str]) -> np.ndarray:
+        """Fallback full substring scan, needed only for special terms whose
+        static tokenization is empty (e.g. all-stop-word quoted phrases)."""
+        terms_ref = ray.put([t.lower() for t in terms])
+
+        def scan(batch: pa.Table) -> pa.Table:
+            ts = ray.get(terms_ref)
+            ids = batch.column("doc_id").to_pylist()
+            contents = batch.column("content").to_pylist()
+            hit = [
+                did
+                for did, c in zip(ids, contents)
+                if any(t in c.lower() for t in ts)
+            ]
+            return pa.table({"doc_id": pa.array(hit, pa.int64())})
+
+        rows = (
+            self._docs_ds(["doc_id", "content"])
+            .map_batches(scan, batch_format="pyarrow")
+            .take_all()
+        )
+        return np.array([r["doc_id"] for r in rows], dtype=np.int64)
+
+    def _fetch_candidates(self, ids: np.ndarray, columns: list[str]) -> rd.Dataset:
+        if ids.size == 0:
+            return rd.from_arrow(
+                pa.table({c: pa.array([], pa.int64() if c == "doc_id" else pa.string())
+                          for c in ["doc_id"]})
+            )
+        ids_ref = ray.put(ids)
+
+        def pick(batch: pa.Table) -> pa.Table:
+            want = ray.get(ids_ref)
+            mask = np.isin(batch.column("doc_id").to_numpy(), want)
+            return batch.filter(pa.array(mask))
+
+        return self._docs_ds(columns).map_batches(pick, batch_format="pyarrow")
+
+    # -- main entry ---------------------------------------------------------
+
+    def search(
+        self,
+        queries: list[str] | str,
+        *,
+        exact: bool = False,
+        max_results: int | None = None,
+        language: str | None = None,
+        include_filenames: bool = True,
+        mode: str = "compat",
+    ) -> pa.Table:
+        if isinstance(queries, str):
+            queries = [queries]
+        plan, filters = qp.plan_query(queries, exact)
+        ast_all_exact = (not plan.is_universal) and qp.is_exact_search(plan.ast)
+        ctx = _QueryContext(
+            plan=plan,
+            filters=filters,
+            specials=plan.specials,
+            filenames_enabled=include_filenames and not exact and not ast_all_exact,
+            ast_all_exact=ast_all_exact,
+            language=language,
+        )
+        if mode == "global":
+            return self._search_global(ctx, queries, max_results)
+        return self._search_compat(ctx, queries, exact, max_results)
+
+    # -- compat mode --------------------------------------------------------
+
+    def _search_compat(
+        self,
+        ctx: _QueryContext,
+        queries: list[str],
+        exact: bool,
+        max_results: int | None,
+    ) -> pa.Table:
+        plan = ctx.plan
+        fname_matches = self._filename_scan(ctx) if (
+            ctx.filenames_enabled and not plan.is_universal
+        ) else {}
+
+        lang_exts = None
+        if ctx.language:
+            lang_exts = qp._LANG_EXTENSIONS.get(qp.normalize_language(ctx.language))
+
+        if plan.is_universal:
+            cand_ds = self._docs_ds(
+                ["doc_id", "repo", "path", "lang", "content", "tokens",
+                 "n_content_tokens"]
+            )
+        else:
+            cand_ids = self._candidate_ids(ctx, fname_matches)
+            if cand_ids.size == 0:
+                return _empty_result()
+            cand_ds = self._fetch_candidates(
+                cand_ids,
+                ["doc_id", "repo", "path", "lang", "content", "tokens",
+                 "n_content_tokens"],
+            )
+
+        # ranking AST (re-parsed from the space-joined original queries —
+        # result_ranking.rs:149, ranking.rs:288)
+        ranking_ast = None
+        ranking_terms: list[str] = []
+        if not (exact or ctx.ast_all_exact):
+            try:
+                ranking_ast, _ = qp.parse_query(" ".join(queries), False)
+                ranking_terms = sorted(
+                    {kw for t in qp.walk_terms(ranking_ast)
+                     for kw in t.lowercase_keywords}
+                )
+                if len(ranking_terms) > 256:
+                    ranking_ast, ranking_terms = None, []
+            except qp.ParseError:
+                ranking_ast = None
+
+        verify = _make_verifier(ctx, lang_exts, fname_matches, ranking_terms)
+        feats = cand_ds.map_batches(verify, batch_format="pyarrow").materialize()
+
+        if exact or ctx.ast_all_exact:
+            rows = feats.take_all()
+            rows.sort(key=lambda r: (f"{r['repo']}/{r['path']}", 1))
+            if max_results is not None:
+                rows = rows[:max_results]
+            return _rows_to_result(rows, ranked=False)
+
+        n = feats.count()
+        if n == 0 or ranking_ast is None:
+            return _empty_result()
+
+        # candidate-set statistics: N, avgdl, df per ranking term — a tiny
+        # per-batch partial aggregation (J6/A3 in SURVEY.md §3)
+        def stats_partial(batch: pa.Table) -> pa.Table:
+            tfm = batch.column("tf").to_pylist()  # list<int32> per row
+            arr = np.array(tfm, dtype=np.int64).reshape(len(tfm), -1) if tfm else \
+                np.zeros((0, max(1, len(ranking_terms))), dtype=np.int64)
+            dfs = (arr > 0).sum(axis=0) if arr.size else np.zeros(len(ranking_terms), int)
+            return pa.table(
+                {
+                    "df": pa.array([dfs.tolist()], pa.list_(pa.int64())),
+                    "sum_dl": pa.array(
+                        [int(np.sum(batch.column("dl").to_numpy()))], pa.int64()
+                    ),
+                    "n": pa.array([batch.num_rows], pa.int64()),
+                }
+            )
+
+        parts = feats.map_batches(stats_partial, batch_format="pyarrow").take_all()
+        df_vec = np.zeros(len(ranking_terms), dtype=np.int64)
+        sum_dl = 0
+        for p in parts:
+            df_vec += np.array(p["df"], dtype=np.int64)
+            sum_dl += p["sum_dl"]
+        avgdl = sum_dl / n
+        idfs = {
+            t: idf(n, int(df))
+            for t, df in zip(ranking_terms, df_vec)
+            if df > 0
+        }
+
+        scorer = _make_scorer(ranking_ast, ranking_terms, idfs, avgdl, len(queries))
+        all_rows = feats.map_batches(scorer, batch_format="pyarrow").take_all()
+
+        # final order: (-boosted, -bm25, doc_id) == the reference's stable
+        # boosted-desc sort over (bm25 desc, candidate-index asc) — oracle.py
+        ranked_rows = [r for r in all_rows if r["has_score"]]
+        ranked_rows.sort(key=lambda r: (-r["score"], -r["bm25_score"], r["doc_id"]))
+        all_ids = sorted(r["doc_id"] for r in all_rows)
+        k = len(ranked_rows)
+        flagged_ids = set(all_ids[k:])
+        flagged_rows = [r for r in all_rows if r["doc_id"] in flagged_ids]
+        flagged_rows.sort(key=lambda r: (f"{r['repo']}/{r['path']}", 1))
+
+        out_rows = []
+        for i, r in enumerate(ranked_rows):
+            out_rows.append(
+                dict(doc_id=r["doc_id"], repo=r["repo"], path=r["path"],
+                     rank=i + 1, score=r["score"], bm25_score=r["bm25_score"],
+                     matched_terms=list(r["rank_kws"])),
+            )
+        for r in flagged_rows:
+            out_rows.append(
+                dict(doc_id=r["doc_id"], repo=r["repo"], path=r["path"],
+                     rank=None, score=0.0, bm25_score=0.0,
+                     matched_terms=list(r["matched_terms"])),
+            )
+        if max_results is not None:
+            out_rows = out_rows[:max_results]
+        # whole-file contained-dedup (block_merging.rs:17-118)
+        seen: dict[str, dict] = {}
+        deduped = []
+        for r in out_rows:
+            key = f"{r['repo']}/{r['path']}"
+            if key in seen:
+                seen[key]["matched_terms"] = sorted(
+                    set(seen[key]["matched_terms"]) | set(r["matched_terms"])
+                )
+                continue
+            seen[key] = r
+            deduped.append(r)
+        return _dicts_to_result(deduped)
+
+    # -- global mode --------------------------------------------------------
+
+    def _search_global(
+        self, ctx: _QueryContext, queries: list[str], max_results: int | None
+    ) -> pa.Table:
+        """Corpus-global statistics, index-only scoring (the scale path)."""
+        try:
+            ranking_ast, _ = qp.parse_query(" ".join(queries), False)
+        except qp.ParseError:
+            return _empty_result()
+        terms = sorted(
+            {kw for t in qp.walk_terms(ranking_ast) for kw in t.lowercase_keywords}
+        )
+        if not terms or len(terms) > 256:
+            return _empty_result()
+        postings = self._read_postings(terms)
+        if not postings:
+            return _empty_result()
+        n_docs = self._stats["n_docs"]
+        avgdl = self._stats["avgdl"]
+
+        # doc lengths for the involved docs only
+        all_ids = np.unique(
+            np.concatenate([p[0] for p in postings.values()]).astype(np.int64)
+        )
+        dl_map = self._doc_lens(all_ids)
+
+        idfs = {t: idf(n_docs, len(postings[t][0])) for t in postings}
+        # dense local indexing of candidate doc ids
+        pos = {int(d): i for i, d in enumerate(all_ids)}
+        tf_mat = np.zeros((len(terms), all_ids.size), dtype=np.float64)
+        for ti_, t in enumerate(terms):
+            if t not in postings:
+                continue
+            ids, tfb = postings[t]
+            tf = (tfb & 0xF) + (tfb >> 4)
+            idxs = np.searchsorted(all_ids, ids.astype(np.int64))
+            tf_mat[ti_, idxs] = tf
+        dls = np.array([dl_map.get(int(d), 0) for d in all_ids], dtype=np.float64)
+        norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dls / avgdl)
+
+        def term_scores(ti_: int, t: str) -> np.ndarray:
+            tf = tf_mat[ti_]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = np.where(tf > 0, idfs.get(t, 0.0) * tf * (BM25_K1 + 1.0) / (tf + norm), 0.0)
+            return s
+
+        score_vecs = {t: term_scores(i, t) for i, t in enumerate(terms)}
+
+        def eval_expr(expr: qp.Expr) -> tuple[np.ndarray, np.ndarray]:
+            """Returns (score, valid_mask) arrays implementing
+            score_expr_bm25_optimized vectorized."""
+            if isinstance(expr, qp.Term):
+                s = np.zeros(all_ids.size)
+                for kw in expr.lowercase_keywords:
+                    if kw in score_vecs:
+                        s = s + score_vecs[kw]
+                if expr.excluded:
+                    return np.zeros_like(s), s <= 0
+                if expr.required:
+                    return s, s > 0
+                return s, np.ones_like(s, dtype=bool)
+            ls, lv = eval_expr(expr.left)
+            rs, rv = eval_expr(expr.right)
+            if isinstance(expr, qp.And):
+                return ls + rs, lv & rv
+            both = lv & rv
+            only_l = lv & ~rv
+            only_r = rv & ~lv
+            s = np.where(both, ls + rs, np.where(only_l, ls, rs))
+            return s, lv | rv
+
+        scores, valid = eval_expr(ranking_ast)
+        # a doc must have at least one positive contribution to be a hit
+        valid = valid & (scores > 0)
+        hit_idx = np.flatnonzero(valid)
+        order = hit_idx[np.lexsort((all_ids[hit_idx], -scores[hit_idx]))]
+        if max_results is not None:
+            order = order[:max_results]
+        hit_ids = all_ids[order]
+        meta = self._doc_meta(hit_ids)
+        rows = [
+            dict(
+                doc_id=int(d),
+                repo=meta[int(d)][0],
+                path=meta[int(d)][1],
+                rank=i + 1,
+                score=float(scores[j]),
+                bm25_score=float(scores[j]),
+                matched_terms=[t for t in terms if tf_mat[terms.index(t), j] > 0],
+            )
+            for i, (d, j) in enumerate(zip(hit_ids, order))
+        ]
+        return _dicts_to_result(rows)
+
+    def _doc_lens(self, ids: np.ndarray) -> dict[int, int]:
+        tbl = pq.read_table(self.paths.docs_dir, columns=["doc_id", "doc_len"])
+        d = tbl.column("doc_id").to_numpy()
+        l = tbl.column("doc_len").to_numpy()
+        mask = np.isin(d, ids)
+        return dict(zip(d[mask].tolist(), l[mask].tolist()))
+
+    def _doc_meta(self, ids: np.ndarray) -> dict[int, tuple[str, str]]:
+        tbl = pq.read_table(self.paths.docs_dir, columns=["doc_id", "repo", "path"])
+        d = tbl.column("doc_id").to_numpy()
+        mask = np.isin(d, ids)
+        sub = tbl.filter(pa.array(mask))
+        return {
+            int(i): (r, p)
+            for i, r, p in zip(
+                sub.column("doc_id").to_pylist(),
+                sub.column("repo").to_pylist(),
+                sub.column("path").to_pylist(),
+            )
+        }
+
+
+# ---------------------------------------------------------------------------
+# Batch closures (pure functions over broadcast query state)
+# ---------------------------------------------------------------------------
+
+def _make_verifier(ctx, lang_exts, fname_matches, ranking_terms):
+    plan = ctx.plan
+    specials = ctx.specials
+    term_items = sorted(plan.term_indices.items(), key=lambda kv: kv[1])
+    filters = ctx.filters
+    is_universal = plan.is_universal
+    ast = plan.ast
+    term_indices = plan.term_indices
+    fname_ref = ray.put(fname_matches)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        fmatches = ray.get(fname_ref)
+        out = {
+            "doc_id": [], "repo": [], "path": [], "dl": [], "tf": [],
+            "matched_terms": [], "rank_kws": [], "but": [],
+        }
+        ids = batch.column("doc_id").to_pylist()
+        repos = batch.column("repo").to_pylist()
+        paths = batch.column("path").to_pylist()
+        contents = batch.column("content").to_pylist()
+        tokens_col = batch.column("tokens").to_pylist()
+        for did, repo, path, content, tokens in zip(
+            ids, repos, paths, contents, tokens_col
+        ):
+            if lang_exts is not None:
+                ext = path.rsplit(".", 1)[-1].lower() if "." in path else None
+                if ext is None or ext not in lang_exts:
+                    continue
+            if not filters.matches_path(path):
+                continue
+            if specials:  # re-tokenize with query-scoped special terms
+                vector = tok.tokenize(content, specials) + tok.tokenize(path, specials)
+            else:
+                vector = list(tokens)
+            vec_set = set(vector)
+            if term_items:
+                content_lower = content.lower()
+                for t, _ in term_items:  # exact-literal injection
+                    if t not in vec_set and t in content_lower:
+                        vector.append(t)
+                        vec_set.add(t)
+            if not is_universal:
+                matched = {t for t, _ in term_items if t in vec_set}
+                matched |= fmatches.get(did, set())
+                if not matched:
+                    continue
+                midx = {term_indices[t] for t in matched}
+                if not qp.evaluate(ast, midx, term_indices, False):
+                    continue
+            else:
+                matched = set()
+            tf = [vector.count(t) for t in ranking_terms]
+            # block stats (file_processing.rs:1426-1469)
+            direct = {t for t in term_indices if t in vec_set}
+            compound = set()
+            for t in term_indices:
+                if t in direct:
+                    continue
+                parts = tok.split_compound_word_for_filtering(t, specials)
+                if len(parts) > 1 and all(p in vec_set for p in parts):
+                    compound.add(t)
+            out["doc_id"].append(did)
+            out["repo"].append(repo)
+            out["path"].append(path)
+            out["dl"].append(len(vector))
+            out["tf"].append(tf)
+            out["matched_terms"].append(sorted(matched))
+            out["rank_kws"].append(sorted(direct | compound))
+            out["but"].append(len(direct) + len(compound))
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "repo": pa.array(out["repo"], pa.string()),
+                "path": pa.array(out["path"], pa.string()),
+                "dl": pa.array(out["dl"], pa.int32()),
+                "tf": pa.array(out["tf"], pa.list_(pa.int32())),
+                "matched_terms": pa.array(out["matched_terms"], pa.list_(pa.string())),
+                "rank_kws": pa.array(out["rank_kws"], pa.list_(pa.string())),
+                "but": pa.array(out["but"], pa.int32()),
+            }
+        )
+
+    return verify
+
+
+def _make_scorer(ranking_ast, ranking_terms, idfs, avgdl, n_queries):
+    def scorer(batch: pa.Table) -> pa.Table:
+        scores, bm25s, has = [], [], []
+        tf_col = batch.column("tf").to_pylist()
+        dl_col = batch.column("dl").to_pylist()
+        but_col = batch.column("but").to_pylist()
+        for tf_list, dl, but in zip(tf_col, dl_col, but_col):
+            if ranking_ast is None:
+                has.append(False)
+                scores.append(0.0)
+                bm25s.append(0.0)
+                continue
+            tf = {t: v for t, v in zip(ranking_terms, tf_list) if v > 0}
+            s = score_expr(ranking_ast, tf, dl, avgdl, idfs)
+            if s is None:
+                has.append(False)
+                scores.append(0.0)
+                bm25s.append(0.0)
+            else:
+                has.append(True)
+                bm25s.append(s)
+                scores.append(s * coverage_boost(but, n_queries))
+        out = batch.append_column("bm25_score", pa.array(bm25s, pa.float64()))
+        out = out.append_column("score", pa.array(scores, pa.float64()))
+        out = out.append_column("has_score", pa.array(has, pa.bool_()))
+        return out
+
+    return scorer
+
+
+def _rows_to_result(rows, ranked: bool) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "repo": pa.array([r["repo"] for r in rows], pa.string()),
+            "path": pa.array([r["path"] for r in rows], pa.string()),
+            "rank": pa.array([None] * len(rows), pa.int64()),
+            "score": pa.array([0.0] * len(rows), pa.float64()),
+            "bm25_score": pa.array([0.0] * len(rows), pa.float64()),
+            "matched_terms": pa.array(
+                [list(r["matched_terms"]) for r in rows], pa.list_(pa.string())
+            ),
+        }
+    )
+
+
+def _dicts_to_result(rows) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "repo": pa.array([r["repo"] for r in rows], pa.string()),
+            "path": pa.array([r["path"] for r in rows], pa.string()),
+            "rank": pa.array([r["rank"] for r in rows], pa.int64()),
+            "score": pa.array([r["score"] for r in rows], pa.float64()),
+            "bm25_score": pa.array([r["bm25_score"] for r in rows], pa.float64()),
+            "matched_terms": pa.array(
+                [r["matched_terms"] for r in rows], pa.list_(pa.string())
+            ),
+        }
+    )
+
+
+def search(index_dir: str, queries, **kwargs) -> pa.Table:
+    return Engine(index_dir).search(queries, **kwargs)

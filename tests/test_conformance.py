@@ -1,0 +1,93 @@
+"""End-to-end rank-identity: the distributed engine must produce EXACTLY the
+oracle's results (doc ids, ranks, scores to 1e-9, matched terms) for the
+whole query suite over the t2 corpus — the conformance gate of SURVEY.md §6.
+"""
+
+import math
+
+import pytest
+
+from probe_ray.corpus import QUERY_SUITE
+from probe_ray.oracle import oracle_search
+from probe_ray.search import Engine
+
+
+def _engine_rows(table):
+    return [
+        (
+            r["doc_id"],
+            r["rank"],
+            r["score"],
+            r["bm25_score"],
+            tuple(r["matched_terms"]),
+        )
+        for r in table.to_pylist()
+    ]
+
+
+def _oracle_rows(hits):
+    return [
+        (h.doc_id, h.rank, h.score, h.bm25_score, tuple(h.matched_terms))
+        for h in hits
+    ]
+
+
+@pytest.mark.parametrize("qid,queries,opts", QUERY_SUITE, ids=[q[0] for q in QUERY_SUITE])
+def test_rank_identity(qid, queries, opts, t2_rows, t2_index):
+    expected = _oracle_rows(oracle_search(t2_rows, queries, **opts))
+    engine = Engine(t2_index)
+    got = _engine_rows(engine.search(queries, **opts))
+    assert len(got) == len(expected), (
+        f"{qid}: engine {len(got)} rows vs oracle {len(expected)}"
+    )
+    for i, (g, e) in enumerate(zip(got, expected)):
+        assert g[0] == e[0], f"{qid} row {i}: doc_id {g[0]} != {e[0]}"
+        assert g[1] == e[1], f"{qid} row {i}: rank {g[1]} != {e[1]}"
+        assert math.isclose(g[2], e[2], abs_tol=1e-9), f"{qid} row {i}: score"
+        assert math.isclose(g[3], e[3], abs_tol=1e-9), f"{qid} row {i}: bm25"
+        assert g[4] == e[4], f"{qid} row {i}: matched_terms {g[4]} != {e[4]}"
+
+
+def test_guard_and_sha256(t1_index):
+    """Guard-violating rows are dropped; sha256 invariant recorded for the
+    rest (FIXTURES.md §1.1 item 9)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from probe_ray.corpus import generate_rows
+
+    rows = generate_rows("t1")
+    docs = pq.read_table(t1_index.docs_dir, columns=["path", "content_sha256"])
+    paths = set(docs.column("path").to_pylist())
+    assert "src/nul_file.rs" not in paths
+    assert "src/huge_file.rs" not in paths
+    assert "src/longline.rs" in paths  # long lines are blanked, not dropped
+    sha_by_path = dict(
+        zip(docs.column("path").to_pylist(), docs.column("content_sha256").to_pylist())
+    )
+    for r in rows:
+        if r["path"] in sha_by_path and r["repo"] == "org0/repo0":
+            expected = hashlib.sha256(r["content"].encode()).hexdigest()
+            assert sha_by_path[r["path"]] == expected
+
+
+def test_determinism_across_runs(t2_rows, t2_index):
+    """Two engine runs give identical output (SURVEY.md §6 determinism)."""
+    engine = Engine(t2_index)
+    a = _engine_rows(engine.search(["keywordAlpha OR keywordBeta"]))
+    b = _engine_rows(engine.search(["keywordAlpha OR keywordBeta"]))
+    assert a == b
+
+
+def test_global_mode_self_consistent(t2_index):
+    """Global mode: top-k by corpus-global BM25; results are deterministic,
+    scores positive, ranks dense."""
+    engine = Engine(t2_index)
+    t = engine.search(["keywordAlpha"], mode="global", max_results=10)
+    rows = t.to_pylist()
+    assert rows, "global mode returned nothing"
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
