@@ -1,44 +1,269 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in probe_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship pipeline at sf0.001 — build the probe-semantics
+  inverted index over a corpus derived from the documents table, run a BM25
+  search, return the result table.
+- ``queries()``: one entry per implemented operator (SURVEY.md §2/§3 +
+  training-data ops); each callable takes sf_dir.
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible op.
+  Probe-tokenizer/sketch ops (camelCase splitting, stemming, minhash,
+  simhash, LSH, winnowing, the engine's ranked search) are not
+  ANSI-SQL-expressible; they get rows-only checks here and are instead
+  verified rank-identically against the in-repo oracle by
+  ``python -m pytest tests/``.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+SIMPLE_TOKENS_SQL = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+
+# ---------------------------------------------------------------------------
+# documents -> probe corpus mapping + cached index per sf_dir
+# ---------------------------------------------------------------------------
+
+def _corpus_from_documents(sf_dir: str) -> str:
+    """Materialize the documents table in the engine's corpus schema
+    (repo, path, commit, lang, content)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/probe_ray_corpus_{tag}.parquet"
+    if os.path.exists(out):
+        return out
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    n = t.num_rows
+    doc_ids = t.column("doc_id").to_pylist()
+    sources = t.column("source").to_pylist()
+    corpus = pa.table(
+        {
+            "repo": pa.array([f"corpus/{s}" for s in sources], pa.string()),
+            "path": pa.array(
+                [f"docs/doc{d:07d}.txt" for d in doc_ids], pa.string()
+            ),
+            "commit": pa.array(["0" * 40] * n, pa.string()),
+            "lang": t.column("lang"),
+            "content": t.column("text"),
+        }
+    )
+    pq.write_table(corpus, out + ".tmp")
+    os.rename(out + ".tmp", out)
+    return out
+
+
+def _engine_for(sf_dir: str):
+    from probe_ray.build import build_index
+    from probe_ray.search import Engine
+
+    corpus = _corpus_from_documents(sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    paths = build_index(corpus, f"/tmp/probe_ray_index_{tag}")
+    return Engine(paths)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    eng = _engine_for("/root/testdata/sf0.001")
+    return eng.search(["spark join"], max_results=100)
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from probe_ray import textops as T
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def probe_search(query, **opts):
+        def run(sf_dir):
+            return _engine_for(sf_dir).search([query], **opts)
 
+        return run
+
+    def probe_search_global(query, **opts):
+        def run(sf_dir):
+            return _engine_for(sf_dir).search([query], mode="global", **opts)
+
+        return run
+
+    return {
+        # --- text statistics / analysis (SQL-checked) ---
+        "doc_stats": T.doc_stats,
+        "term_df": T.term_df,
+        "corpus_stats": T.corpus_stats,
+        "token_count_bpe": T.token_count_bpe,
+        "quality_score": T.quality_score,
+        "lang_distribution": T.lang_distribution,
+        # --- boolean retrieval + BM25 over documents (SQL-checked) ---
+        "search_and": T.search_and,
+        "search_or": T.search_or,
+        "search_not": T.search_not,
+        "bm25_topk": T.bm25_topk,
+        # --- deduplication ---
+        "exact_dedup": T.exact_dedup,                  # SQL-checked
+        "near_dup_word_jaccard": T.near_dup_word_jaccard,  # SQL-checked
+        "doc_fingerprint": T.doc_fingerprint,          # SQL-checked
+        "minhash_lsh_dedup": T.minhash_lsh_dedup,      # rows-only (sketch)
+        "simhash64": T.simhash64,                      # rows-only (sketch)
+        "winnowing_fingerprints": T.winnowing_fingerprints,  # rows-only
+        # --- similarity search over embeddings ---
+        "knn_cosine": T.knn_cosine,                    # SQL-checked
+        "knn_lsh": T.knn_lsh,                          # rows-only (approx)
+        "embedding_cosine_dedup": T.embedding_cosine_dedup,  # rows-only
+        # --- language id (heuristic; rows-only) ---
+        "langid_heuristic": T.langid_heuristic,
+        # --- multimodal plumbing (sha/bytes SQL-checked) ---
+        "media_features": lambda sf: T.media_features(sf).map_batches(
+            lambda b: b.select(["doc_id", "n_bytes", "sha256"]),
+            batch_format="pyarrow",
+        ),
+        # --- the probe-semantics engine itself (rows-only here; verified
+        #     rank-identically vs the oracle in tests/) ---
+        "probe_search_or": probe_search("spark OR vector"),
+        "probe_search_and": probe_search("spark AND join"),
+        "probe_search_required": probe_search("+spark window"),
+        "probe_search_exclusion": probe_search("spark -window"),
+        "probe_search_exact": probe_search('"batch"'),
+        "probe_search_global_topk": probe_search_global("spark join", max_results=50),
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = SIMPLE_TOKENS_SQL
+    return {
+        "doc_stats": f"""
+            SELECT doc_id,
+                   len({toks}) AS n_tokens,
+                   len(list_distinct({toks})) AS n_unique
+            FROM documents
+        """,
+        "term_df": f"""
+            WITH t AS (
+              SELECT doc_id, unnest(list_distinct({toks})) AS term FROM documents
+            )
+            SELECT term, count(*) AS df FROM t
+            GROUP BY term ORDER BY df DESC, term LIMIT 100
+        """,
+        "corpus_stats": f"""
+            WITH t AS (SELECT len({toks}) AS n FROM documents)
+            SELECT count(*) AS n_docs,
+                   sum(n)::BIGINT AS total_tokens,
+                   sum(n)::DOUBLE / count(*) AS avg_tokens
+            FROM t
+        """,
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ws_tokens,
+                   len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS bpe_tokens
+            FROM documents
+        """,
+        "quality_score": f"""
+            WITH t AS (SELECT doc_id, {toks} AS toks FROM documents)
+            SELECT doc_id, len(toks) AS n_tokens,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE len(list_filter(toks, x -> x IN ('the','a','of','and','to')))::DOUBLE / len(toks)
+                   END AS stopword_ratio,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)
+                   END AS mean_token_len
+            FROM t
+        """,
+        "lang_distribution": """
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "search_and": f"""
+            WITH t AS (SELECT doc_id, {toks} AS toks FROM documents)
+            SELECT doc_id FROM t
+            WHERE list_contains(toks, 'spark') AND list_contains(toks, 'join')
+        """,
+        "search_or": f"""
+            WITH t AS (SELECT doc_id, {toks} AS toks FROM documents)
+            SELECT doc_id FROM t
+            WHERE list_contains(toks, 'vector') OR list_contains(toks, 'stream')
+        """,
+        "search_not": f"""
+            WITH t AS (SELECT doc_id, {toks} AS toks FROM documents)
+            SELECT doc_id FROM t
+            WHERE list_contains(toks, 'spark') AND NOT list_contains(toks, 'window')
+        """,
+        "bm25_topk": f"""
+            WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+            st AS (SELECT count(*) AS n, sum(len(toks))::DOUBLE / count(*) AS avgdl FROM t),
+            tf AS (
+              SELECT doc_id, len(toks) AS dl,
+                     len(list_filter(toks, x -> x = 'spark')) AS tf1,
+                     len(list_filter(toks, x -> x = 'join')) AS tf2,
+                     len(list_filter(toks, x -> x = 'window')) AS tf3
+              FROM t
+            ),
+            df AS (
+              SELECT count(*) FILTER (tf1 > 0) AS df1,
+                     count(*) FILTER (tf2 > 0) AS df2,
+                     count(*) FILTER (tf3 > 0) AS df3
+              FROM tf
+            ),
+            scored AS (
+              SELECT doc_id,
+                (CASE WHEN tf1 > 0 THEN ln(1.0 + (st.n - df.df1 + 0.5) / (df.df1 + 0.5))
+                      * (tf1 * 2.5) / (tf1 + 1.5 * (1.0 - 0.5 + 0.5 * dl / st.avgdl)) ELSE 0.0 END)
+                + (CASE WHEN tf2 > 0 THEN ln(1.0 + (st.n - df.df2 + 0.5) / (df.df2 + 0.5))
+                      * (tf2 * 2.5) / (tf2 + 1.5 * (1.0 - 0.5 + 0.5 * dl / st.avgdl)) ELSE 0.0 END)
+                + (CASE WHEN tf3 > 0 THEN ln(1.0 + (st.n - df.df3 + 0.5) / (df.df3 + 0.5))
+                      * (tf3 * 2.5) / (tf3 + 1.5 * (1.0 - 0.5 + 0.5 * dl / st.avgdl)) ELSE 0.0 END)
+                AS score
+              FROM tf, st, df
+            )
+            SELECT doc_id, score FROM scored WHERE score > 0
+            ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "near_dup_word_jaccard": f"""
+            WITH t AS (SELECT doc_id, list_distinct({toks}) AS s FROM documents)
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jaccard
+            FROM t a JOIN t b
+              ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+            WHERE len(list_distinct(a.s || b.s)) > 0
+              AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.5
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   md5(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), ' ')) AS fingerprint
+            FROM documents
+        """,
+        "knn_cosine": """
+            WITH s AS (
+              SELECT vec_id,
+                     list_cosine_similarity(
+                       embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)
+                     ) AS sim
+              FROM embeddings WHERE vec_id <> 0
+            )
+            SELECT row_number() OVER (ORDER BY sim DESC, vec_id) AS rank, vec_id
+            FROM s ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        "media_features": """
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS sha256
+            FROM documents
+        """,
+    }
