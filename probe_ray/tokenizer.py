@@ -57,6 +57,13 @@ EMPTY: frozenset[str] = frozenset()
 # (the reference's tie order is HashSet-arbitrary).
 _SPECIAL_CASES_BY_LEN = tuple(sorted(SPECIAL_CASE_WORDS, key=lambda w: (-len(w), w)))
 
+# first-char index over the prefix list: most words fail the scan on the
+# first character, so index by it (hot-path optimization, same semantics)
+_SPECIAL_BY_FIRST: dict[str, tuple[str, ...]] = {}
+for _w in _SPECIAL_CASES_BY_LEN:
+    _SPECIAL_BY_FIRST.setdefault(_w[0], ())
+    _SPECIAL_BY_FIRST[_w[0]] = _SPECIAL_BY_FIRST[_w[0]] + (_w,)
+
 _EXCEPTION_TERMS_SET = frozenset(EXCEPTION_TERMS)
 
 
@@ -131,8 +138,9 @@ def split_camel_case(input_word: str, specials: frozenset[str] = EMPTY) -> list[
         if remaining:
             return ["oauth2"] + split_camel_case(remaining, specials)
 
-    # Longest-first special-case prefixes (tokenization.rs:1966-1985)
-    for special in _SPECIAL_CASES_BY_LEN:
+    # Longest-first special-case prefixes (tokenization.rs:1966-1985);
+    # first-char indexed, same longest-first order within a bucket
+    for special in _SPECIAL_BY_FIRST.get(lowercase[:1], ()):
         if lowercase.startswith(special):
             remaining = input_word[len(special):]
             if remaining:
@@ -285,6 +293,55 @@ def _split_words(text: str) -> tuple[list[str], set[str]]:
     return tokens, negated
 
 
+def _process_token(
+    token: str,
+    specials: frozenset[str],
+    negated: frozenset[str] | set[str],
+    processed: set[str],
+    result: list[str],
+) -> list[str]:
+    """Inner loop of tokenize for one raw token (tokenization.rs:2793-2848).
+    Appends to result/processed; returns the 'check keys' (every
+    intermediate form a negation could veto) for the fast-path cache."""
+    keys: list[str] = []
+    for part in split_camel_case(token, specials):
+        lower_part = part.lower()
+        if is_stop_word(lower_part):
+            continue
+        keys.append(lower_part)
+        if lower_part in negated:
+            continue
+        for compound_part in split_compound_word_for_filtering(lower_part, specials):
+            if is_stop_word(compound_part):
+                continue
+            keys.append(compound_part)
+            if compound_part in negated:
+                continue
+            if is_special_case(compound_part, specials):
+                if compound_part not in processed:
+                    processed.add(compound_part)
+                    result.append(compound_part)
+                continue  # no stemming for special-case terms
+            if compound_part in _EXCEPTION_TERMS_SET and compound_part not in processed:
+                processed.add(compound_part)
+                result.append(compound_part)
+            stemmed = stem(compound_part)
+            keys.append(stemmed)
+            if stemmed in negated:
+                continue
+            if stemmed not in processed:
+                processed.add(stemmed)
+                result.append(stemmed)
+    return keys
+
+
+# per-worker cache: raw token -> (emissions assuming no negation applies,
+# negation check-keys). Only used when specials is EMPTY (index build and
+# plain queries); quoted/excluded queries take the uncached path.
+_TOKEN_CACHE: dict[str, tuple[tuple[str, ...], frozenset[str]]] = {}
+_TOKEN_CACHE_MAX = 500_000
+
+
 def tokenize(text: str, specials: frozenset[str] = EMPTY) -> list[str]:
     """Port of tokenize (tokenization.rs:2728-2850).
 
@@ -293,33 +350,31 @@ def tokenize(text: str, specials: frozenset[str] = EMPTY) -> list[str]:
     keywords); pass EMPTY when building the static index.
     """
     raw_tokens, negated = _split_words(text)
-
     processed: set[str] = set()
     result: list[str] = []
+
+    if specials:
+        for token in raw_tokens:
+            _process_token(token, specials, negated, processed, result)
+        return result
+
+    cache = _TOKEN_CACHE
     for token in raw_tokens:
-        for part in split_camel_case(token, specials):
-            lower_part = part.lower()
-            if is_stop_word(lower_part):
-                continue
-            if lower_part in negated:
-                continue
-            for compound_part in split_compound_word_for_filtering(lower_part, specials):
-                if is_stop_word(compound_part):
-                    continue
-                if compound_part in negated:
-                    continue
-                if is_special_case(compound_part, specials):
-                    if compound_part not in processed:
-                        processed.add(compound_part)
-                        result.append(compound_part)
-                    continue  # no stemming for special-case terms
-                if compound_part in _EXCEPTION_TERMS_SET and compound_part not in processed:
-                    processed.add(compound_part)
-                    result.append(compound_part)
-                stemmed = stem(compound_part)
-                if stemmed in negated:
-                    continue
-                if stemmed not in processed:
-                    processed.add(stemmed)
-                    result.append(stemmed)
+        hit = cache.get(token)
+        if hit is None:
+            sub_processed: set[str] = set()
+            sub_result: list[str] = []
+            keys = _process_token(token, EMPTY, EMPTY, sub_processed, sub_result)
+            hit = (tuple(sub_result), frozenset(keys))
+            if len(cache) < _TOKEN_CACHE_MAX:
+                cache[token] = hit
+        emissions, keys = hit
+        if negated and not negated.isdisjoint(keys):
+            # a negation touches this token: take the exact slow path
+            _process_token(token, EMPTY, negated, processed, result)
+            continue
+        for t in emissions:
+            if t not in processed:
+                processed.add(t)
+                result.append(t)
     return result
