@@ -1,0 +1,167 @@
+"""Benchmark harness.
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(num_cpus=$RAY_GRAFT_CPUS or 32) and
+prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N}
+
+--scaling: runs the same headline build twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on identical input and reports both throughputs
+plus scaling efficiency = (T_8 / T_32) / 4 (1.0 = linear).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_CORPUS = "/tmp/probe_ray_bench_corpus"
+BENCH_SIZE = os.environ.get("PROBE_RAY_BENCH_SIZE", "bench")  # 32,768 files
+
+
+def _quiet_ray():
+    import logging
+
+    import ray
+    from ray.data import DataContext
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def _ensure_bench_corpus() -> tuple[str, int]:
+    """Deterministic synthetic code corpus (probe_ray.corpus, seed=42),
+    written once as multi-file parquet so the read parallelizes."""
+    from probe_ray.corpus import SIZES, write_corpus
+
+    n_repos, fpr = SIZES[BENCH_SIZE]
+    n_files = n_repos * fpr
+    marker = os.path.join(BENCH_CORPUS, f".complete_{BENCH_SIZE}")
+    if not os.path.exists(marker):
+        import shutil
+
+        if os.path.exists(BENCH_CORPUS):
+            shutil.rmtree(BENCH_CORPUS)
+        write_corpus(BENCH_CORPUS, BENCH_SIZE, num_files=32)
+        open(marker, "w").write("ok")
+    return BENCH_CORPUS, n_files
+
+
+def run_bench() -> dict:
+    _quiet_ray()
+    import ray
+
+    from probe_ray.build import build_index
+    from probe_ray.search import Engine
+
+    results: dict[str, float] = {}
+    t_total = time.time()
+
+    # 1) headline: index build over the synthetic code corpus
+    corpus_dir, n_files = _ensure_bench_corpus()
+    t0 = time.time()
+    paths = build_index(corpus_dir, "/tmp/probe_ray_bench_index", overwrite=True)
+    build_sec = time.time() - t0
+    results["index_build_sec"] = round(build_sec, 3)
+    results["index_build_files_per_sec"] = round(n_files / build_sec, 1)
+
+    # 2) query latency per class (compat = rank-identical path; repeated for
+    #    a stable median)
+    engine = Engine(paths)
+    query_classes = {
+        "q_exact_term": (["keywordAlpha"], {}),
+        "q_and_or": (["(keywordAlpha OR keywordBeta) AND keywordGamma"], {}),
+        "q_identifier": (["migrateEndpointMetaByType"], {}),
+        "q_quoted_exact": (['"cleanupScopeMappings"'], {}),
+    }
+    for name, (qs, opts) in query_classes.items():
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            engine.search(qs, max_results=10, **opts)
+            times.append(time.time() - t0)
+        results[name + "_p50"] = round(sorted(times)[1], 3)
+    t0 = time.time()
+    engine.search(["keywordAlpha keywordBeta"], mode="global", max_results=10)
+    results["q_global_topk"] = round(time.time() - t0, 3)
+
+    # 3) documents-table pipelines at $GRAFT_SF_DIR
+    from probe_ray import textops as T
+
+    t0 = time.time()
+    T.bm25_topk(SF_DIR)
+    results["docs_bm25_topk"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    T.minhash_lsh_dedup(SF_DIR)
+    results["docs_minhash_dedup"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    T.knn_cosine(SF_DIR)
+    results["docs_knn_cosine"] = round(time.time() - t0, 3)
+
+    total = time.time() - t_total
+    ray.shutdown()
+    return {
+        "metric": "index-build throughput (files/sec) + query latency (sec)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling():
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, "bench.py"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # warm the page cache + corpus generation once, untimed
+    _ensure_bench_corpus()
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo = r_lo["queries"]["index_build_sec"]
+    t_hi = r_hi["queries"]["index_build_sec"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "index-build scaling efficiency (8 -> 32 cpus)",
+                "value": round(eff, 3),
+                "unit": "efficiency",
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "files_per_sec_8": r_lo["queries"]["index_build_files_per_sec"],
+                "files_per_sec_32": r_hi["queries"]["index_build_files_per_sec"],
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

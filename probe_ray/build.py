@@ -193,29 +193,49 @@ def make_partial_segments(hot_terms: dict[str, int], salt_shift: int):
 
 
 def make_segment_merger(n_shards: int):
-    """groupby(term, salt) reducer: merge sub-blobs into the final segment
-    row with skip blocks and block-max."""
+    """Merge sub-blob runs within a (term, salt)-sorted batch into final
+    segment rows with skip blocks and block-max.
 
-    def merge_group(group: pa.Table) -> pa.Table:
-        term = group.column("term")[0].as_py()
-        salt = group.column("salt")[0].as_py()
-        blobs = group.column("blob").to_pylist()
-        blob, skip, bmax = codec.merge_encoded(blobs)
-        df = int(sum(group.column("df").to_pylist()))
-        shard = _term_shard(term, n_shards)
+    Applied via sort(term, salt) -> map_batches (NOT groupby.map_groups:
+    per-group dispatch overhead dominates with vocabulary-sized group
+    counts). A (term, salt) run straddling a batch boundary simply yields
+    two segment rows; the query path already concatenates multiple rows per
+    term (same mechanism as salted blobs)."""
+
+    def merge_batch(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_pylist()
+        salts = batch.column("salt").to_pylist()
+        dfs = batch.column("df").to_pylist()
+        blobs = batch.column("blob").to_pylist()
+        out = {k: [] for k in
+               ("term", "salt", "shard", "df", "blob", "skip", "block_max")}
+        i, n = 0, len(terms)
+        while i < n:
+            j = i
+            while j < n and terms[j] == terms[i] and salts[j] == salts[i]:
+                j += 1
+            blob, skip, bmax = codec.merge_encoded(blobs[i:j])
+            out["term"].append(terms[i])
+            out["salt"].append(salts[i])
+            out["shard"].append(_term_shard(terms[i], n_shards))
+            out["df"].append(int(sum(dfs[i:j])))
+            out["blob"].append(blob)
+            out["skip"].append(skip)
+            out["block_max"].append(bmax)
+            i = j
         return pa.table(
             {
-                "term": pa.array([term], pa.string()),
-                "salt": pa.array([salt], pa.int32()),
-                "shard": pa.array([shard], pa.int32()),
-                "df": pa.array([df], pa.int64()),
-                "blob": pa.array([blob], pa.binary()),
-                "skip": pa.array([skip], pa.binary()),
-                "block_max": pa.array([bmax], pa.binary()),
+                "term": pa.array(out["term"], pa.string()),
+                "salt": pa.array(out["salt"], pa.int32()),
+                "shard": pa.array(out["shard"], pa.int32()),
+                "df": pa.array(out["df"], pa.int64()),
+                "blob": pa.array(out["blob"], pa.binary()),
+                "skip": pa.array(out["skip"], pa.binary()),
+                "block_max": pa.array(out["block_max"], pa.binary()),
             }
         )
 
-    return merge_group
+    return merge_batch
 
 
 def _term_shard(term: str, n_shards: int) -> int:
@@ -383,7 +403,7 @@ def build_index(
     partial = make_partial_segments(hot, salt_shift)
     merger = make_segment_merger(n_shards)
     partials = docs.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
-    segments = partials.groupby(["term", "salt"]).map_groups(
+    segments = partials.sort(["term", "salt"]).map_batches(
         merger, batch_format="pyarrow"
     )
     segments.write_parquet(tmp.segments_dir, partition_cols=["shard"])

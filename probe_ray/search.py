@@ -130,21 +130,46 @@ class Engine:
         for t, s, b in zip(term_col, salt_col, blob_col):
             by_term.setdefault(t, []).append((s, b))
         for t, salted in by_term.items():
-            salted.sort()  # salt = doc-id range -> concatenation stays sorted
+            salted.sort()
             ids_parts, tf_parts = [], []
             for _, blob in salted:
                 ids, tfs = codec.decode_postings(blob)
                 ids_parts.append(ids)
                 tf_parts.append(tfs)
-            out[t] = (np.concatenate(ids_parts), np.concatenate(tf_parts))
+            ids = np.concatenate(ids_parts)
+            tfs = np.concatenate(tf_parts)
+            order = np.argsort(ids, kind="stable")  # doc-id order across
+            out[t] = (ids[order], tfs[order])       # salted/split blobs
         return out
 
     def _docs_ds(self, columns: list[str]) -> rd.Dataset:
         return rd.read_parquet(self.paths.docs_dir, columns=columns)
 
+    # Small-corpus fast path: below this doc count the per-query work is
+    # dominated by Ray execution round-trips, so the engine pins the docs
+    # table driver-side and runs the SAME batch closures locally. Above it,
+    # every stage goes through Ray Data (the 10^12-scale path).
+    LOCAL_DOCS_MAX = 200_000
+    # candidate sets up to this size are verified on the driver (the verify
+    # closure is single-threaded there); larger sets fan out via map_batches
+    LOCAL_CAND_MAX = 2048
+
+    def _local_docs_table(self) -> pa.Table | None:
+        if self._stats["n_docs"] > self.LOCAL_DOCS_MAX:
+            return None
+        if getattr(self, "_docs_cache", None) is None:
+            self._docs_cache = pq.read_table(
+                self.paths.docs_dir,
+                columns=["doc_id", "repo", "path", "lang", "content", "tokens",
+                         "n_content_tokens", "path_tokens"],
+            ).sort_by("doc_id")
+        return self._docs_cache
+
     # -- filename matching --------------------------------------------------
 
-    def _filename_scan(self, ctx: _QueryContext) -> dict[int, set[str]]:
+    def _filename_scan(
+        self, ctx: _QueryContext, local_tbl: pa.Table | None
+    ) -> dict[int, set[str]]:
         """Per-query scan of the narrow (doc_id, path_tokens) projection
         implementing file_list_cache.rs:505-531. Returns doc_id -> matched
         plan terms."""
@@ -154,13 +179,11 @@ class Engine:
         term_tokens = {t: tt for t, tt in term_tokens.items() if tt}
         if not term_tokens:
             return {}
-        tt_ref = ray.put(term_tokens)
 
-        def scan(batch: pa.Table) -> pa.Table:
-            tts = ray.get(tt_ref)
+        def scan(batch: pa.Table, tts) -> list[tuple[int, str]]:
             ids = batch.column("doc_id").to_pylist()
             ptoks = batch.column("path_tokens").to_pylist()
-            out_ids, out_terms = [], []
+            hits = []
             for did, fts in zip(ids, ptoks):
                 if not fts:
                     continue
@@ -172,21 +195,32 @@ class Engine:
                         for ft in fts
                     )
                     if hit:
-                        out_ids.append(did)
-                        out_terms.append(term)
-            return pa.table(
-                {"doc_id": pa.array(out_ids, pa.int64()),
-                 "term": pa.array(out_terms, pa.string())}
-            )
+                        hits.append((did, term))
+            return hits
 
-        matches = (
-            self._docs_ds(["doc_id", "path_tokens"])
-            .map_batches(scan, batch_format="pyarrow")
-            .take_all()
-        )
+        if local_tbl is not None:
+            pairs = scan(local_tbl, term_tokens)
+        else:
+            tt_ref = ray.put(term_tokens)
+
+            def scan_batch(batch: pa.Table) -> pa.Table:
+                hits = scan(batch, ray.get(tt_ref))
+                return pa.table(
+                    {
+                        "doc_id": pa.array([h[0] for h in hits], pa.int64()),
+                        "term": pa.array([h[1] for h in hits], pa.string()),
+                    }
+                )
+
+            pairs = [
+                (r["doc_id"], r["term"])
+                for r in self._docs_ds(["doc_id", "path_tokens"])
+                .map_batches(scan_batch, batch_format="pyarrow")
+                .take_all()
+            ]
         result: dict[int, set[str]] = {}
-        for row in matches:
-            result.setdefault(row["doc_id"], set()).add(row["term"])
+        for did, term in pairs:
+            result.setdefault(did, set()).add(term)
         return result
 
     # -- candidate generation ----------------------------------------------
@@ -249,6 +283,15 @@ class Engine:
     def _substring_scan(self, terms: list[str]) -> np.ndarray:
         """Fallback full substring scan, needed only for special terms whose
         static tokenization is empty (e.g. all-stop-word quoted phrases)."""
+        local = self._local_docs_table()
+        if local is not None:
+            ts = [t.lower() for t in terms]
+            ids = local.column("doc_id").to_pylist()
+            contents = local.column("content").to_pylist()
+            return np.array(
+                [d for d, c in zip(ids, contents) if any(t in c.lower() for t in ts)],
+                dtype=np.int64,
+            )
         terms_ref = ray.put([t.lower() for t in terms])
 
         def scan(batch: pa.Table) -> pa.Table:
@@ -322,7 +365,8 @@ class Engine:
         max_results: int | None,
     ) -> pa.Table:
         plan = ctx.plan
-        fname_matches = self._filename_scan(ctx) if (
+        local_tbl = self._local_docs_table()
+        fname_matches = self._filename_scan(ctx, local_tbl) if (
             ctx.filenames_enabled and not plan.is_universal
         ) else {}
 
@@ -330,20 +374,24 @@ class Engine:
         if ctx.language:
             lang_exts = qp._LANG_EXTENSIONS.get(qp.normalize_language(ctx.language))
 
+        cand_tbl = None  # local-path candidates (small candidate sets only:
+        cand_ds = None   # verify is single-threaded on the driver there)
+        cols = ["doc_id", "repo", "path", "lang", "content", "tokens",
+                "n_content_tokens"]
         if plan.is_universal:
-            cand_ds = self._docs_ds(
-                ["doc_id", "repo", "path", "lang", "content", "tokens",
-                 "n_content_tokens"]
-            )
+            if local_tbl is not None and self._stats["n_docs"] <= self.LOCAL_CAND_MAX:
+                cand_tbl = local_tbl
+            else:
+                cand_ds = self._docs_ds(cols)
         else:
             cand_ids = self._candidate_ids(ctx, fname_matches)
             if cand_ids.size == 0:
                 return _empty_result()
-            cand_ds = self._fetch_candidates(
-                cand_ids,
-                ["doc_id", "repo", "path", "lang", "content", "tokens",
-                 "n_content_tokens"],
-            )
+            if local_tbl is not None and cand_ids.size <= self.LOCAL_CAND_MAX:
+                mask = np.isin(local_tbl.column("doc_id").to_numpy(), cand_ids)
+                cand_tbl = local_tbl.filter(pa.array(mask))
+            else:
+                cand_ds = self._fetch_candidates(cand_ids, cols)
 
         # ranking AST (re-parsed from the space-joined original queries —
         # result_ranking.rs:149, ranking.rs:288)
@@ -362,42 +410,47 @@ class Engine:
                 ranking_ast = None
 
         verify = _make_verifier(ctx, lang_exts, fname_matches, ranking_terms)
-        feats = cand_ds.map_batches(verify, batch_format="pyarrow").materialize()
+        if cand_tbl is not None:
+            feats_tbl = verify(cand_tbl)
+        else:
+            # distributed verify; only the NARROW feature rows (tf/dl/stats,
+            # no content) come back to the driver for ranking
+            refs = cand_ds.map_batches(
+                verify, batch_format="pyarrow"
+            ).to_arrow_refs()
+            tables = [ray.get(r) for r in refs]
+            feats_tbl = (
+                pa.concat_tables(tables) if tables else verify(pa.table({
+                    "doc_id": pa.array([], pa.int64()),
+                    "repo": pa.array([], pa.string()),
+                    "path": pa.array([], pa.string()),
+                    "lang": pa.array([], pa.string()),
+                    "content": pa.array([], pa.string()),
+                    "tokens": pa.array([], pa.list_(pa.string())),
+                    "n_content_tokens": pa.array([], pa.int32()),
+                }))
+            )
 
         if exact or ctx.ast_all_exact:
-            rows = feats.take_all()
+            rows = feats_tbl.to_pylist()
             rows.sort(key=lambda r: (f"{r['repo']}/{r['path']}", 1))
             if max_results is not None:
                 rows = rows[:max_results]
             return _rows_to_result(rows, ranked=False)
 
-        n = feats.count()
+        n = feats_tbl.num_rows
         if n == 0 or ranking_ast is None:
             return _empty_result()
 
-        # candidate-set statistics: N, avgdl, df per ranking term — a tiny
-        # per-batch partial aggregation (J6/A3 in SURVEY.md §3)
-        def stats_partial(batch: pa.Table) -> pa.Table:
-            tfm = batch.column("tf").to_pylist()  # list<int32> per row
-            arr = np.array(tfm, dtype=np.int64).reshape(len(tfm), -1) if tfm else \
-                np.zeros((0, max(1, len(ranking_terms))), dtype=np.int64)
-            dfs = (arr > 0).sum(axis=0) if arr.size else np.zeros(len(ranking_terms), int)
-            return pa.table(
-                {
-                    "df": pa.array([dfs.tolist()], pa.list_(pa.int64())),
-                    "sum_dl": pa.array(
-                        [int(np.sum(batch.column("dl").to_numpy()))], pa.int64()
-                    ),
-                    "n": pa.array([batch.num_rows], pa.int64()),
-                }
-            )
-
-        parts = feats.map_batches(stats_partial, batch_format="pyarrow").take_all()
-        df_vec = np.zeros(len(ranking_terms), dtype=np.int64)
-        sum_dl = 0
-        for p in parts:
-            df_vec += np.array(p["df"], dtype=np.int64)
-            sum_dl += p["sum_dl"]
+        # candidate-set statistics: N, avgdl, df per ranking term
+        # (J6/A3 in SURVEY.md §3; candidate-set semantics per §7.4)
+        tf_lists = feats_tbl.column("tf").to_pylist()
+        if ranking_terms:
+            arr = np.array(tf_lists, dtype=np.int64).reshape(n, -1)
+            df_vec = (arr > 0).sum(axis=0)
+        else:
+            df_vec = np.zeros(0, dtype=np.int64)
+        sum_dl = int(np.sum(feats_tbl.column("dl").to_numpy()))
         avgdl = sum_dl / n
         idfs = {
             t: idf(n, int(df))
@@ -406,7 +459,7 @@ class Engine:
         }
 
         scorer = _make_scorer(ranking_ast, ranking_terms, idfs, avgdl, len(queries))
-        all_rows = feats.map_batches(scorer, batch_format="pyarrow").take_all()
+        all_rows = scorer(feats_tbl).to_pylist()
 
         # final order: (-boosted, -bm25, doc_id) == the reference's stable
         # boosted-desc sort over (bm25 desc, candidate-index asc) — oracle.py
@@ -573,10 +626,18 @@ def _make_verifier(ctx, lang_exts, fname_matches, ranking_terms):
     specials = ctx.specials
     term_items = sorted(plan.term_indices.items(), key=lambda kv: kv[1])
     filters = ctx.filters
+    no_filters = filters.is_empty()
     is_universal = plan.is_universal
-    ast = plan.ast
     term_indices = plan.term_indices
+    eval_fast = None if is_universal else qp.make_evaluator(plan.ast, term_indices)
+    # compound parts per plan term, precomputed once (file_processing.rs:1444)
+    compound_parts = {
+        t: parts
+        for t in term_indices
+        if len(parts := tok.split_compound_word_for_filtering(t, specials)) > 1
+    }
     fname_ref = ray.put(fname_matches)
+    rt_set = frozenset(ranking_terms)
 
     def verify(batch: pa.Table) -> pa.Table:
         fmatches = ray.get(fname_ref)
@@ -596,43 +657,54 @@ def _make_verifier(ctx, lang_exts, fname_matches, ranking_terms):
                 ext = path.rsplit(".", 1)[-1].lower() if "." in path else None
                 if ext is None or ext not in lang_exts:
                     continue
-            if not filters.matches_path(path):
+            if not no_filters and not filters.matches_path(path):
                 continue
             if specials:  # re-tokenize with query-scoped special terms
                 vector = tok.tokenize(content, specials) + tok.tokenize(path, specials)
             else:
-                vector = list(tokens)
+                vector = tokens
             vec_set = set(vector)
-            if term_items:
+            injected = None
+            missing = [t for t, _ in term_items if t not in vec_set]
+            if missing:
                 content_lower = content.lower()
-                for t, _ in term_items:  # exact-literal injection
-                    if t not in vec_set and t in content_lower:
-                        vector.append(t)
-                        vec_set.add(t)
+                injected = [t for t in missing if t in content_lower]
+                vec_set.update(injected)
             if not is_universal:
                 matched = {t for t, _ in term_items if t in vec_set}
-                matched |= fmatches.get(did, set())
+                fm = fmatches.get(did)
+                if fm:
+                    matched |= fm
                 if not matched:
                     continue
                 midx = {term_indices[t] for t in matched}
-                if not qp.evaluate(ast, midx, term_indices, False):
+                if not eval_fast(midx):
                     continue
             else:
                 matched = set()
-            tf = [vector.count(t) for t in ranking_terms]
+            dl = len(vector) + (len(injected) if injected else 0)
+            if ranking_terms:
+                cnt: dict[str, int] = {}
+                for v in vector:
+                    if v in rt_set:
+                        cnt[v] = cnt.get(v, 0) + 1
+                if injected:
+                    for t in injected:
+                        if t in rt_set:
+                            cnt[t] = cnt.get(t, 0) + 1
+                tf = [cnt.get(t, 0) for t in ranking_terms]
+            else:
+                tf = []
             # block stats (file_processing.rs:1426-1469)
             direct = {t for t in term_indices if t in vec_set}
-            compound = set()
-            for t in term_indices:
-                if t in direct:
-                    continue
-                parts = tok.split_compound_word_for_filtering(t, specials)
-                if len(parts) > 1 and all(p in vec_set for p in parts):
-                    compound.add(t)
+            compound = {
+                t for t, parts in compound_parts.items()
+                if t not in direct and all(p in vec_set for p in parts)
+            }
             out["doc_id"].append(did)
             out["repo"].append(repo)
             out["path"].append(path)
-            out["dl"].append(len(vector))
+            out["dl"].append(dl)
             out["tf"].append(tf)
             out["matched_terms"].append(sorted(matched))
             out["rank_kws"].append(sorted(direct | compound))
