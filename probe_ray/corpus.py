@@ -201,4 +201,9 @@ QUERY_SUITE: list[tuple[str, list[str], dict]] = [
     ("q21_exact_flag", ["keywordAlpha"], {"exact": True}),
     ("q22_multi_query_and", ["keywordAlpha", "keywordBeta"], {}),
     ("q23_max_results", ["keywordAlpha OR keywordBeta"], {"max_results": 5}),
+    ("q24_files_only", ["keywordAlpha -keywordGamma"], {"files_only": True}),
+    ("q25_max_bytes", ["keywordAlpha"], {"max_bytes": 5000}),
+    ("q26_max_tokens", ["keywordBeta"], {"max_tokens": 2000}),
+    ("q27_exclude_filenames", ["auth"], {"include_filenames": False}),
+    ("q28_language", ["keywordAlpha"], {"language": "python"}),
 ]

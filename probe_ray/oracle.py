@@ -220,19 +220,44 @@ def score_expr(
     return (l or 0.0) + (r or 0.0)
 
 
-def oracle_search(
-    rows: list[dict],
-    queries: list[str],
-    exact: bool = False,
-    max_results: int | None = None,
-    language: str | None = None,
-    include_filenames: bool = True,
+def oracle_search(rows: list[dict], queries: list[str], **kwargs) -> list[SearchHit]:
+    return oracle_search_docs(load_docs(rows), queries, **kwargs)
+
+
+def estimate_tokens(n_bytes: int) -> int:
+    """bytes/4 token estimate (search_limiter.rs:151). The reference
+    refines this lazily with tiktoken p50k_base near the budget boundary;
+    tiktoken is unavailable in this environment, so the estimate is the
+    contract (documented deviation)."""
+    return n_bytes // 4
+
+
+def apply_limits(
+    hits: list[SearchHit],
+    docs_by_id: dict[int, "Doc"],
+    max_results: int | None,
+    max_bytes: int | None,
+    max_tokens: int | None,
 ) -> list[SearchHit]:
-    docs = load_docs(rows)
-    return oracle_search_docs(
-        docs, queries, exact=exact, max_results=max_results,
-        language=language, include_filenames=include_filenames,
-    )
+    """Running-total limiting in result order (search_limiter.rs:22-226)."""
+    if max_results is None and max_bytes is None and max_tokens is None:
+        return hits
+    out: list[SearchHit] = []
+    total_bytes = 0
+    total_tokens = 0
+    for h in hits:
+        if max_results is not None and len(out) >= max_results:
+            break
+        size = len(docs_by_id[h.doc_id].content.encode("utf-8", "surrogatepass"))
+        if max_bytes is not None and total_bytes + size > max_bytes and out:
+            break
+        toks = estimate_tokens(size)
+        if max_tokens is not None and total_tokens + toks > max_tokens and out:
+            break
+        total_bytes += size
+        total_tokens += toks
+        out.append(h)
+    return out
 
 
 def oracle_search_docs(
@@ -240,8 +265,12 @@ def oracle_search_docs(
     queries: list[str],
     exact: bool = False,
     max_results: int | None = None,
+    max_bytes: int | None = None,
+    max_tokens: int | None = None,
     language: str | None = None,
     include_filenames: bool = True,
+    files_only: bool = False,
+    seen: set[str] | None = None,
 ) -> list[SearchHit]:
     plan, filters = qp.plan_query(queries, exact)
     specials = plan.specials
@@ -261,14 +290,19 @@ def oracle_search_docs(
         return filters.matches_path(doc.path)
 
     term_indices = plan.term_indices
+    docs_by_id = {d.doc_id: d for d in docs}
 
     # --- candidate matching ---
     candidates: list[tuple[Doc, list[str], set[int]]] = []
+    early_files: list[Doc] = []  # ignore-negatives admission (files_only)
     for doc in docs:  # doc_id ascending == deterministic candidate order
         if not path_admitted(doc):
             continue
         if plan.is_universal:
             vector = doc_token_vector(doc, term_indices, specials)
+            early_files.append(doc)
+            if seen and doc.file in seen:
+                continue
             candidates.append((doc, vector, set()))
             continue
         vector = doc_token_vector(doc, term_indices, specials)
@@ -279,8 +313,21 @@ def oracle_search_docs(
         if not matched_names:
             continue
         matched_idx = {term_indices[t] for t in matched_names}
+        if qp.evaluate(plan.ast, matched_idx, term_indices, True):
+            early_files.append(doc)  # search_runner.rs:637-686
+        if seen and doc.file in seen:
+            continue  # session anti-join (search_runner.rs:746-799)
         if qp.evaluate(plan.ast, matched_idx, term_indices, False):
             candidates.append((doc, vector, matched_idx))
+
+    # --- files_only short-circuit (search_runner.rs:699-744) ---
+    if files_only:
+        hits = [
+            SearchHit(d.doc_id, d.repo, d.path, None, 0.0, 0.0, [])
+            for d in early_files
+        ]
+        hits.sort(key=lambda h: f"{h.repo}/{h.path}")
+        return apply_limits(hits, docs_by_id, max_results, max_bytes, max_tokens)
 
     # --- exact (no ranking): sort by (file, start_line) — search_runner:1357-1359
     if exact or ast_all_exact:
@@ -292,9 +339,7 @@ def oracle_search_docs(
             for d, v, m in candidates
         ]
         hits.sort(key=lambda h: (f"{h.repo}/{h.path}", 1))
-        if max_results is not None:
-            hits = hits[:max_results]
-        return hits
+        return apply_limits(hits, docs_by_id, max_results, max_bytes, max_tokens)
 
     # --- ranking ---
     ranking_query = " ".join(queries)
@@ -366,9 +411,7 @@ def oracle_search_docs(
         flagged.sort(key=lambda h: (f"{h.repo}/{h.path}", 1))
 
     hits = hits_ranked + flagged
-
-    if max_results is not None:
-        hits = hits[:max_results]
+    hits = apply_limits(hits, docs_by_id, max_results, max_bytes, max_tokens)
 
     # contained-block dedup (block_merging.rs:17-118): whole-file blocks —
     # drop later duplicates of the same (repo, path); keep best-ranked entry.

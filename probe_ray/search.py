@@ -335,10 +335,25 @@ class Engine:
         *,
         exact: bool = False,
         max_results: int | None = None,
+        max_bytes: int | None = None,
+        max_tokens: int | None = None,
         language: str | None = None,
         include_filenames: bool = True,
+        files_only: bool = False,
+        session: str | None = None,
+        seen: set[str] | None = None,
         mode: str = "compat",
     ) -> pa.Table:
+        """Search the index.
+
+        Knobs mirror the reference CLI (SURVEY.md Appendix A): ``exact``,
+        ``max_results``/``max_bytes``/``max_tokens`` (running-total limits,
+        search_limiter.rs), ``language``, ``include_filenames``
+        (--exclude-filenames inverse), ``files_only``, and session-based
+        dedup: pass ``session`` to persist seen docs per (session,
+        query-hash) next to the index (cache.rs:14-42 semantics at document
+        granularity), or pass an explicit ``seen`` set of "repo/path" keys.
+        """
         if isinstance(queries, str):
             queries = [queries]
         plan, filters = qp.plan_query(queries, exact)
@@ -351,9 +366,58 @@ class Engine:
             ast_all_exact=ast_all_exact,
             language=language,
         )
+        session_key = None
+        if session is not None:
+            session_key = self._session_key(session, queries)
+            seen = (seen or set()) | self._session_seen(session_key)
         if mode == "global":
             return self._search_global(ctx, queries, max_results)
-        return self._search_compat(ctx, queries, exact, max_results)
+        result = self._search_compat(
+            ctx, queries, exact, max_results, max_bytes, max_tokens,
+            files_only, seen,
+        )
+        if session_key is not None and not files_only:
+            returned = {
+                f"{r}/{p}"
+                for r, p in zip(
+                    result.column("repo").to_pylist(),
+                    result.column("path").to_pylist(),
+                )
+            }
+            self._session_add(session_key, returned)
+        return result
+
+    # -- session cache (cache.rs at document granularity) -------------------
+
+    def _session_key(self, session: str, queries: list[str]) -> str:
+        import hashlib as _h
+
+        qhash = _h.sha256(" AND ".join(queries).encode()).hexdigest()[:16]
+        return f"{session}_{qhash}"
+
+    def _session_path(self, key: str) -> str:
+        import os
+
+        d = os.path.join(self.paths.root, "sessions")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"{key}.json")
+
+    def _session_seen(self, key: str) -> set[str]:
+        import json
+        import os
+
+        p = self._session_path(key)
+        if os.path.exists(p):
+            with open(p) as f:
+                return set(json.load(f))
+        return set()
+
+    def _session_add(self, key: str, files: set[str]) -> None:
+        import json
+
+        current = self._session_seen(key) | files
+        with open(self._session_path(key), "w") as f:
+            json.dump(sorted(current), f)
 
     # -- compat mode --------------------------------------------------------
 
@@ -362,7 +426,11 @@ class Engine:
         ctx: _QueryContext,
         queries: list[str],
         exact: bool,
-        max_results: int | None,
+        max_results: int | None = None,
+        max_bytes: int | None = None,
+        max_tokens: int | None = None,
+        files_only: bool = False,
+        seen: set[str] | None = None,
     ) -> pa.Table:
         plan = ctx.plan
         local_tbl = self._local_docs_table()
@@ -409,7 +477,10 @@ class Engine:
             except qp.ParseError:
                 ranking_ast = None
 
-        verify = _make_verifier(ctx, lang_exts, fname_matches, ranking_terms)
+        verify = _make_verifier(
+            ctx, lang_exts, fname_matches, ranking_terms,
+            files_only=files_only, seen=seen,
+        )
         if cand_tbl is not None:
             feats_tbl = verify(cand_tbl)
         else:
@@ -431,11 +502,10 @@ class Engine:
                 }))
             )
 
-        if exact or ctx.ast_all_exact:
+        if files_only or exact or ctx.ast_all_exact:
             rows = feats_tbl.to_pylist()
             rows.sort(key=lambda r: (f"{r['repo']}/{r['path']}", 1))
-            if max_results is not None:
-                rows = rows[:max_results]
+            rows = _apply_limits_rows(rows, max_results, max_bytes, max_tokens)
             return _rows_to_result(rows, ranked=False)
 
         n = feats_tbl.num_rows
@@ -484,8 +554,11 @@ class Engine:
                      rank=None, score=0.0, bm25_score=0.0,
                      matched_terms=list(r["matched_terms"])),
             )
-        if max_results is not None:
-            out_rows = out_rows[:max_results]
+        out_rows = _apply_limits_rows(out_rows, max_results, max_bytes, max_tokens,
+                                      nbytes_by_id=dict(zip(
+                                          feats_tbl.column("doc_id").to_pylist(),
+                                          feats_tbl.column("n_bytes").to_pylist(),
+                                      )))
         # whole-file contained-dedup (block_merging.rs:17-118)
         seen: dict[str, dict] = {}
         deduped = []
@@ -621,7 +694,30 @@ class Engine:
 # Batch closures (pure functions over broadcast query state)
 # ---------------------------------------------------------------------------
 
-def _make_verifier(ctx, lang_exts, fname_matches, ranking_terms):
+def _apply_limits_rows(rows, max_results, max_bytes, max_tokens, nbytes_by_id=None):
+    """Running-total limiting in result order (search_limiter.rs:22-226);
+    token estimate = bytes/4 (search_limiter.rs:151; tiktoken unavailable
+    here — documented deviation, see oracle.estimate_tokens)."""
+    if max_results is None and max_bytes is None and max_tokens is None:
+        return rows
+    out, total_bytes, total_tokens = [], 0, 0
+    for r in rows:
+        if max_results is not None and len(out) >= max_results:
+            break
+        size = nbytes_by_id.get(r["doc_id"], 0) if nbytes_by_id else r.get("n_bytes", 0)
+        if max_bytes is not None and total_bytes + size > max_bytes and out:
+            break
+        toks = size // 4
+        if max_tokens is not None and total_tokens + toks > max_tokens and out:
+            break
+        total_bytes += size
+        total_tokens += toks
+        out.append(r)
+    return out
+
+
+def _make_verifier(ctx, lang_exts, fname_matches, ranking_terms,
+                   files_only=False, seen=None):
     plan = ctx.plan
     specials = ctx.specials
     term_items = sorted(plan.term_indices.items(), key=lambda kv: kv[1])
@@ -630,6 +726,7 @@ def _make_verifier(ctx, lang_exts, fname_matches, ranking_terms):
     is_universal = plan.is_universal
     term_indices = plan.term_indices
     eval_fast = None if is_universal else qp.make_evaluator(plan.ast, term_indices)
+    seen = seen or set()
     # compound parts per plan term, precomputed once (file_processing.rs:1444)
     compound_parts = {
         t: parts
@@ -643,7 +740,7 @@ def _make_verifier(ctx, lang_exts, fname_matches, ranking_terms):
         fmatches = ray.get(fname_ref)
         out = {
             "doc_id": [], "repo": [], "path": [], "dl": [], "tf": [],
-            "matched_terms": [], "rank_kws": [], "but": [],
+            "matched_terms": [], "rank_kws": [], "but": [], "n_bytes": [],
         }
         ids = batch.column("doc_id").to_pylist()
         repos = batch.column("repo").to_pylist()
@@ -678,10 +775,20 @@ def _make_verifier(ctx, lang_exts, fname_matches, ranking_terms):
                 if not matched:
                     continue
                 midx = {term_indices[t] for t in matched}
-                if not eval_fast(midx):
-                    continue
+                if files_only:
+                    # early-filter admission, negatives ignored
+                    # (search_runner.rs:637-686, 699-744)
+                    if not qp.evaluate(plan.ast, midx, term_indices, True):
+                        continue
+                else:
+                    if seen and f"{repo}/{path}" in seen:
+                        continue  # session anti-join (search_runner.rs:746-799)
+                    if not eval_fast(midx):
+                        continue
             else:
                 matched = set()
+                if not files_only and seen and f"{repo}/{path}" in seen:
+                    continue
             dl = len(vector) + (len(injected) if injected else 0)
             if ranking_terms:
                 cnt: dict[str, int] = {}
@@ -706,9 +813,10 @@ def _make_verifier(ctx, lang_exts, fname_matches, ranking_terms):
             out["path"].append(path)
             out["dl"].append(dl)
             out["tf"].append(tf)
-            out["matched_terms"].append(sorted(matched))
+            out["matched_terms"].append([] if files_only else sorted(matched))
             out["rank_kws"].append(sorted(direct | compound))
             out["but"].append(len(direct) + len(compound))
+            out["n_bytes"].append(len(content.encode("utf-8", "surrogatepass")))
         return pa.table(
             {
                 "doc_id": pa.array(out["doc_id"], pa.int64()),
@@ -719,6 +827,7 @@ def _make_verifier(ctx, lang_exts, fname_matches, ranking_terms):
                 "matched_terms": pa.array(out["matched_terms"], pa.list_(pa.string())),
                 "rank_kws": pa.array(out["rank_kws"], pa.list_(pa.string())),
                 "but": pa.array(out["but"], pa.int32()),
+                "n_bytes": pa.array(out["n_bytes"], pa.int64()),
             }
         )
 

@@ -91,3 +91,46 @@ def test_global_mode_self_consistent(t2_index):
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(s > 0 for s in scores)
+
+
+def test_session_dedup(t2_rows, t2_index):
+    """Session anti-join: a second identical query returns only docs not
+    already returned (cache.rs semantics at document granularity)."""
+    engine = Engine(t2_index)
+    first = engine.search(["keywordAlpha"], max_results=5, session="s1")
+    first_files = {
+        f"{r}/{p}"
+        for r, p in zip(
+            first.column("repo").to_pylist(), first.column("path").to_pylist()
+        )
+    }
+    second = engine.search(["keywordAlpha"], max_results=5, session="s1")
+    second_files = {
+        f"{r}/{p}"
+        for r, p in zip(
+            second.column("repo").to_pylist(), second.column("path").to_pylist()
+        )
+    }
+    assert not (first_files & second_files)
+    # engine second call == oracle with seen=first_files
+    expected = _oracle_rows(
+        oracle_search(t2_rows, ["keywordAlpha"], max_results=5, seen=first_files)
+    )
+    got = _engine_rows(second)
+    assert [g[0] for g in got] == [e[0] for e in expected]
+
+
+def test_seen_parity(t2_rows, t2_index):
+    """Explicit seen-set parity engine vs oracle (affects candidate-set
+    statistics, not just output filtering)."""
+    engine = Engine(t2_index)
+    base = oracle_search(t2_rows, ["keywordAlpha OR keywordBeta"], max_results=3)
+    seen = {f"{h.repo}/{h.path}" for h in base}
+    expected = _oracle_rows(
+        oracle_search(t2_rows, ["keywordAlpha OR keywordBeta"], seen=seen)
+    )
+    got = _engine_rows(engine.search(["keywordAlpha OR keywordBeta"], seen=seen))
+    assert len(got) == len(expected)
+    for g, e in zip(got[:50], expected[:50]):
+        assert g[0] == e[0] and g[1] == e[1]
+        assert math.isclose(g[2], e[2], abs_tol=1e-9)
