@@ -656,7 +656,7 @@ def knn_cosine(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> pa.Table:
     return pa.Table.from_pandas(top[["rank", "vec_id"]])
 
 
-def knn_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_planes: int = 12) -> pa.Table:
+def knn_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_planes: int = 6) -> pa.Table:
     """LSH-bucketed approximate top-k (the scale path): random-hyperplane
     signatures bucket the vectors; rerank within the query's bucket ring.
     Deterministic seeded planes. Rows-only oracle (approximate)."""

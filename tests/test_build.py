@@ -1,0 +1,108 @@
+"""Index build: resume manifests, determinism, codec round-trip."""
+
+import glob
+import json
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+
+def test_codec_roundtrip_block_boundaries():
+    from probe_ray.codec import decode_postings, encode_postings, merge_encoded
+
+    rng = np.random.default_rng(1)
+    for n in [1, 127, 128, 129, 4096]:
+        ids = np.sort(rng.choice(np.arange(4 * n, dtype=np.uint64), n, replace=False))
+        tfs = rng.integers(1, 4, n).astype(np.uint8)
+        blob, skip, bmax = encode_postings(ids, tfs)
+        ids2, tfs2 = decode_postings(blob)
+        assert np.array_equal(ids, ids2) and np.array_equal(tfs, tfs2)
+        nblocks = (n + 127) // 128
+        assert len(skip) == nblocks * 16
+        assert len(bmax) == nblocks
+    a = np.array([3, 10], dtype=np.uint64)
+    b = np.array([1, 7, 20], dtype=np.uint64)
+    m, _, _ = merge_encoded(
+        [encode_postings(a, np.ones(2, np.uint8))[0],
+         encode_postings(b, np.ones(3, np.uint8))[0]]
+    )
+    ids, _ = decode_postings(m)
+    assert ids.tolist() == [1, 3, 7, 10, 20]
+
+
+def test_build_resume_reuses_manifest(ray_session, tmp_path):
+    """Second build with an unchanged fingerprint is a no-op reuse;
+    overwrite=True rebuilds (write-temp-then-rename atomicity)."""
+    import time
+
+    from probe_ray.build import build_index
+    from probe_ray.corpus import write_corpus
+
+    corpus = str(tmp_path / "c.parquet")
+    write_corpus(corpus, "t1")
+    out = str(tmp_path / "idx")
+    p1 = build_index(corpus, out)
+    manifest1 = json.load(open(p1.manifest_path))
+    t0 = time.time()
+    p2 = build_index(corpus, out)  # must reuse, not rebuild
+    assert time.time() - t0 < 1.0
+    assert json.load(open(p2.manifest_path)) == manifest1
+
+
+def test_build_deterministic_across_runs(ray_session, tmp_path):
+    """Two independent builds of the same corpus produce identical doc-id
+    assignments and identical per-term postings (SURVEY.md §5 determinism)."""
+    from probe_ray import codec
+    from probe_ray.build import build_index
+    from probe_ray.corpus import write_corpus
+
+    corpus = str(tmp_path / "c.parquet")
+    write_corpus(corpus, "t1")
+
+    def snapshot(out):
+        paths = build_index(corpus, out, overwrite=True)
+        docs = pq.read_table(
+            paths.docs_dir, columns=["doc_id", "repo", "path", "content_sha256"]
+        ).sort_by("doc_id")
+        seg_files = glob.glob(paths.segments_dir + "/**/*.parquet", recursive=True)
+        postings = {}
+        for f in seg_files:
+            t = pq.read_table(f, columns=["term", "salt", "blob"])
+            for term, salt, blob in zip(
+                t.column("term").to_pylist(),
+                t.column("salt").to_pylist(),
+                t.column("blob").to_pylist(),
+            ):
+                ids, tfs = codec.decode_postings(blob)
+                cur = postings.setdefault(term, [])
+                cur.extend(zip(ids.tolist(), tfs.tolist()))
+        postings = {t: sorted(v) for t, v in postings.items()}
+        return docs.to_pydict(), postings
+
+    d1, p1 = snapshot(str(tmp_path / "idx1"))
+    d2, p2 = snapshot(str(tmp_path / "idx2"))
+    assert d1 == d2
+    assert p1 == p2
+
+
+def test_doc_ids_follow_sort_order(t1_index):
+    docs = pq.read_table(t1_index.docs_dir, columns=["doc_id", "repo", "path", "commit"])
+    rows = sorted(
+        zip(
+            docs.column("doc_id").to_pylist(),
+            docs.column("repo").to_pylist(),
+            docs.column("path").to_pylist(),
+            docs.column("commit").to_pylist(),
+        )
+    )
+    keys = [(r, p, c) for _, r, p, c in rows]
+    assert keys == sorted(keys)
+    assert [d for d, *_ in rows] == list(range(len(rows)))
+
+
+def test_stats_consistency(t2_index):
+    stats = t2_index.stats()
+    docs = pq.read_table(t2_index.docs_dir, columns=["doc_len"])
+    assert stats["n_docs"] == docs.num_rows
+    assert stats["sum_dl"] == sum(docs.column("doc_len").to_pylist())
