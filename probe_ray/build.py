@@ -121,15 +121,15 @@ def _posting_rows(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     n_content = batch.column("n_content_tokens").to_numpy()
     terms, ids, tfb = [], [], []
     for did, toks, nc in zip(doc_ids, tokens_col, n_content):
-        counts: dict[str, int] = {}
-        for t in toks[: int(nc)]:
-            counts[t] = counts.get(t, 0) + 1  # deduped: 1
-        for t in toks[int(nc):]:
+        nc = int(nc)
+        # content and path token runs are each already deduplicated by
+        # tokenize(), so only the cross-run overlap needs merging
+        counts: dict[str, int] = dict.fromkeys(toks[:nc], 1)
+        for t in toks[nc:]:
             counts[t] = counts.get(t, 0) + 16  # path bit
-        for t, b in counts.items():
-            terms.append(t)
-            ids.append(did)
-            tfb.append(b)
+        terms.extend(counts.keys())
+        ids.extend([did] * len(counts))
+        tfb.extend(counts.values())
     return (
         np.array(terms, dtype=object),
         np.array(ids, dtype=np.uint64),
@@ -257,12 +257,55 @@ def _add_ids(table: pa.Table, offset: int) -> pa.Table:
     return table.append_column("doc_id", ids)
 
 
+# keys-on-driver id assignment is used below this row count; above it, the
+# distributed full sort assigns ids (the keys no longer fit one machine)
+DRIVER_KEY_SORT_MAX = 5_000_000
+
+
 def assign_doc_ids(ds: rd.Dataset) -> rd.Dataset:
     """Deterministic dense doc ids by (repo, path, commit) order.
 
-    The Dataset API has no order-aware global index, so after the
-    distributed sort we add per-block offsets via small Ray tasks; only the
-    per-block COUNTS come to the driver."""
+    Two strategies:
+    - small/medium corpora: the (repo, path, commit) KEY table is tiny
+      relative to content, so sort the keys on the driver and broadcast a
+      key->id dict (no content moves through a shuffle at all);
+    - huge corpora: distributed sort of the full rows, then per-block offset
+      ids via small Ray tasks (only block COUNTS touch the driver). The
+      Dataset API has no order-aware global index, hence to_arrow_refs.
+    """
+    ds = ds.materialize()
+    n = ds.count()
+    if n <= DRIVER_KEY_SORT_MAX:
+        keys_tbl = pa.concat_tables(
+            [
+                ray.get(r)
+                for r in ds.map_batches(
+                    lambda b: b.select(["repo", "path", "commit"]),
+                    batch_format="pyarrow",
+                ).to_arrow_refs()
+            ]
+        )
+        repo = keys_tbl.column("repo").to_pylist()
+        path = keys_tbl.column("path").to_pylist()
+        commit = keys_tbl.column("commit").to_pylist()
+        triples = sorted(zip(repo, path, commit))
+        id_map = {t: i for i, t in enumerate(triples)}
+        map_ref = ray.put(id_map)
+
+        def add_ids(batch: pa.Table) -> pa.Table:
+            m = ray.get(map_ref)
+            ids = [
+                m[(r, p, c)]
+                for r, p, c in zip(
+                    batch.column("repo").to_pylist(),
+                    batch.column("path").to_pylist(),
+                    batch.column("commit").to_pylist(),
+                )
+            ]
+            return batch.append_column("doc_id", pa.array(ids, pa.int64()))
+
+        return ds.map_batches(add_ids, batch_format="pyarrow")
+
     sorted_ds = ds.sort(["repo", "path", "commit"]).materialize()
     refs = sorted_ds.to_arrow_refs()
     counts = ray.get([_count_rows.remote(r) for r in refs])
@@ -396,8 +439,10 @@ def build_index(
     if n_docs > 0 and salt_buckets > 1:
         salt_shift = max(0, int(n_docs).bit_length() - int(salt_buckets).bit_length())
 
-    # docs table
-    docs.write_parquet(tmp.docs_dir, min_rows_per_file=100_000)
+    # docs table — file count sized for read/write parallelism
+    docs.write_parquet(
+        tmp.docs_dir, min_rows_per_file=max(4096, int(n_docs) // 64 or 1)
+    )
 
     # segments: partial encode per batch -> shuffle by (term, salt) -> merge
     partial = make_partial_segments(hot, salt_shift)

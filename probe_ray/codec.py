@@ -73,6 +73,29 @@ def _varint_decode_fast(buf: bytes) -> np.ndarray:
     return values
 
 
+def _encode_small(doc_ids, tfs) -> tuple[bytes, bytes, bytes]:
+    """Pure-python path for short lists (numpy call overhead dominates
+    below ~32 postings — and most per-batch partial runs are short)."""
+    ids = [int(x) for x in doc_ids]
+    gaps = [ids[0]] + [ids[i] - ids[i - 1] for i in range(1, len(ids))]
+    out = bytearray()
+    for v in gaps:
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    gap_stream = bytes(out)
+    tf_list = [int(t) for t in tfs]
+    blob = len(gap_stream).to_bytes(8, "little") + gap_stream + bytes(tf_list)
+    skip = ids[-1].to_bytes(8, "little") + (0).to_bytes(8, "little")
+    bmax = bytes([max(tf_list)])
+    return blob, skip, bmax
+
+
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes, bytes]:
     """Encode a doc-id-sorted posting list.
 
@@ -83,6 +106,8 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes,
       skip  = per-block (last_doc_id u64, gap_byte_offset u64) pairs
       block_max_tf = uint8 per block (max tf in block)
     """
+    if len(doc_ids) and len(doc_ids) <= 32:
+        return _encode_small(doc_ids, tfs)
     doc_ids = np.asarray(doc_ids, dtype=np.uint64)
     tfs = np.asarray(tfs, dtype=np.uint8)
     assert doc_ids.size == tfs.size
@@ -116,6 +141,24 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes,
 def decode_postings(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     """Decode a blob back to (doc_ids, tfs)."""
     glen = int.from_bytes(blob[:8], "little")
+    if glen <= 64:  # short-list fast path (python beats numpy setup here)
+        ids, acc, i = [], 0, 8
+        end = 8 + glen
+        while i < end:
+            v, shift = 0, 0
+            while True:
+                b = blob[i]
+                i += 1
+                v |= (b & 0x7F) << shift
+                if not (b & 0x80):
+                    break
+                shift += 7
+            acc += v
+            ids.append(acc)
+        return (
+            np.array(ids, dtype=np.uint64),
+            np.frombuffer(blob[end:], dtype=np.uint8),
+        )
     gaps = _varint_decode_fast(blob[8 : 8 + glen])
     tfs = np.frombuffer(blob[8 + glen :], dtype=np.uint8)
     doc_ids = np.cumsum(gaps, dtype=np.uint64)

@@ -17,7 +17,13 @@ import random
 
 import pyarrow as pa
 
-SIZES = {"t1": (4, 8), "t2": (16, 64), "bench": (64, 512), "bench4x": (128, 1024)}
+SIZES = {
+    "t1": (4, 8),
+    "t2": (16, 64),
+    "bench": (64, 512),        # 32,768 files
+    "bench4x": (128, 1024),    # 131,072 files
+    "bench16x": (512, 1024),   # 524,288 files (scaling criterion runs)
+}
 
 LANGS = ["rust", "javascript", "typescript", "python", "go"]
 EXT = {"rust": "rs", "javascript": "js", "typescript": "ts", "python": "py", "go": "go"}
@@ -31,6 +37,10 @@ _CAMEL_IDENTS = [
     "typeIgnore",
 ]
 _COMPOUNDS = ["code_block", "codeblock", "file_name", "filename", "hashmap", "whitelist"]
+_CAMEL_WORDS = [
+    "Payment", "Session", "Routing", "Billing", "Metric", "Catalog", "Tenant",
+    "Schema", "Replica", "Cursor", "Ledger", "Quota", "Signal", "Bundle",
+]
 
 _COMMENT = {"rust": "//", "javascript": "//", "typescript": "//", "python": "#", "go": "//"}
 
@@ -118,6 +128,18 @@ def generate_rows(size: str = "t2", seed: int = 42) -> list[dict]:
                 fname = f"file{f}_test.{ext}"
                 attr = "#[test]\n" if lang == "rust" else f"{cm} test case\n"
                 parts.append(attr + _fn_def(lang, f"test_case_{f}", f"{cm} assertion"))
+
+            # per-file unique camelCase identifiers: defeats cross-file token
+            # caching so the tokenize stage does REAL per-file work (as real
+            # code would), which is what the throughput benchmark measures
+            u = rng.randrange(1 << 30)
+            for k in range(4):
+                ident = f"handle{_CAMEL_WORDS[(u + k) % len(_CAMEL_WORDS)]}Request{u % 9973}V{k}"
+                parts.append(_fn_def(lang, ident, f"{cm} unique logic {u}-{k}"))
+            body_terms = " ".join(
+                f"field{(u >> (k % 16)) % 997}Value" for k in range(24)
+            )
+            parts.append(f"{cm} {body_terms}\n")
 
             if not parts:
                 parts.append(_fn_def(lang, f"plain{f}", f"{cm} ordinary content {gi}"))

@@ -180,6 +180,62 @@ def make_evaluator(expr: Expr, term_indices: dict[str, int]):
     return run
 
 
+def make_vector_evaluator(expr: Expr, term_indices: dict[str, int]):
+    """Vectorized full evaluation over per-doc term bitmaps (J2 in
+    SURVEY.md §3.5): given {term -> bool ndarray over docs}, returns the
+    admission bool ndarray. Semantics identical to
+    evaluate(..., ignore_negatives=False) applied per doc."""
+    import numpy as np
+
+    has_req = has_required_term(expr)
+    only_excl = is_only_excluded_terms(expr)
+    all_terms = list(term_indices)
+
+    def run(members: dict[str, "np.ndarray"], n: int) -> "np.ndarray":
+        def get(kw):
+            m = members.get(kw)
+            return m if m is not None else np.zeros(n, dtype=bool)
+
+        def node(e: Expr) -> "np.ndarray":
+            if isinstance(e, Term):
+                if not e.keywords:
+                    return np.full(n, e.excluded, dtype=bool)
+                kws = e.lowercase_keywords
+                if e.excluded:
+                    any_p = np.zeros(n, dtype=bool)
+                    for kw in kws:
+                        any_p |= get(kw)
+                    return ~any_p
+                if e.required:
+                    all_p = np.ones(n, dtype=bool)
+                    for kw in kws:
+                        all_p &= get(kw)
+                    return all_p
+                if has_req:
+                    return np.ones(n, dtype=bool)
+                any_p = np.zeros(n, dtype=bool)
+                for kw in kws:
+                    any_p |= get(kw)
+                return any_p
+            l, r = node(e.left), node(e.right)
+            return (l & r) if isinstance(e, And) else (l | r)
+
+        result = node(expr)
+        if has_req:
+            for t in walk_terms(expr):
+                if t.required and not t.excluded:
+                    for kw in t.lowercase_keywords:
+                        result &= get(kw)
+        if not only_excl:
+            any_matched = np.zeros(n, dtype=bool)
+            for t in all_terms:
+                any_matched |= get(t)
+            result &= any_matched
+        return result
+
+    return run
+
+
 def evaluate(expr: Expr, matched: set[int], term_indices: dict[str, int],
              ignore_negatives: bool = False) -> bool:
     """elastic_query.rs:356-446."""

@@ -161,7 +161,7 @@ class Engine:
             self._docs_cache = pq.read_table(
                 self.paths.docs_dir,
                 columns=["doc_id", "repo", "path", "lang", "content", "tokens",
-                         "n_content_tokens", "path_tokens"],
+                         "n_content_tokens", "path_tokens", "doc_len"],
             ).sort_by("doc_id")
         return self._docs_cache
 
@@ -226,8 +226,11 @@ class Engine:
     # -- candidate generation ----------------------------------------------
 
     def _candidate_ids(
-        self, ctx: _QueryContext, fname_matches: dict[int, set[str]]
-    ) -> np.ndarray:
+        self,
+        ctx: _QueryContext,
+        fname_matches: dict[int, set[str]],
+        extra_lookup: list[str] = (),
+    ) -> tuple[np.ndarray, dict]:
         ti = ctx.plan.term_indices
         plain = [t for t in ti if t not in ctx.specials]
         special = [t for t in ti if t in ctx.specials]
@@ -254,6 +257,7 @@ class Engine:
         expansion = self._expand_substring_terms(list(ti))
         for exp in expansion.values():
             lookup.update(exp)
+        lookup.update(extra_lookup)
         postings = self._read_postings(sorted(lookup))
         id_sets: list[np.ndarray] = []
         for t in plain:
@@ -277,8 +281,8 @@ class Engine:
         if fname_matches:
             id_sets.append(np.fromiter(fname_matches, dtype=np.int64))
         if not id_sets:
-            return np.empty(0, dtype=np.int64)
-        return np.unique(np.concatenate(id_sets))
+            return np.empty(0, dtype=np.int64), postings
+        return np.unique(np.concatenate(id_sets)), postings
 
     def _substring_scan(self, terms: list[str]) -> np.ndarray:
         """Fallback full substring scan, needed only for special terms whose
@@ -442,25 +446,6 @@ class Engine:
         if ctx.language:
             lang_exts = qp._LANG_EXTENSIONS.get(qp.normalize_language(ctx.language))
 
-        cand_tbl = None  # local-path candidates (small candidate sets only:
-        cand_ds = None   # verify is single-threaded on the driver there)
-        cols = ["doc_id", "repo", "path", "lang", "content", "tokens",
-                "n_content_tokens"]
-        if plan.is_universal:
-            if local_tbl is not None and self._stats["n_docs"] <= self.LOCAL_CAND_MAX:
-                cand_tbl = local_tbl
-            else:
-                cand_ds = self._docs_ds(cols)
-        else:
-            cand_ids = self._candidate_ids(ctx, fname_matches)
-            if cand_ids.size == 0:
-                return _empty_result()
-            if local_tbl is not None and cand_ids.size <= self.LOCAL_CAND_MAX:
-                mask = np.isin(local_tbl.column("doc_id").to_numpy(), cand_ids)
-                cand_tbl = local_tbl.filter(pa.array(mask))
-            else:
-                cand_ds = self._fetch_candidates(cand_ids, cols)
-
         # ranking AST (re-parsed from the space-joined original queries —
         # result_ranking.rs:149, ranking.rs:288)
         ranking_ast = None
@@ -477,10 +462,59 @@ class Engine:
             except qp.ParseError:
                 ranking_ast = None
 
-        verify = _make_verifier(
-            ctx, lang_exts, fname_matches, ranking_terms,
-            files_only=files_only, seen=seen,
+        # two verify implementations with identical outputs:
+        # - vectorized (Arrow/numpy per-doc term bitmaps) — the fast path,
+        #   usable when no query-scoped special terms require re-tokenizing
+        # - python row loop — exact/excluded queries and files_only
+        use_vector = not ctx.specials and not files_only
+        compound_parts = {
+            t: parts
+            for t in plan.term_indices
+            if len(parts := tok.split_compound_word_for_filtering(t)) > 1
+        }
+        extra_lookup = sorted(
+            (set(ranking_terms) | {p for ps in compound_parts.values() for p in ps})
+            - set(plan.term_indices)
+        ) if use_vector else []
+
+        cand_tbl = None  # local-path candidates (small candidate sets only)
+        cand_ds = None
+        cols = ["doc_id", "repo", "path", "lang", "content", "doc_len"] + (
+            [] if use_vector else ["tokens", "n_content_tokens"]
         )
+        postings: dict = {}
+        if plan.is_universal:
+            if use_vector:
+                postings = self._read_postings(sorted(set(ranking_terms)))
+            if local_tbl is not None and (
+                use_vector or self._stats["n_docs"] <= self.LOCAL_CAND_MAX
+            ):
+                cand_tbl = local_tbl
+            else:
+                cand_ds = self._docs_ds(cols)
+        else:
+            cand_ids, postings = self._candidate_ids(ctx, fname_matches, extra_lookup)
+            if cand_ids.size == 0:
+                return _empty_result()
+            go_local = local_tbl is not None and (
+                use_vector or cand_ids.size <= self.LOCAL_CAND_MAX
+            )
+            if go_local:
+                mask = np.isin(local_tbl.column("doc_id").to_numpy(), cand_ids)
+                cand_tbl = local_tbl.filter(pa.array(mask))
+            else:
+                cand_ds = self._fetch_candidates(cand_ids, cols)
+
+        if use_vector:
+            verify = _make_vector_verifier(
+                ctx, lang_exts, fname_matches, ranking_terms, compound_parts,
+                postings, seen=seen,
+            )
+        else:
+            verify = _make_verifier(
+                ctx, lang_exts, fname_matches, ranking_terms,
+                files_only=files_only, seen=seen,
+            )
         if cand_tbl is not None:
             feats_tbl = verify(cand_tbl)
         else:
@@ -490,17 +524,7 @@ class Engine:
                 verify, batch_format="pyarrow"
             ).to_arrow_refs()
             tables = [ray.get(r) for r in refs]
-            feats_tbl = (
-                pa.concat_tables(tables) if tables else verify(pa.table({
-                    "doc_id": pa.array([], pa.int64()),
-                    "repo": pa.array([], pa.string()),
-                    "path": pa.array([], pa.string()),
-                    "lang": pa.array([], pa.string()),
-                    "content": pa.array([], pa.string()),
-                    "tokens": pa.array([], pa.list_(pa.string())),
-                    "n_content_tokens": pa.array([], pa.int32()),
-                }))
-            )
+            feats_tbl = pa.concat_tables(tables) if tables else _FEATS_SCHEMA.empty_table()
 
         if files_only or exact or ctx.ast_all_exact:
             rows = feats_tbl.to_pylist()
@@ -693,6 +717,200 @@ class Engine:
 # ---------------------------------------------------------------------------
 # Batch closures (pure functions over broadcast query state)
 # ---------------------------------------------------------------------------
+
+_FEATS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("dl", pa.int32()),
+        ("tf", pa.list_(pa.int32())),
+        ("matched_terms", pa.list_(pa.string())),
+        ("rank_kws", pa.list_(pa.string())),
+        ("but", pa.int32()),
+        ("n_bytes", pa.int64()),
+    ]
+)
+
+
+def _make_vector_verifier(ctx, lang_exts, fname_matches, ranking_terms,
+                          compound_parts, postings, seen=None):
+    """Vectorized candidate verification: per-doc term bitmaps from decoded
+    postings (token membership), Arrow match_substring for the exact-literal
+    injection rule, numpy boolean evaluation (J2 in SURVEY.md §3.5).
+    Output-identical to _make_verifier for queries without dynamic special
+    terms; used both driver-side and as a map_batches function."""
+    plan = ctx.plan
+    term_indices = plan.term_indices
+    plan_terms = sorted(term_indices, key=term_indices.__getitem__)
+    filters = ctx.filters
+    no_filters = filters.is_empty()
+    is_universal = plan.is_universal
+    vec_eval = None if is_universal else qp.make_vector_evaluator(plan.ast, term_indices)
+    seen = seen or set()
+    n_queries_terms = len(plan_terms)
+
+    needed_terms = sorted(
+        set(plan_terms)
+        | set(ranking_terms)
+        | {p for ps in compound_parts.values() for p in ps}
+    )
+    post_small = {}
+    for t in needed_terms:
+        if t in postings:
+            ids, tfb = postings[t]
+            post_small[t] = (
+                ids.astype(np.int64),
+                ((tfb & 0xF) + (tfb >> 4)).astype(np.int16),
+            )
+    post_ref = ray.put(post_small)
+    fname_by_term: dict[str, np.ndarray] = {}
+    for did, ts in fname_matches.items():
+        for t in ts:
+            fname_by_term.setdefault(t, []).append(did)
+    fname_by_term = {t: np.array(sorted(v), dtype=np.int64)
+                     for t, v in fname_by_term.items()}
+    fname_ref = ray.put(fname_by_term)
+    rt_in_plan = {t for t in ranking_terms if t in term_indices}
+
+    def verify(batch: pa.Table) -> pa.Table:
+        posts = ray.get(post_ref)
+        fnames = ray.get(fname_ref)
+        n = batch.num_rows
+        if n == 0:
+            return _FEATS_SCHEMA.empty_table()
+        ids = batch.column("doc_id").to_numpy()
+        keep = np.ones(n, dtype=bool)
+        paths = None
+        if lang_exts is not None or not no_filters:
+            paths = batch.column("path").to_pylist()
+            for i, p in enumerate(paths):
+                if lang_exts is not None:
+                    ext = p.rsplit(".", 1)[-1].lower() if "." in p else None
+                    if ext is None or ext not in lang_exts:
+                        keep[i] = False
+                        continue
+                if not no_filters and not filters.matches_path(p):
+                    keep[i] = False
+
+        def member_tf(t):
+            pt = posts.get(t)
+            if pt is None:
+                return np.zeros(n, dtype=bool), None
+            pid, ptf = pt
+            idx = np.searchsorted(pid, ids)
+            idx_c = np.minimum(idx, len(pid) - 1)
+            m = pid[idx_c] == ids
+            return m, np.where(m, ptf[idx_c], 0).astype(np.int32)
+
+        member = {}
+        tfvals = {}
+        for t in needed_terms:
+            member[t], tfvals[t] = member_tf(t)
+
+        # exact-literal injection (file_processing.rs:1353-1358), vectorized
+        content_col = batch.column("content")
+        content_lower = None
+        inj = {}
+        inj_count = np.zeros(n, dtype=np.int32)
+        for t in plan_terms:
+            missing = ~member[t]
+            if missing.any():
+                if content_lower is None:
+                    content_lower = pc.utf8_lower(content_col)
+                sub = pc.match_substring(content_lower, t).to_numpy(
+                    zero_copy_only=False
+                )
+                inj[t] = sub & missing
+            else:
+                inj[t] = np.zeros(n, dtype=bool)
+            inj_count += inj[t]
+
+        full = {}
+        for t in plan_terms:
+            f = member[t] | inj[t]
+            fn_ids = fnames.get(t)
+            if fn_ids is not None and ctx.filenames_enabled:
+                f = f | np.isin(ids, fn_ids)
+            full[t] = f
+
+        if is_universal:
+            admit = keep
+        else:
+            admit = keep & vec_eval(full, n)
+        if seen:
+            if paths is None:
+                paths = batch.column("path").to_pylist()
+            repos_l = batch.column("repo").to_pylist()
+            seen_mask = np.array(
+                [f"{r}/{p}" in seen for r, p in zip(repos_l, paths)], dtype=bool
+            )
+            admit &= ~seen_mask
+        if not admit.any():
+            return _FEATS_SCHEMA.empty_table()
+
+        dl = batch.column("doc_len").to_numpy().astype(np.int32) + inj_count
+        tf_mat = np.zeros((n, len(ranking_terms)), dtype=np.int32)
+        for j, t in enumerate(ranking_terms):
+            v = tfvals.get(t)
+            col = v if v is not None else np.zeros(n, dtype=np.int32)
+            if t in rt_in_plan:
+                col = col + inj[t]
+            tf_mat[:, j] = col
+
+        # block stats (file_processing.rs:1426-1469): direct = plan-term
+        # presence in the (injected) vector; compound = all parts present
+        but = np.zeros(n, dtype=np.int32)
+        kws_mask = np.zeros((n, n_queries_terms), dtype=bool)
+        for j, t in enumerate(plan_terms):
+            direct = member[t] | inj[t]
+            comp = np.zeros(n, dtype=bool)
+            parts = compound_parts.get(t)
+            if parts:
+                comp = np.ones(n, dtype=bool)
+                for p in parts:
+                    pm = member[p] | inj.get(p, False)
+                    comp &= pm
+                comp &= ~direct
+            kws_mask[:, j] = direct | comp
+            but += (direct | comp).astype(np.int32)
+
+        sel = np.flatnonzero(admit)
+        repos_l = batch.column("repo").to_pylist()
+        if paths is None:
+            paths = batch.column("path").to_pylist()
+        n_bytes = pc.binary_length(content_col.cast(pa.binary())).to_numpy(
+            zero_copy_only=False
+        )
+        matched_terms_out, rank_kws_out = [], []
+        for i in sel:
+            mt = [t for j, t in enumerate(plan_terms) if kws_mask[i, j]]
+            m2 = set()
+            for t in plan_terms:
+                if member[t][i] or inj[t][i]:
+                    m2.add(t)
+                elif ctx.filenames_enabled:
+                    fn_ids = fnames.get(t)
+                    if fn_ids is not None and ids[i] in fn_ids:
+                        m2.add(t)
+            matched_terms_out.append(sorted(m2))
+            rank_kws_out.append(mt)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                "repo": pa.array([repos_l[i] for i in sel], pa.string()),
+                "path": pa.array([paths[i] for i in sel], pa.string()),
+                "dl": pa.array(dl[sel], pa.int32()),
+                "tf": pa.array(tf_mat[sel].tolist(), pa.list_(pa.int32())),
+                "matched_terms": pa.array(matched_terms_out, pa.list_(pa.string())),
+                "rank_kws": pa.array(rank_kws_out, pa.list_(pa.string())),
+                "but": pa.array(but[sel], pa.int32()),
+                "n_bytes": pa.array(n_bytes[sel].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return verify
+
 
 def _apply_limits_rows(rows, max_results, max_bytes, max_tokens, nbytes_by_id=None):
     """Running-total limiting in result order (search_limiter.rs:22-226);
