@@ -42,6 +42,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
@@ -285,23 +286,28 @@ def assign_doc_ids(ds: rd.Dataset) -> rd.Dataset:
                 ).to_arrow_refs()
             ]
         )
-        repo = keys_tbl.column("repo").to_pylist()
-        path = keys_tbl.column("path").to_pylist()
-        commit = keys_tbl.column("commit").to_pylist()
-        triples = sorted(zip(repo, path, commit))
-        id_map = {t: i for i, t in enumerate(triples)}
-        map_ref = ray.put(id_map)
+        # one composite key per row; a SORTED numpy array broadcasts with
+        # near-zero deserialization cost (vs a python dict, which every task
+        # would re-deserialize) and doc_id = searchsorted position
+        sep = pa.scalar("\x00")
+        keys = pc.binary_join_element_wise(
+            keys_tbl.column("repo").combine_chunks(),
+            keys_tbl.column("path").combine_chunks(),
+            keys_tbl.column("commit").combine_chunks(),
+            sep,
+        ).to_numpy(zero_copy_only=False)
+        keys_sorted = np.sort(keys)
+        keys_ref = ray.put(keys_sorted)
 
         def add_ids(batch: pa.Table) -> pa.Table:
-            m = ray.get(map_ref)
-            ids = [
-                m[(r, p, c)]
-                for r, p, c in zip(
-                    batch.column("repo").to_pylist(),
-                    batch.column("path").to_pylist(),
-                    batch.column("commit").to_pylist(),
-                )
-            ]
+            ks = ray.get(keys_ref)
+            bk = pc.binary_join_element_wise(
+                batch.column("repo").combine_chunks(),
+                batch.column("path").combine_chunks(),
+                batch.column("commit").combine_chunks(),
+                sep,
+            ).to_numpy(zero_copy_only=False)
+            ids = np.searchsorted(ks, bk)
             return batch.append_column("doc_id", pa.array(ids, pa.int64()))
 
         return ds.map_batches(add_ids, batch_format="pyarrow")
@@ -321,17 +327,22 @@ def assign_doc_ids(ds: rd.Dataset) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 def sample_hot_terms(
-    ds: rd.Dataset, threshold_frac: float = 0.05, sample_rows: int = 2000
+    docs: rd.Dataset, threshold_frac: float = 0.05, sample_rows: int = 2000
 ) -> dict[str, int]:
-    """Estimate hot terms from a deterministic sample: terms present in more
-    than ``threshold_frac`` of sampled docs get salted in the shuffle."""
-    n = ds.count()
+    """Estimate hot terms from a deterministic sample of the ALREADY
+    tokenized docs table (reads the tokens column — no re-tokenization):
+    terms present in more than ``threshold_frac`` of sampled docs get salted
+    in the shuffle."""
+    n = docs.count()
     frac = min(1.0, sample_rows / max(n, 1))
-    sample = ds.random_sample(frac, seed=42).take_all()
+    sample = (
+        docs.random_sample(frac, seed=42)
+        .map_batches(lambda b: b.select(["tokens"]), batch_format="pyarrow")
+        .take_all()
+    )
     df: dict[str, int] = {}
     for row in sample:
-        seen = set(tok.tokenize(row["content"])) | set(tok.tokenize(row["path"]))
-        for t in seen:
+        for t in set(row["tokens"]):
             df[t] = df.get(t, 0) + 1
     cutoff = max(2, int(threshold_frac * len(sample)))
     return {t: c for t, c in df.items() if c >= cutoff}
