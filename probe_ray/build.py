@@ -435,30 +435,38 @@ def build_index(
     ds = rd.read_parquet(corpus) if isinstance(corpus, str) else corpus
     ds = ds.map_batches(guard_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = assign_doc_ids(ds)
-    docs = ds.map_batches(
-        tokenize_batch, batch_format="pyarrow", batch_size=batch_size
-    ).materialize()
 
-    # stats
-    n_docs = docs.count()
-    sum_dl = docs.sum("doc_len") if n_docs else 0
+    # docs table: ONE streaming consume of the tokenize pipeline straight to
+    # parquet (no full materialization in the object store); downstream
+    # stages re-read it with column pruning (tokens only — content never
+    # moves again)
+    docs_pipe = ds.map_batches(
+        tokenize_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+    docs_pipe.write_parquet(tmp.docs_dir, min_rows_per_file=8192)
+
+    # stats from the narrow doc_len projection
+    len_ds = rd.read_parquet(tmp.docs_dir, columns=["doc_len"])
+    n_docs = len_ds.count()
+    sum_dl = len_ds.sum("doc_len") if n_docs else 0
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
 
-    # hot terms for the salted shuffle
-    hot = sample_hot_terms(docs, hot_threshold_frac)
+    tok_ds = rd.read_parquet(
+        tmp.docs_dir, columns=["doc_id", "tokens", "n_content_tokens"]
+    )
+
+    # hot terms for the salted shuffle (sampled from the tokens column)
+    hot = sample_hot_terms(tok_ds, hot_threshold_frac)
     salt_shift = 63
     if n_docs > 0 and salt_buckets > 1:
         salt_shift = max(0, int(n_docs).bit_length() - int(salt_buckets).bit_length())
 
-    # docs table — file count sized for read/write parallelism
-    docs.write_parquet(
-        tmp.docs_dir, min_rows_per_file=max(4096, int(n_docs) // 64 or 1)
-    )
-
     # segments: partial encode per batch -> shuffle by (term, salt) -> merge
     partial = make_partial_segments(hot, salt_shift)
     merger = make_segment_merger(n_shards)
-    partials = docs.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+    partials = tok_ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=max(batch_size, 1024)
+    )
     segments = partials.sort(["term", "salt"]).map_batches(
         merger, batch_format="pyarrow"
     )
