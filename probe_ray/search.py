@@ -167,18 +167,74 @@ class Engine:
 
     # -- filename matching --------------------------------------------------
 
-    def _filename_scan(
-        self, ctx: _QueryContext, local_tbl: pa.Table | None
-    ) -> dict[int, set[str]]:
-        """Per-query scan of the narrow (doc_id, path_tokens) projection
-        implementing file_list_cache.rs:505-531. Returns doc_id -> matched
-        plan terms."""
+    def _path_token_index(self):
+        """Inverted index over path tokens (token -> doc_id array), built
+        lazily from the narrow (doc_id, path_tokens) projection. The
+        filename-match rule then runs against the tiny path-token VOCABULARY
+        instead of every doc — the scalable form of probe's filename
+        matching (file_list_cache.rs:441-550)."""
+        if getattr(self, "_path_idx", None) is None:
+            tbl = pq.read_table(
+                self.paths.docs_dir, columns=["doc_id", "path_tokens"]
+            )
+            ids = tbl.column("doc_id").to_pylist()
+            ptoks = tbl.column("path_tokens").to_pylist()
+            flat_tok: list[str] = []
+            flat_id: list[int] = []
+            for did, ts in zip(ids, ptoks):
+                for t in set(ts):
+                    flat_tok.append(t)
+                    flat_id.append(did)
+            tok_arr = np.asarray(flat_tok, dtype=object)
+            id_arr = np.asarray(flat_id, dtype=np.int64)
+            order = np.argsort(tok_arr, kind="stable")
+            tok_arr, id_arr = tok_arr[order], id_arr[order]
+            vocab, starts = np.unique(tok_arr.astype(str), return_index=True)
+            bounds = np.append(starts, len(tok_arr))
+            self._path_idx = (vocab, bounds, id_arr)
+        return self._path_idx
+
+    def _filename_match_term_ids(
+        self, ctx: _QueryContext, local_ok: bool
+    ) -> dict[str, np.ndarray]:
+        """file_list_cache.rs:505-531: for each plan term, the doc ids whose
+        path tokens match it (equality / substring either way, the reverse
+        direction requiring a >=3-char path token)."""
         term_tokens = {
             t: tok.tokenize(t, ctx.specials) for t in ctx.plan.term_indices
         }
         term_tokens = {t: tt for t, tt in term_tokens.items() if tt}
         if not term_tokens:
             return {}
+        if local_ok:
+            vocab, bounds, id_arr = self._path_token_index()
+            vocab_list = vocab.tolist()
+            out: dict[str, np.ndarray] = {}
+            for term, tts in term_tokens.items():
+                hit_idx = [
+                    i
+                    for i, v in enumerate(vocab_list)
+                    if any(
+                        v == tt or tt in v or (len(v) >= 3 and v in tt)
+                        for tt in tts
+                    )
+                ]
+                if hit_idx:
+                    out[term] = np.unique(
+                        np.concatenate(
+                            [id_arr[bounds[i]:bounds[i + 1]] for i in hit_idx]
+                        )
+                    )
+            return out
+        pairs = self._filename_scan_distributed(term_tokens)
+        out2: dict[str, list[int]] = {}
+        for did, term in pairs:
+            out2.setdefault(term, []).append(did)
+        return {t: np.unique(np.array(v, dtype=np.int64)) for t, v in out2.items()}
+
+    def _filename_scan_distributed(self, term_tokens) -> list[tuple[int, str]]:
+        """Fallback per-query scan of (doc_id, path_tokens) for corpora too
+        large to pin the path-token index driver-side."""
 
         def scan(batch: pa.Table, tts) -> list[tuple[int, str]]:
             ids = batch.column("doc_id").to_pylist()
@@ -198,37 +254,30 @@ class Engine:
                         hits.append((did, term))
             return hits
 
-        if local_tbl is not None:
-            pairs = scan(local_tbl, term_tokens)
-        else:
-            tt_ref = ray.put(term_tokens)
+        tt_ref = ray.put(term_tokens)
 
-            def scan_batch(batch: pa.Table) -> pa.Table:
-                hits = scan(batch, ray.get(tt_ref))
-                return pa.table(
-                    {
-                        "doc_id": pa.array([h[0] for h in hits], pa.int64()),
-                        "term": pa.array([h[1] for h in hits], pa.string()),
-                    }
-                )
+        def scan_batch(batch: pa.Table) -> pa.Table:
+            hits = scan(batch, ray.get(tt_ref))
+            return pa.table(
+                {
+                    "doc_id": pa.array([h[0] for h in hits], pa.int64()),
+                    "term": pa.array([h[1] for h in hits], pa.string()),
+                }
+            )
 
-            pairs = [
-                (r["doc_id"], r["term"])
-                for r in self._docs_ds(["doc_id", "path_tokens"])
-                .map_batches(scan_batch, batch_format="pyarrow")
-                .take_all()
-            ]
-        result: dict[int, set[str]] = {}
-        for did, term in pairs:
-            result.setdefault(did, set()).add(term)
-        return result
+        return [
+            (r["doc_id"], r["term"])
+            for r in self._docs_ds(["doc_id", "path_tokens"])
+            .map_batches(scan_batch, batch_format="pyarrow")
+            .take_all()
+        ]
 
     # -- candidate generation ----------------------------------------------
 
     def _candidate_ids(
         self,
         ctx: _QueryContext,
-        fname_matches: dict[int, set[str]],
+        fname_matches: dict[str, np.ndarray],
         extra_lookup: list[str] = (),
     ) -> tuple[np.ndarray, dict]:
         ti = ctx.plan.term_indices
@@ -278,8 +327,8 @@ class Engine:
             id_sets.append(inter)
         if scan_terms:
             id_sets.append(self._substring_scan(scan_terms))
-        if fname_matches:
-            id_sets.append(np.fromiter(fname_matches, dtype=np.int64))
+        for arr in fname_matches.values():
+            id_sets.append(arr)
         if not id_sets:
             return np.empty(0, dtype=np.int64), postings
         return np.unique(np.concatenate(id_sets)), postings
@@ -438,9 +487,9 @@ class Engine:
     ) -> pa.Table:
         plan = ctx.plan
         local_tbl = self._local_docs_table()
-        fname_matches = self._filename_scan(ctx, local_tbl) if (
-            ctx.filenames_enabled and not plan.is_universal
-        ) else {}
+        fname_matches = self._filename_match_term_ids(
+            ctx, local_ok=self._stats["n_docs"] <= self.LOCAL_DOCS_MAX
+        ) if (ctx.filenames_enabled and not plan.is_universal) else {}
 
         lang_exts = None
         if ctx.language:
@@ -552,8 +601,9 @@ class Engine:
             if df > 0
         }
 
-        scorer = _make_scorer(ranking_ast, ranking_terms, idfs, avgdl, len(queries))
-        all_rows = scorer(feats_tbl).to_pylist()
+        all_rows = _score_feats_vectorized(
+            feats_tbl, ranking_ast, ranking_terms, idfs, avgdl, len(queries)
+        )
 
         # final order: (-boosted, -bm25, doc_id) == the reference's stable
         # boosted-desc sort over (bm25 desc, candidate-index asc) — oracle.py
@@ -764,13 +814,7 @@ def _make_vector_verifier(ctx, lang_exts, fname_matches, ranking_terms,
                 ((tfb & 0xF) + (tfb >> 4)).astype(np.int16),
             )
     post_ref = ray.put(post_small)
-    fname_by_term: dict[str, np.ndarray] = {}
-    for did, ts in fname_matches.items():
-        for t in ts:
-            fname_by_term.setdefault(t, []).append(did)
-    fname_by_term = {t: np.array(sorted(v), dtype=np.int64)
-                     for t, v in fname_by_term.items()}
-    fname_ref = ray.put(fname_by_term)
+    fname_ref = ray.put(fname_matches)  # term -> sorted doc_id array
     rt_in_plan = {t for t in ranking_terms if t in term_indices}
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -827,11 +871,13 @@ def _make_vector_verifier(ctx, lang_exts, fname_matches, ranking_terms,
             inj_count += inj[t]
 
         full = {}
+        fname_mask = {}
         for t in plan_terms:
             f = member[t] | inj[t]
             fn_ids = fnames.get(t)
             if fn_ids is not None and ctx.filenames_enabled:
-                f = f | np.isin(ids, fn_ids)
+                fname_mask[t] = np.isin(ids, fn_ids)
+                f = f | fname_mask[t]
             full[t] = f
 
         if is_universal:
@@ -885,15 +931,11 @@ def _make_vector_verifier(ctx, lang_exts, fname_matches, ranking_terms,
         matched_terms_out, rank_kws_out = [], []
         for i in sel:
             mt = [t for j, t in enumerate(plan_terms) if kws_mask[i, j]]
-            m2 = set()
-            for t in plan_terms:
-                if member[t][i] or inj[t][i]:
-                    m2.add(t)
-                elif ctx.filenames_enabled:
-                    fn_ids = fnames.get(t)
-                    if fn_ids is not None and ids[i] in fn_ids:
-                        m2.add(t)
-            matched_terms_out.append(sorted(m2))
+            m2 = sorted(
+                t for t in plan_terms
+                if full[t][i]
+            )
+            matched_terms_out.append(m2)
             rank_kws_out.append(mt)
         return pa.table(
             {
@@ -945,6 +987,12 @@ def _make_verifier(ctx, lang_exts, fname_matches, ranking_terms,
     term_indices = plan.term_indices
     eval_fast = None if is_universal else qp.make_evaluator(plan.ast, term_indices)
     seen = seen or set()
+    # invert term -> doc_id arrays into doc_id -> term set for the row loop
+    by_doc: dict[int, set[str]] = {}
+    for t, arr in fname_matches.items():
+        for did in arr.tolist():
+            by_doc.setdefault(did, set()).add(t)
+    fname_matches = by_doc
     # compound parts per plan term, precomputed once (file_processing.rs:1444)
     compound_parts = {
         t: parts
@@ -1050,6 +1098,74 @@ def _make_verifier(ctx, lang_exts, fname_matches, ranking_terms,
         )
 
     return verify
+
+
+def _score_feats_vectorized(feats_tbl, ranking_ast, ranking_terms, idfs, avgdl,
+                            n_queries):
+    """Vectorized boolean BM25 over the feats table. Mirrors
+    score_expr_bm25_optimized (ranking.rs:228-276) with numpy arrays; the
+    expression structure (term order, left-to-right sums) matches the scalar
+    oracle exactly, so doubles are bit-identical."""
+    n = feats_tbl.num_rows
+    tf_lists = feats_tbl.column("tf").to_pylist()
+    tf_mat = (
+        np.array(tf_lists, dtype=np.float64).reshape(n, -1)
+        if ranking_terms
+        else np.zeros((n, 0))
+    )
+    dls = feats_tbl.column("dl").to_numpy().astype(np.float64)
+    # parenthesization mirrors oracle.bm25_tf_part exactly (double parity)
+    norm = BM25_K1 * (1.0 - BM25_B + BM25_B * (dls / avgdl))
+    col = {t: j for j, t in enumerate(ranking_terms)}
+    zero = np.zeros(n)
+
+    def term_vec(kw):
+        j = col.get(kw)
+        if j is None or kw not in idfs:
+            return zero
+        tf = tf_mat[:, j]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(
+                tf > 0, idfs[kw] * ((tf * (BM25_K1 + 1.0)) / (tf + norm)), 0.0
+            )
+
+    def eval_node(e):
+        if isinstance(e, qp.Term):
+            s = zero
+            for kw in e.lowercase_keywords:
+                s = s + term_vec(kw)
+            if e.excluded:
+                return np.zeros(n), s <= 0.0
+            if e.required:
+                return s, s > 0.0
+            return s, np.ones(n, dtype=bool)
+        ls, lv = eval_node(e.left)
+        rs, rv = eval_node(e.right)
+        if isinstance(e, qp.And):
+            return ls + rs, lv & rv
+        both = lv & rv
+        s = np.where(both, ls + rs, np.where(lv, ls, rs))
+        return s, lv | rv
+
+    bm25, valid = eval_node(ranking_ast)
+    but = feats_tbl.column("but").to_numpy().astype(np.float64)
+    cov = np.minimum(but / n_queries, 1.0) if n_queries > 0 else np.zeros(n)
+    boosted = bm25 * (1.0 + cov**1.5 * 2.0)
+
+    ids = feats_tbl.column("doc_id").to_pylist()
+    repos = feats_tbl.column("repo").to_pylist()
+    paths = feats_tbl.column("path").to_pylist()
+    mts = feats_tbl.column("matched_terms").to_pylist()
+    kws = feats_tbl.column("rank_kws").to_pylist()
+    return [
+        dict(
+            doc_id=ids[i], repo=repos[i], path=paths[i],
+            matched_terms=mts[i], rank_kws=kws[i],
+            bm25_score=float(bm25[i]), score=float(boosted[i]),
+            has_score=bool(valid[i]),
+        )
+        for i in range(n)
+    ]
 
 
 def _make_scorer(ranking_ast, ranking_terms, idfs, avgdl, n_queries):
