@@ -601,33 +601,47 @@ class Engine:
             if df > 0
         }
 
-        all_rows = _score_feats_vectorized(
+        bm25_arr, boosted_arr, valid_arr = _score_feats_vectorized(
             feats_tbl, ranking_ast, ranking_terms, idfs, avgdl, len(queries)
         )
+        ids_arr = feats_tbl.column("doc_id").to_numpy()
 
         # final order: (-boosted, -bm25, doc_id) == the reference's stable
         # boosted-desc sort over (bm25 desc, candidate-index asc) — oracle.py
-        ranked_rows = [r for r in all_rows if r["has_score"]]
-        ranked_rows.sort(key=lambda r: (-r["score"], -r["bm25_score"], r["doc_id"]))
-        all_ids = sorted(r["doc_id"] for r in all_rows)
-        k = len(ranked_rows)
-        flagged_ids = set(all_ids[k:])
-        flagged_rows = [r for r in all_rows if r["doc_id"] in flagged_ids]
-        flagged_rows.sort(key=lambda r: (f"{r['repo']}/{r['path']}", 1))
+        valid_idx = np.flatnonzero(valid_arr)
+        order = valid_idx[
+            np.lexsort(
+                (ids_arr[valid_idx], -bm25_arr[valid_idx], -boosted_arr[valid_idx])
+            )
+        ]
+        k = len(order)
+        # positional-overwrite quirk (result_ranking.rs:337-358): trailing
+        # candidates (in doc-id order) become flagged rank=None entries
+        ids_sorted_pos = np.argsort(ids_arr, kind="stable")
+        flagged_pos = ids_sorted_pos[k:]
 
-        out_rows = []
-        for i, r in enumerate(ranked_rows):
-            out_rows.append(
-                dict(doc_id=r["doc_id"], repo=r["repo"], path=r["path"],
-                     rank=i + 1, score=r["score"], bm25_score=r["bm25_score"],
-                     matched_terms=list(r["rank_kws"])),
-            )
-        for r in flagged_rows:
-            out_rows.append(
-                dict(doc_id=r["doc_id"], repo=r["repo"], path=r["path"],
-                     rank=None, score=0.0, bm25_score=0.0,
-                     matched_terms=list(r["matched_terms"])),
-            )
+        repos_l = feats_tbl.column("repo").to_pylist()
+        paths_l = feats_tbl.column("path").to_pylist()
+        kws_l = feats_tbl.column("rank_kws").to_pylist()
+        mts_l = feats_tbl.column("matched_terms").to_pylist()
+        flagged_order = sorted(
+            flagged_pos.tolist(), key=lambda i: f"{repos_l[i]}/{paths_l[i]}"
+        )
+        if max_results is not None and max_bytes is None and max_tokens is None:
+            order = order[:max_results]
+            flagged_order = flagged_order[: max(0, max_results - len(order))]
+        out_rows = [
+            dict(doc_id=int(ids_arr[i]), repo=repos_l[i], path=paths_l[i],
+                 rank=r + 1, score=float(boosted_arr[i]),
+                 bm25_score=float(bm25_arr[i]), matched_terms=list(kws_l[i]))
+            for r, i in enumerate(order.tolist())
+        ]
+        out_rows += [
+            dict(doc_id=int(ids_arr[i]), repo=repos_l[i], path=paths_l[i],
+                 rank=None, score=0.0, bm25_score=0.0,
+                 matched_terms=list(mts_l[i]))
+            for i in flagged_order
+        ]
         out_rows = _apply_limits_rows(out_rows, max_results, max_bytes, max_tokens,
                                       nbytes_by_id=dict(zip(
                                           feats_tbl.column("doc_id").to_pylist(),
@@ -1151,21 +1165,7 @@ def _score_feats_vectorized(feats_tbl, ranking_ast, ranking_terms, idfs, avgdl,
     but = feats_tbl.column("but").to_numpy().astype(np.float64)
     cov = np.minimum(but / n_queries, 1.0) if n_queries > 0 else np.zeros(n)
     boosted = bm25 * (1.0 + cov**1.5 * 2.0)
-
-    ids = feats_tbl.column("doc_id").to_pylist()
-    repos = feats_tbl.column("repo").to_pylist()
-    paths = feats_tbl.column("path").to_pylist()
-    mts = feats_tbl.column("matched_terms").to_pylist()
-    kws = feats_tbl.column("rank_kws").to_pylist()
-    return [
-        dict(
-            doc_id=ids[i], repo=repos[i], path=paths[i],
-            matched_terms=mts[i], rank_kws=kws[i],
-            bm25_score=float(bm25[i]), score=float(boosted[i]),
-            has_score=bool(valid[i]),
-        )
-        for i in range(n)
-    ]
+    return np.asarray(bm25, dtype=np.float64), boosted, valid
 
 
 def _make_scorer(ranking_ast, ranking_terms, idfs, avgdl, n_queries):
