@@ -229,3 +229,5 @@ QUERY_SUITE: list[tuple[str, list[str], dict]] = [
     ("q27_exclude_filenames", ["auth"], {"include_filenames": False}),
     ("q28_language", ["keywordAlpha"], {"language": "python"}),
 ]
+
+QUERY_SUITE.append(("q29_allow_tests_off", ["keywordAlpha"], {"allow_tests": False}))

@@ -271,6 +271,7 @@ def oracle_search_docs(
     include_filenames: bool = True,
     files_only: bool = False,
     seen: set[str] | None = None,
+    allow_tests: bool = True,
 ) -> list[SearchHit]:
     plan, filters = qp.plan_query(queries, exact)
     specials = plan.specials
@@ -283,6 +284,11 @@ def oracle_search_docs(
         lang_exts = qp._LANG_EXTENSIONS.get(qp.normalize_language(language))
 
     def path_admitted(doc: Doc) -> bool:
+        if not allow_tests:
+            from probe_ray.tools import is_test_file
+
+            if is_test_file(doc.path, doc.content):
+                return False
         if lang_exts is not None:
             ext = doc.path.rsplit(".", 1)[-1].lower() if "." in doc.path else None
             if ext is None or ext not in lang_exts:

@@ -395,6 +395,7 @@ class Engine:
         files_only: bool = False,
         session: str | None = None,
         seen: set[str] | None = None,
+        allow_tests: bool = True,
         mode: str = "compat",
     ) -> pa.Table:
         """Search the index.
@@ -427,7 +428,7 @@ class Engine:
             return self._search_global(ctx, queries, max_results)
         result = self._search_compat(
             ctx, queries, exact, max_results, max_bytes, max_tokens,
-            files_only, seen,
+            files_only, seen, allow_tests,
         )
         if session_key is not None and not files_only:
             returned = {
@@ -484,6 +485,7 @@ class Engine:
         max_tokens: int | None = None,
         files_only: bool = False,
         seen: set[str] | None = None,
+        allow_tests: bool = True,
     ) -> pa.Table:
         plan = ctx.plan
         local_tbl = self._local_docs_table()
@@ -515,7 +517,7 @@ class Engine:
         # - vectorized (Arrow/numpy per-doc term bitmaps) — the fast path,
         #   usable when no query-scoped special terms require re-tokenizing
         # - python row loop — exact/excluded queries and files_only
-        use_vector = not ctx.specials and not files_only
+        use_vector = not ctx.specials and not files_only and allow_tests
         compound_parts = {
             t: parts
             for t in plan.term_indices
@@ -562,7 +564,7 @@ class Engine:
         else:
             verify = _make_verifier(
                 ctx, lang_exts, fname_matches, ranking_terms,
-                files_only=files_only, seen=seen,
+                files_only=files_only, seen=seen, allow_tests=allow_tests,
             )
         if cand_tbl is not None:
             feats_tbl = verify(cand_tbl)
@@ -991,7 +993,7 @@ def _apply_limits_rows(rows, max_results, max_bytes, max_tokens, nbytes_by_id=No
 
 
 def _make_verifier(ctx, lang_exts, fname_matches, ranking_terms,
-                   files_only=False, seen=None):
+                   files_only=False, seen=None, allow_tests=True):
     plan = ctx.plan
     specials = ctx.specials
     term_items = sorted(plan.term_indices.items(), key=lambda kv: kv[1])
@@ -1030,6 +1032,12 @@ def _make_verifier(ctx, lang_exts, fname_matches, ranking_terms,
         for did, repo, path, content, tokens in zip(
             ids, repos, paths, contents, tokens_col
         ):
+            if not allow_tests:
+                from probe_ray.tools import is_test_file
+
+                if is_test_file(path, content):
+                    continue  # --allow-tests off: test files excluded
+                    # (file_list_cache.rs allow_tests semantics)
             if lang_exts is not None:
                 ext = path.rsplit(".", 1)[-1].lower() if "." in path else None
                 if ext is None or ext not in lang_exts:
