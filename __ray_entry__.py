@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": T.token_count_bpe,
         "quality_score": T.quality_score,
         "lang_distribution": T.lang_distribution,
+        "grep_count": T.grep_count,
         # --- boolean retrieval + BM25 over documents (SQL-checked) ---
         "search_and": T.search_and,
         "search_or": T.search_or,
@@ -145,6 +146,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     toks = SIMPLE_TOKENS_SQL
     return {
+        "grep_count": r"""
+            SELECT doc_id, len(regexp_extract_all(text, 'ba[a-z]+')) AS n_matches
+            FROM documents
+            WHERE len(regexp_extract_all(text, 'ba[a-z]+')) > 0
+        """,
         "doc_stats": f"""
             SELECT doc_id,
                    len({toks}) AS n_tokens,

@@ -823,3 +823,24 @@ def media_features(sf_dir: str) -> rd.Dataset:
             concurrency=2,
         )
     )
+
+
+def grep_count(sf_dir: str, pattern: str = "ba[a-z]+") -> rd.Dataset:
+    """Regex grep over documents (probe's grep subcommand, src/grep.rs,
+    re-expressed): per-doc match count for a fixed pattern."""
+    rx = re.compile(pattern)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        counts = [len(rx.findall(t)) for t in texts]
+        keep = [c > 0 for c in counts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+                "n_matches": pa.array(
+                    [c for c in counts if c > 0], pa.int64()
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(scan, batch_format="pyarrow")
