@@ -92,7 +92,9 @@ def _encode_small(doc_ids, tfs) -> tuple[bytes, bytes, bytes]:
     tf_list = [int(t) for t in tfs]
     blob = len(gap_stream).to_bytes(8, "little") + gap_stream + bytes(tf_list)
     skip = ids[-1].to_bytes(8, "little") + (0).to_bytes(8, "little")
-    bmax = bytes([max(tf_list)])
+    # block_max stores the max UNPACKED tf (content nibble + path nibble):
+    # the impact upper bound for MaxScore/Block-Max pruning
+    bmax = bytes([max((t & 0xF) + (t >> 4) for t in tf_list)])
     return blob, skip, bmax
 
 
@@ -130,11 +132,12 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes,
         widths += (tmp > 0).astype(np.int64)
         tmp >>= np.uint64(7)
     cum = np.concatenate([[0], np.cumsum(widths)])
+    unpacked = (tfs & 0xF) + (tfs >> 4)  # max UNPACKED tf per block
     for b in range(nblocks):
         lo, hi = b * BLOCK, min((b + 1) * BLOCK, n)
         skip[2 * b] = doc_ids[hi - 1]
         skip[2 * b + 1] = np.uint64(cum[lo])
-        bmax[b] = tfs[lo:hi].max(initial=0)
+        bmax[b] = unpacked[lo:hi].max(initial=0)
     return blob, skip.tobytes(), bmax.tobytes()
 
 

@@ -145,6 +145,113 @@ class Engine:
     def _docs_ds(self, columns: list[str]) -> rd.Dataset:
         return rd.read_parquet(self.paths.docs_dir, columns=columns)
 
+    def _read_term_bounds(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """(df, max unpacked tf) per term from segment metadata only (df +
+        block_max columns; posting blobs are NOT read). Feeds the MaxScore
+        upper bounds."""
+        if not terms:
+            return {}
+        n_shards = self._stats["n_shards"]
+        from probe_ray.build import _term_shard
+
+        shards = sorted({_term_shard(t, n_shards) for t in terms})
+        tbl = pq.ParquetDataset(
+            self.paths.segments_dir,
+            filters=[("shard", "in", shards), ("term", "in", terms)],
+        ).read(columns=["term", "df", "block_max"])
+        out: dict[str, tuple[int, int]] = {}
+        for t, df, bm in zip(
+            tbl.column("term").to_pylist(),
+            tbl.column("df").to_pylist(),
+            tbl.column("block_max").to_pylist(),
+        ):
+            prev = out.get(t, (0, 0))
+            out[t] = (prev[0] + int(df), max(prev[1], max(bm) if bm else 0))
+        return out
+
+    def _doc_len_array(self) -> np.ndarray:
+        """Dense doc_id -> doc_len array (doc ids are dense by
+        construction). At cluster scale this is the piece a distributed
+        doc-attribute store provides; single-node it pins ~4 bytes/doc."""
+        if getattr(self, "_dl_arr", None) is None:
+            tbl = pq.read_table(self.paths.docs_dir, columns=["doc_id", "doc_len"])
+            arr = np.zeros(self._stats["n_docs"], dtype=np.float64)
+            arr[tbl.column("doc_id").to_numpy()] = tbl.column("doc_len").to_numpy()
+            self._dl_arr = arr
+        return self._dl_arr
+
+    def _maxscore_topk(self, kw_terms: list[str], k: int,
+                       weights: dict[str, int] | None = None):
+        """MaxScore pruned top-k over an OR-of-terms query (the Block-Max
+        scale path): terms are processed in descending impact-upper-bound
+        order (bounds from the stored per-block max tf); once the summed
+        bound of the remaining terms cannot beat the current k-th score, no
+        NEW doc can enter the top-k, so the remaining (typically hottest)
+        posting lists are only probed at the already-accumulated candidates
+        instead of being traversed."""
+        n_docs = self._stats["n_docs"]
+        avgdl = self._stats["avgdl"]
+        bounds = self._read_term_bounds(kw_terms)
+        terms = [t for t in kw_terms if t in bounds and bounds[t][0] > 0]
+        if not terms:
+            return np.empty(0, np.int64), np.empty(0), {}
+        weights = weights or {}
+        idfs = {t: idf(n_docs, bounds[t][0]) for t in terms}
+        # keyword multiplicity across Term nodes: score_term_bm25 sums each
+        # Term's keywords, so a keyword shared by several Terms contributes
+        # once PER TERM (ranking.rs:213-220 + 252-276)
+        wt = {t: weights.get(t, 1) for t in terms}
+        ubs = {
+            t: wt[t] * idfs[t]
+            * ((bounds[t][1] * (BM25_K1 + 1.0))
+               / (bounds[t][1] + BM25_K1 * (1.0 - BM25_B)))
+            for t in terms
+        }
+        order = sorted(terms, key=lambda t: -ubs[t])
+        dl = self._doc_len_array()
+        norm_cache: np.ndarray | None = None
+
+        acc_ids = np.empty(0, dtype=np.int64)
+        acc_sc = np.empty(0, dtype=np.float64)
+        matched: dict[str, np.ndarray] = {}
+        update_only = False
+        for i, t in enumerate(order):
+            remaining_ub = sum(ubs[x] for x in order[i:])
+            if acc_ids.size >= k:
+                theta = np.partition(acc_sc, -k)[-k]
+                if remaining_ub <= theta:
+                    update_only = True
+            ids_u, tfb = self._read_postings([t]).get(t, (None, None))
+            if ids_u is None:
+                continue
+            ids_t = ids_u.astype(np.int64)
+            tf = ((tfb & 0xF) + (tfb >> 4)).astype(np.float64)
+            if update_only:
+                # probe only at accumulated candidates (block-skip analogue)
+                pos = np.searchsorted(ids_t, acc_ids)
+                pos_c = np.minimum(pos, ids_t.size - 1)
+                hit = ids_t[pos_c] == acc_ids
+                tf_at = np.where(hit, tf[pos_c], 0.0)
+                nz = tf_at > 0
+                normv = BM25_K1 * (1.0 - BM25_B + BM25_B * (dl[acc_ids] / avgdl))
+                acc_sc = acc_sc + np.where(
+                    nz,
+                    wt[t] * idfs[t] * ((tf_at * (BM25_K1 + 1.0)) / (tf_at + normv)),
+                    0.0,
+                )
+                matched[t] = acc_ids[hit]
+                continue
+            normv = BM25_K1 * (1.0 - BM25_B + BM25_B * (dl[ids_t] / avgdl))
+            imp = wt[t] * idfs[t] * ((tf * (BM25_K1 + 1.0)) / (tf + normv))
+            matched[t] = ids_t
+            # merge impacts into the accumulator
+            all_ids = np.union1d(acc_ids, ids_t)
+            new_sc = np.zeros(all_ids.size)
+            new_sc[np.searchsorted(all_ids, acc_ids)] += acc_sc
+            new_sc[np.searchsorted(all_ids, ids_t)] += imp
+            acc_ids, acc_sc = all_ids, new_sc
+        return acc_ids, acc_sc, matched
+
     # Small-corpus fast path: below this doc count the per-query work is
     # dominated by Ray execution round-trips, so the engine pins the docs
     # table driver-side and runs the SAME batch closures locally. Above it,
@@ -678,6 +785,36 @@ class Engine:
         )
         if not terms or len(terms) > 256:
             return _empty_result()
+
+        # pure OR-of-terms + top-k -> MaxScore pruned path (block-max bounds)
+        pure_or = all(
+            not t.required and not t.excluded for t in qp.walk_terms(ranking_ast)
+        )
+        if pure_or and max_results is not None:
+            mult: dict[str, int] = {}
+            for tnode in qp.walk_terms(ranking_ast):
+                for kw in tnode.lowercase_keywords:
+                    mult[kw] = mult.get(kw, 0) + 1
+            acc_ids, acc_sc, matched = self._maxscore_topk(
+                terms, max_results, weights=mult
+            )
+            pos_order = np.lexsort((acc_ids, -acc_sc))[:max_results]
+            hit_ids = acc_ids[pos_order]
+            hit_sc = acc_sc[pos_order]
+            meta = self._doc_meta(hit_ids)
+            rows = [
+                dict(
+                    doc_id=int(d), repo=meta[int(d)][0], path=meta[int(d)][1],
+                    rank=i + 1, score=float(s), bm25_score=float(s),
+                    matched_terms=[
+                        t for t in terms
+                        if t in matched and d in matched[t]
+                    ],
+                )
+                for i, (d, s) in enumerate(zip(hit_ids, hit_sc))
+            ]
+            return _dicts_to_result(rows)
+
         postings = self._read_postings(terms)
         if not postings:
             return _empty_result()

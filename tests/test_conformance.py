@@ -134,3 +134,19 @@ def test_seen_parity(t2_rows, t2_index):
     for g, e in zip(got[:50], expected[:50]):
         assert g[0] == e[0] and g[1] == e[1]
         assert math.isclose(g[2], e[2], abs_tol=1e-9)
+
+
+def test_maxscore_matches_exhaustive(t2_index):
+    """MaxScore pruned top-k (block-max bounds) == exhaustive global
+    scoring, ids and order identical, scores equal to float tolerance."""
+    import numpy as np
+
+    engine = Engine(t2_index)
+    for q in ["keywordAlpha keywordBeta", "zetaTerm", "parse JSON html"]:
+        pruned = engine.search([q], mode="global", max_results=10).to_pylist()
+        full = engine.search([q], mode="global").to_pylist()[:10]
+        assert [r["doc_id"] for r in pruned] == [r["doc_id"] for r in full], q
+        assert np.allclose(
+            [r["score"] for r in pruned], [r["score"] for r in full],
+            rtol=1e-9,
+        ), q
