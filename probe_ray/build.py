@@ -404,6 +404,7 @@ def build_index(
     hot_threshold_frac: float = 0.05,
     batch_size: int = 256,
     overwrite: bool = False,
+    _fail_after: str | None = None,  # test hook: crash between stages
 ) -> IndexPaths:
     """Build the index from a corpus (parquet path/dir or a Dataset).
 
@@ -426,24 +427,60 @@ def build_index(
                 return paths
         except (json.JSONDecodeError, OSError):
             pass
+    # --- stage-level resume: a crashed build leaves out_dir.tmp with a
+    # stage ledger; a rerun with the same fingerprint skips completed
+    # stages (stage outputs are written to .part dirs then renamed, so a
+    # completed stage is always whole) ---
     tmp_root = out_dir + ".tmp"
+    stages_path = os.path.join(tmp_root, "stages.json")
+    done: set[str] = set()
     if os.path.exists(tmp_root):
-        shutil.rmtree(tmp_root)
+        try:
+            with open(stages_path) as f:
+                ledger = json.load(f)
+            if ledger.get("fingerprint") == fp:
+                done = set(ledger.get("done", []))
+            else:
+                shutil.rmtree(tmp_root)
+        except (OSError, json.JSONDecodeError):
+            shutil.rmtree(tmp_root)
     os.makedirs(tmp_root, exist_ok=True)
     tmp = IndexPaths(tmp_root)
 
-    ds = rd.read_parquet(corpus) if isinstance(corpus, str) else corpus
-    ds = ds.map_batches(guard_batch, batch_format="pyarrow", batch_size=batch_size)
-    ds = assign_doc_ids(ds)
+    def mark(stage: str) -> None:
+        done.add(stage)
+        with open(stages_path, "w") as f:
+            json.dump(dict(fingerprint=fp, done=sorted(done)), f)
 
-    # docs table: ONE streaming consume of the tokenize pipeline straight to
-    # parquet (no full materialization in the object store); downstream
-    # stages re-read it with column pruning (tokens only — content never
-    # moves again)
-    docs_pipe = ds.map_batches(
-        tokenize_batch, batch_format="pyarrow", batch_size=batch_size
-    )
-    docs_pipe.write_parquet(tmp.docs_dir, min_rows_per_file=8192)
+    def staged_write(pipeline_writer, final_dir: str) -> None:
+        part = final_dir + ".part"
+        if os.path.exists(part):
+            shutil.rmtree(part)
+        pipeline_writer(part)
+        os.rename(part, final_dir)
+
+    if "docs" not in done:
+        ds = rd.read_parquet(corpus) if isinstance(corpus, str) else corpus
+        ds = ds.map_batches(guard_batch, batch_format="pyarrow", batch_size=batch_size)
+        ds = assign_doc_ids(ds)
+
+        # docs table: ONE streaming consume of the tokenize pipeline straight
+        # to parquet (no full materialization in the object store);
+        # downstream stages re-read it with column pruning (tokens only —
+        # content never moves again)
+        docs_pipe = ds.map_batches(
+            tokenize_batch, batch_format="pyarrow", batch_size=batch_size
+        )
+        if os.path.exists(tmp.docs_dir):
+            shutil.rmtree(tmp.docs_dir)
+        staged_write(
+            lambda p: docs_pipe.write_parquet(p, min_rows_per_file=8192),
+            tmp.docs_dir,
+        )
+        mark("docs")
+
+    if _fail_after == "docs":
+        raise RuntimeError("injected failure after docs stage (test hook)")
 
     # stats from the narrow doc_len projection
     len_ds = rd.read_parquet(tmp.docs_dir, columns=["doc_len"])
@@ -462,15 +499,22 @@ def build_index(
         salt_shift = max(0, int(n_docs).bit_length() - int(salt_buckets).bit_length())
 
     # segments: partial encode per batch -> shuffle by (term, salt) -> merge
-    partial = make_partial_segments(hot, salt_shift)
-    merger = make_segment_merger(n_shards)
-    partials = tok_ds.map_batches(
-        partial, batch_format="pyarrow", batch_size=max(batch_size, 1024)
-    )
-    segments = partials.sort(["term", "salt"]).map_batches(
-        merger, batch_format="pyarrow"
-    )
-    segments.write_parquet(tmp.segments_dir, partition_cols=["shard"])
+    if "segments" not in done:
+        partial = make_partial_segments(hot, salt_shift)
+        merger = make_segment_merger(n_shards)
+        partials = tok_ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=max(batch_size, 1024)
+        )
+        segments = partials.sort(["term", "salt"]).map_batches(
+            merger, batch_format="pyarrow"
+        )
+        if os.path.exists(tmp.segments_dir):
+            shutil.rmtree(tmp.segments_dir)
+        staged_write(
+            lambda p: segments.write_parquet(p, partition_cols=["shard"]),
+            tmp.segments_dir,
+        )
+        mark("segments")
 
     with open(tmp.stats_path, "w") as f:
         json.dump(
@@ -486,6 +530,8 @@ def build_index(
         )
     with open(tmp.manifest_path, "w") as f:
         json.dump(dict(fingerprint=fp, params=params, complete=True), f)
+    if os.path.exists(stages_path):
+        os.remove(stages_path)
 
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)

@@ -106,3 +106,38 @@ def test_stats_consistency(t2_index):
     docs = pq.read_table(t2_index.docs_dir, columns=["doc_len"])
     assert stats["n_docs"] == docs.num_rows
     assert stats["sum_dl"] == sum(docs.column("doc_len").to_pylist())
+
+
+def test_mid_build_resume(ray_session, tmp_path):
+    """Crash after the docs stage; the rerun reuses the completed docs stage
+    (file mtimes unchanged) and finishes an identical index."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from probe_ray.build import build_index
+    from probe_ray.corpus import write_corpus
+
+    corpus = str(tmp_path / "c.parquet")
+    write_corpus(corpus, "t1")
+    out = str(tmp_path / "idx")
+
+    with _pytest.raises(RuntimeError, match="injected failure"):
+        build_index(corpus, out, _fail_after="docs")
+    tmp_docs = out + ".tmp/docs"
+    assert os.path.isdir(tmp_docs)
+    mtimes = {
+        f: os.path.getmtime(os.path.join(tmp_docs, f))
+        for f in os.listdir(tmp_docs)
+    }
+    time.sleep(0.05)
+    paths = build_index(corpus, out)  # resume
+    assert os.path.isdir(paths.segments_dir)
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(paths.docs_dir, f)) == m, (
+            "docs stage was recomputed on resume"
+        )
+    # and the resumed index equals a from-scratch one
+    ref = build_index(corpus, str(tmp_path / "idx2"))
+    assert paths.stats()["sum_dl"] == ref.stats()["sum_dl"]
