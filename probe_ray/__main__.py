@@ -1,0 +1,152 @@
+"""probe-ray CLI — the engine's counterpart of probe's subcommand surface
+(src/cli.rs:104-460): build, search, grep, extract, symbols, bench.
+
+Usage:
+  python -m probe_ray build  <corpus.parquet|dir> <index_dir> [--shards N]
+  python -m probe_ray search <index_dir> <query> [knobs...]
+  python -m probe_ray grep   <corpus> <pattern>
+  python -m probe_ray extract <corpus> <repo> <path> [--line N] [--context N]
+  python -m probe_ray symbols <corpus>
+
+This CLI owns its Ray session (the library never calls ray.init —
+the driver/tests own theirs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import logging
+
+    import ray
+    from ray.data import DataContext
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    return ray
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="probe_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("corpus")
+    b.add_argument("index_dir")
+    b.add_argument("--shards", type=int, default=16)
+    b.add_argument("--overwrite", action="store_true")
+
+    s = sub.add_parser("search")
+    s.add_argument("index_dir")
+    s.add_argument("query", nargs="+")
+    s.add_argument("--exact", action="store_true")
+    s.add_argument("--max-results", type=int, default=None)
+    s.add_argument("--max-bytes", type=int, default=None)
+    s.add_argument("--max-tokens", type=int, default=None)
+    s.add_argument("--language", default=None)
+    s.add_argument("--exclude-filenames", action="store_true")
+    s.add_argument("--files-only", action="store_true")
+    s.add_argument("--allow-tests", action="store_true",
+                   help="include test files (matches the reference flag)")
+    s.add_argument("--session", default=None)
+    s.add_argument("--mode", choices=["compat", "global"], default="compat")
+    s.add_argument("--json", action="store_true")
+
+    g = sub.add_parser("grep")
+    g.add_argument("corpus")
+    g.add_argument("pattern")
+
+    e = sub.add_parser("extract")
+    e.add_argument("corpus")
+    e.add_argument("repo")
+    e.add_argument("path")
+    e.add_argument("--line", type=int, default=None)
+    e.add_argument("--context", type=int, default=0)
+
+    y = sub.add_parser("symbols")
+    y.add_argument("corpus")
+
+    args = p.parse_args(argv)
+    ray = _init_ray(args.num_cpus)
+    try:
+        if args.cmd == "build":
+            from probe_ray.build import build_index
+
+            paths = build_index(
+                args.corpus, args.index_dir, n_shards=args.shards,
+                overwrite=args.overwrite,
+            )
+            print(json.dumps(paths.stats()))
+        elif args.cmd == "search":
+            from probe_ray.search import Engine
+
+            eng = Engine(args.index_dir)
+            result = eng.search(
+                args.query,
+                exact=args.exact,
+                max_results=args.max_results,
+                max_bytes=args.max_bytes,
+                max_tokens=args.max_tokens,
+                language=args.language,
+                include_filenames=not args.exclude_filenames,
+                files_only=args.files_only,
+                # CLI mirrors the reference default (tests EXCLUDED unless
+                # --allow-tests); the library default is include-all
+                allow_tests=args.allow_tests,
+                session=args.session,
+                mode=args.mode,
+            )
+            if args.json:
+                print(json.dumps(result.to_pylist()))
+            else:
+                for r in result.to_pylist():
+                    rank = r["rank"] if r["rank"] is not None else "-"
+                    print(f"{rank}\t{r['score']:.4f}\t{r['repo']}/{r['path']}\t"
+                          f"{','.join(r['matched_terms'])}")
+                print(f"# {json.dumps(eng.last_metrics)}", file=sys.stderr)
+        elif args.cmd == "grep":
+            import ray.data as rd
+
+            from probe_ray.tools import grep
+
+            ds = rd.read_parquet(args.corpus)
+            for r in grep(ds, args.pattern).take_all():
+                print(f"{r['repo']}/{r['path']}:{r['line_no']}:{r['line']}")
+        elif args.cmd == "extract":
+            import ray.data as rd
+
+            from probe_ray.tools import extract
+
+            ds = rd.read_parquet(args.corpus)
+            out = extract(ds, args.repo, args.path, args.line, args.context)
+            if out is None:
+                print("not found", file=sys.stderr)
+                return 1
+            print(out["code"])
+        elif args.cmd == "symbols":
+            import ray.data as rd
+
+            from probe_ray.tools import symbols
+
+            ds = rd.read_parquet(args.corpus)
+            for r in symbols(ds).take_all():
+                print(f"{r['repo']}/{r['path']}:{r['line_no']}\t{r['kind']}\t{r['name']}")
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

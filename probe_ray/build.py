@@ -516,6 +516,27 @@ def build_index(
         )
         mark("segments")
 
+    # build metrics: skew / partition-size evidence (SURVEY.md §5 "Skew":
+    # log()-style metrics on max partition size) + per-shard layout
+    metrics: dict = {}
+    try:
+        seg_meta = rd.read_parquet(
+            tmp.segments_dir, columns=["term", "shard", "df"]
+        )
+        shard_rows = seg_meta.groupby("shard").count().to_pandas()
+        df_col = seg_meta.map_batches(
+            lambda b: b.select(["df"]), batch_format="pyarrow"
+        )
+        metrics = dict(
+            n_terms=int(seg_meta.count()),
+            max_shard_rows=int(shard_rows["count()"].max()) if len(shard_rows) else 0,
+            min_shard_rows=int(shard_rows["count()"].min()) if len(shard_rows) else 0,
+            max_df=int(df_col.max("df")) if n_docs else 0,
+            n_hot_terms=len(hot),
+        )
+    except Exception:  # metrics are best-effort observability
+        pass
+
     with open(tmp.stats_path, "w") as f:
         json.dump(
             dict(
@@ -525,6 +546,7 @@ def build_index(
                 n_shards=n_shards,
                 salt_shift=salt_shift,
                 hot_terms=sorted(hot),
+                metrics=metrics,
             ),
             f,
         )

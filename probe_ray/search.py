@@ -75,6 +75,9 @@ class Engine:
         self.paths = index if isinstance(index, IndexPaths) else IndexPaths(index)
         self._stats = self.paths.stats()
         self._term_dict: np.ndarray | None = None
+        #: per-query observability (LimitedSearchResults-style counters:
+        #: models.rs:2-9): set by every search() call
+        self.last_metrics: dict = {}
 
     def _term_dictionary(self) -> np.ndarray:
         """All indexed terms (cached). Used for substring-candidate
@@ -531,11 +534,28 @@ class Engine:
         if session is not None:
             session_key = self._session_key(session, queries)
             seen = (seen or set()) | self._session_seen(session_key)
+        import time as _time
+
+        t0 = _time.time()
         if mode == "global":
-            return self._search_global(ctx, queries, max_results)
+            result = self._search_global(ctx, queries, max_results)
+            self.last_metrics = dict(
+                mode="global", results=result.num_rows,
+                wall_sec=round(_time.time() - t0, 4),
+            )
+            return result
         result = self._search_compat(
             ctx, queries, exact, max_results, max_bytes, max_tokens,
             files_only, seen, allow_tests,
+        )
+        ranks = result.column("rank").to_pylist()
+        self.last_metrics = dict(
+            mode="compat",
+            results=result.num_rows,
+            ranked=sum(1 for r in ranks if r is not None),
+            flagged=sum(1 for r in ranks if r is None),
+            specials=len(ctx.specials),
+            wall_sec=round(_time.time() - t0, 4),
         )
         if session_key is not None and not files_only:
             returned = {
