@@ -51,7 +51,7 @@ from probe_ray import codec
 from probe_ray import tokenizer as tok
 from probe_ray.oracle import MAX_FILE_SIZE
 
-DOCS_SCHEMA_VERSION = 1
+DOCS_SCHEMA_VERSION = 2
 
 
 # ---------------------------------------------------------------------------
@@ -94,15 +94,21 @@ def tokenize_batch(batch: pa.Table) -> pa.Table:
     Emits tokens (list<string>), n_content_tokens, doc_len."""
     contents = batch.column("content").to_pylist()
     paths = batch.column("path").to_pylist()
-    tokens_out, n_content, doc_lens = [], [], []
-    tokenize = tok.tokenize
+    tokens_out, n_content, doc_lens, shadows_out = [], [], [], []
     for content, path in zip(contents, paths):
-        ct = tokenize(content)
-        pt = tokenize(path)
+        ct, sh = tok.tokenize_with_shadows(content)
+        pt = tok.tokenize(path)
         tokens_out.append(ct + pt)
         n_content.append(len(ct))
         doc_lens.append(len(ct) + len(pt))
+        shadows_out.append(sh)
     out = batch.append_column("tokens", pa.array(tokens_out, pa.list_(pa.string())))
+    # shadow forms (stop words / unstemmed originals): indexed as tf=0
+    # postings so substring retrieval via term-dictionary expansion is
+    # complete (SURVEY.md §7.4); never part of the ranking vector
+    out = out.append_column(
+        "shadow_tokens", pa.array(shadows_out, pa.list_(pa.string()))
+    )
     out = out.append_column("n_content_tokens", pa.array(n_content, pa.int32()))
     out = out.append_column("doc_len", pa.array(doc_lens, pa.int32()))
     # narrow column for the per-query filename-match scan (query path reads
@@ -120,14 +126,17 @@ def _posting_rows(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     doc_ids = batch.column("doc_id").to_numpy()
     tokens_col = batch.column("tokens").to_pylist()
     n_content = batch.column("n_content_tokens").to_numpy()
+    shadows_col = batch.column("shadow_tokens").to_pylist()
     terms, ids, tfb = [], [], []
-    for did, toks, nc in zip(doc_ids, tokens_col, n_content):
+    for did, toks, nc, shadows in zip(doc_ids, tokens_col, n_content, shadows_col):
         nc = int(nc)
         # content and path token runs are each already deduplicated by
         # tokenize(), so only the cross-run overlap needs merging
         counts: dict[str, int] = dict.fromkeys(toks[:nc], 1)
         for t in toks[nc:]:
             counts[t] = counts.get(t, 0) + 16  # path bit
+        for t in shadows:  # tf=0 shadow postings (substring retrieval)
+            counts.setdefault(t, 0)
         terms.extend(counts.keys())
         ids.extend([did] * len(counts))
         tfb.extend(counts.values())
@@ -173,13 +182,14 @@ def make_partial_segments(hot_terms: dict[str, int], salt_shift: int):
                     blob, _, _ = codec.encode_postings(ids[s:e][m], tfb[s:e][m])
                     out_t.append(term)
                     out_s.append(int(sv))
-                    out_df.append(int(m.sum()))
+                    # df counts REAL (tf>0) postings only; shadows excluded
+                    out_df.append(int((tfb[s:e][m] > 0).sum()))
                     out_blob.append(blob)
             else:
                 blob, _, _ = codec.encode_postings(ids[s:e], tfb[s:e])
                 out_t.append(term)
                 out_s.append(0)
-                out_df.append(e - s)
+                out_df.append(int((tfb[s:e] > 0).sum()))
                 out_blob.append(blob)
         return pa.table(
             {
@@ -337,12 +347,14 @@ def sample_hot_terms(
     frac = min(1.0, sample_rows / max(n, 1))
     sample = (
         docs.random_sample(frac, seed=42)
-        .map_batches(lambda b: b.select(["tokens"]), batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.select(["tokens", "shadow_tokens"]), batch_format="pyarrow"
+        )
         .take_all()
     )
     df: dict[str, int] = {}
     for row in sample:
-        for t in set(row["tokens"]):
+        for t in set(row["tokens"]) | set(row["shadow_tokens"]):
             df[t] = df.get(t, 0) + 1
     cutoff = max(2, int(threshold_frac * len(sample)))
     return {t: c for t, c in df.items() if c >= cutoff}
@@ -489,7 +501,8 @@ def build_index(
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
 
     tok_ds = rd.read_parquet(
-        tmp.docs_dir, columns=["doc_id", "tokens", "n_content_tokens"]
+        tmp.docs_dir,
+        columns=["doc_id", "tokens", "n_content_tokens", "shadow_tokens"],
     )
 
     # hot terms for the salted shuffle (sampled from the tokens column)

@@ -229,6 +229,10 @@ class Engine:
                 continue
             ids_t = ids_u.astype(np.int64)
             tf = ((tfb & 0xF) + (tfb >> 4)).astype(np.float64)
+            real = tf > 0  # drop shadow postings
+            ids_t, tf = ids_t[real], tf[real]
+            if ids_t.size == 0:
+                continue
             if update_only:
                 # probe only at accumulated candidates (block-skip analogue)
                 pos = np.searchsorted(ids_t, acc_ids)
@@ -847,7 +851,13 @@ class Engine:
         )
         dl_map = self._doc_lens(all_ids)
 
-        idfs = {t: idf(n_docs, len(postings[t][0])) for t in postings}
+        idfs = {
+            t: idf(
+                n_docs,
+                int((((postings[t][1] & 0xF) + (postings[t][1] >> 4)) > 0).sum()),
+            )
+            for t in postings
+        }
         # dense local indexing of candidate doc ids
         pos = {int(d): i for i, d in enumerate(all_ids)}
         tf_mat = np.zeros((len(terms), all_ids.size), dtype=np.float64)
@@ -1017,8 +1027,10 @@ def _make_vector_verifier(ctx, lang_exts, fname_matches, ranking_terms,
             pid, ptf = pt
             idx = np.searchsorted(pid, ids)
             idx_c = np.minimum(idx, len(pid) - 1)
-            m = pid[idx_c] == ids
-            return m, np.where(m, ptf[idx_c], 0).astype(np.int32)
+            tf_at = np.where(pid[idx_c] == ids, ptf[idx_c], 0).astype(np.int32)
+            # token membership requires a REAL posting (tf > 0); tf=0 rows
+            # are shadow postings used only for substring candidate gen
+            return tf_at > 0, tf_at
 
         member = {}
         tfvals = {}

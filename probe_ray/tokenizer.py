@@ -299,20 +299,32 @@ def _process_token(
     negated: frozenset[str] | set[str],
     processed: set[str],
     result: list[str],
+    shadows: list[str] | None = None,
 ) -> list[str]:
     """Inner loop of tokenize for one raw token (tokenization.rs:2793-2848).
     Appends to result/processed; returns the 'check keys' (every
-    intermediate form a negation could veto) for the fast-path cache."""
+    intermediate form a negation could veto) for the fast-path cache.
+
+    ``shadows`` (optional) collects word forms that appear in the text but
+    are NOT emitted as tokens — stop words and unstemmed originals. The
+    index stores them as tf=0 "shadow" postings so that probe's
+    substring-based retrieval (a query term hiding inside 'by' or
+    'mappings') can be reproduced via term-dictionary expansion without a
+    content scan (SURVEY.md §7.4)."""
     keys: list[str] = []
     for part in split_camel_case(token, specials):
         lower_part = part.lower()
         if is_stop_word(lower_part):
+            if shadows is not None:
+                shadows.append(lower_part)
             continue
         keys.append(lower_part)
         if lower_part in negated:
             continue
         for compound_part in split_compound_word_for_filtering(lower_part, specials):
             if is_stop_word(compound_part):
+                if shadows is not None:
+                    shadows.append(compound_part)
                 continue
             keys.append(compound_part)
             if compound_part in negated:
@@ -327,6 +339,8 @@ def _process_token(
                 result.append(compound_part)
             stemmed = stem(compound_part)
             keys.append(stemmed)
+            if stemmed != compound_part and shadows is not None:
+                shadows.append(compound_part)  # unstemmed original
             if stemmed in negated:
                 continue
             if stemmed not in processed:
@@ -336,9 +350,10 @@ def _process_token(
 
 
 # per-worker cache: raw token -> (emissions assuming no negation applies,
-# negation check-keys). Only used when specials is EMPTY (index build and
-# plain queries); quoted/excluded queries take the uncached path.
-_TOKEN_CACHE: dict[str, tuple[tuple[str, ...], frozenset[str]]] = {}
+# negation check-keys, shadow forms). Only used when specials is EMPTY
+# (index build and plain queries); quoted/excluded queries take the
+# uncached path.
+_TOKEN_CACHE: dict[str, tuple[tuple[str, ...], frozenset[str], tuple[str, ...]]] = {}
 _TOKEN_CACHE_MAX = 500_000
 
 
@@ -349,14 +364,24 @@ def tokenize(text: str, specials: frozenset[str] = EMPTY) -> list[str]:
     is the query-scoped dynamic-special-term set (quoted exact / excluded
     keywords); pass EMPTY when building the static index.
     """
+    return tokenize_with_shadows(text, specials)[0]
+
+
+def tokenize_with_shadows(
+    text: str, specials: frozenset[str] = EMPTY
+) -> tuple[list[str], list[str]]:
+    """tokenize() plus the sorted shadow-form list (stop words / unstemmed
+    originals present in the text but absent from the token vector) —
+    consumed by the index build for tf=0 shadow postings."""
     raw_tokens, negated = _split_words(text)
     processed: set[str] = set()
     result: list[str] = []
+    shadows: list[str] = []
 
     if specials:
         for token in raw_tokens:
-            _process_token(token, specials, negated, processed, result)
-        return result
+            _process_token(token, specials, negated, processed, result, shadows)
+        return result, sorted(set(shadows) - set(result))
 
     cache = _TOKEN_CACHE
     for token in raw_tokens:
@@ -364,17 +389,21 @@ def tokenize(text: str, specials: frozenset[str] = EMPTY) -> list[str]:
         if hit is None:
             sub_processed: set[str] = set()
             sub_result: list[str] = []
-            keys = _process_token(token, EMPTY, EMPTY, sub_processed, sub_result)
-            hit = (tuple(sub_result), frozenset(keys))
+            sub_shadows: list[str] = []
+            keys = _process_token(
+                token, EMPTY, EMPTY, sub_processed, sub_result, sub_shadows
+            )
+            hit = (tuple(sub_result), frozenset(keys), tuple(sub_shadows))
             if len(cache) < _TOKEN_CACHE_MAX:
                 cache[token] = hit
-        emissions, keys = hit
+        emissions, keys, tok_shadows = hit
         if negated and not negated.isdisjoint(keys):
             # a negation touches this token: take the exact slow path
-            _process_token(token, EMPTY, negated, processed, result)
+            _process_token(token, EMPTY, negated, processed, result, shadows)
             continue
+        shadows.extend(tok_shadows)
         for t in emissions:
             if t not in processed:
                 processed.add(t)
                 result.append(t)
-    return result
+    return result, sorted(set(shadows) - set(result))
