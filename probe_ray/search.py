@@ -98,14 +98,17 @@ class Engine:
         return self._term_dict
 
     def _expand_substring_terms(self, needles: list[str]) -> dict[str, list[str]]:
-        """For each needle, the indexed terms containing it as a substring."""
+        """For each needle, the indexed terms containing it as a substring
+        (Arrow match_substring over the cached dictionary — C-speed)."""
         if not needles:
             return {}
         terms = self._term_dictionary()
+        if getattr(self, "_term_dict_arrow", None) is None:
+            self._term_dict_arrow = pa.array(terms.tolist(), pa.string())
+        arr = self._term_dict_arrow
         out: dict[str, list[str]] = {}
-        arr = terms.astype(str)
         for t in needles:
-            mask = np.char.find(arr, t) >= 0
+            mask = pc.match_substring(arr, t).to_numpy(zero_copy_only=False)
             out[t] = terms[mask].tolist()
         return out
 
@@ -261,22 +264,37 @@ class Engine:
 
     # Small-corpus fast path: below this doc count the per-query work is
     # dominated by Ray execution round-trips, so the engine pins the docs
-    # table driver-side and runs the SAME batch closures locally. Above it,
-    # every stage goes through Ray Data (the 10^12-scale path).
-    LOCAL_DOCS_MAX = 200_000
+    # table driver-side (content + lowered content, ~2x corpus bytes) and
+    # runs the SAME batch closures locally. Above it, every stage goes
+    # through Ray Data (the 10^12-scale path; conformance-tested by
+    # tests/test_distributed_paths.py). 1M docs ~ a few GB on this node.
+    LOCAL_DOCS_MAX = 1_000_000
     # candidate sets up to this size are verified on the driver (the verify
     # closure is single-threaded there); larger sets fan out via map_batches
     LOCAL_CAND_MAX = 2048
+    # same threshold for the VECTORIZED verifier (C-speed on the driver, so
+    # much higher); beyond it the verify fans out across the cluster
+    LOCAL_VECTOR_CAND_MAX = 100_000
 
     def _local_docs_table(self) -> pa.Table | None:
         if self._stats["n_docs"] > self.LOCAL_DOCS_MAX:
             return None
         if getattr(self, "_docs_cache", None) is None:
-            self._docs_cache = pq.read_table(
+            tbl = pq.read_table(
                 self.paths.docs_dir,
                 columns=["doc_id", "repo", "path", "lang", "content", "tokens",
                          "n_content_tokens", "path_tokens", "doc_len"],
             ).sort_by("doc_id")
+            # per-engine precomputations shared by every query: lowered
+            # content (injection substring checks) and byte sizes (limits)
+            tbl = tbl.append_column(
+                "content_lower", pc.utf8_lower(tbl.column("content"))
+            )
+            tbl = tbl.append_column(
+                "n_bytes_pre",
+                pc.binary_length(tbl.column("content").cast(pa.binary())),
+            )
+            self._docs_cache = tbl
         return self._docs_cache
 
     # -- filename matching --------------------------------------------------
@@ -660,6 +678,7 @@ class Engine:
         ) if use_vector else []
 
         cand_tbl = None  # local-path candidates (small candidate sets only)
+        cand_mask = None  # vector path: candidate mask over the full table
         cand_ds = None
         cols = ["doc_id", "repo", "path", "lang", "content", "doc_len"] + (
             [] if use_vector else ["tokens", "n_content_tokens"]
@@ -678,12 +697,19 @@ class Engine:
             cand_ids, postings = self._candidate_ids(ctx, fname_matches, extra_lookup)
             if cand_ids.size == 0:
                 return _empty_result()
-            go_local = local_tbl is not None and (
-                use_vector or cand_ids.size <= self.LOCAL_CAND_MAX
+            local_cap = (
+                self.LOCAL_VECTOR_CAND_MAX if use_vector else self.LOCAL_CAND_MAX
             )
+            go_local = local_tbl is not None and cand_ids.size <= local_cap
             if go_local:
                 mask = np.isin(local_tbl.column("doc_id").to_numpy(), cand_ids)
-                cand_tbl = local_tbl.filter(pa.array(mask))
+                if use_vector and cand_ids.size > 0.5 * self._stats["n_docs"]:
+                    # majority of the corpus: skip the table copy, verify
+                    # the full cached table under the candidate mask
+                    cand_tbl = local_tbl
+                    cand_mask = mask
+                else:
+                    cand_tbl = local_tbl.filter(pa.array(mask))
             else:
                 cand_ds = self._fetch_candidates(cand_ids, cols)
 
@@ -698,7 +724,9 @@ class Engine:
                 files_only=files_only, seen=seen, allow_tests=allow_tests,
             )
         if cand_tbl is not None:
-            feats_tbl = verify(cand_tbl)
+            feats_tbl = (
+                verify(cand_tbl, cand_mask) if use_vector else verify(cand_tbl)
+            )
         else:
             # distributed verify; only the NARROW feature rows (tf/dl/stats,
             # no content) come back to the driver for ranking
@@ -712,6 +740,9 @@ class Engine:
             rows = feats_tbl.to_pylist()
             rows.sort(key=lambda r: (f"{r['repo']}/{r['path']}", 1))
             rows = _apply_limits_rows(rows, max_results, max_bytes, max_tokens)
+            pt = sorted(plan.term_indices, key=plan.term_indices.__getitem__)
+            for r in rows:
+                r["matched_terms"] = _bits_to_terms(r.get("matched_bits", b""), pt)
             return _rows_to_result(rows, ranked=False)
 
         n = feats_tbl.num_rows
@@ -755,8 +786,9 @@ class Engine:
 
         repos_l = feats_tbl.column("repo").to_pylist()
         paths_l = feats_tbl.column("path").to_pylist()
-        kws_l = feats_tbl.column("rank_kws").to_pylist()
-        mts_l = feats_tbl.column("matched_terms").to_pylist()
+        kws_b = feats_tbl.column("kws_bits").to_pylist()
+        mts_b = feats_tbl.column("matched_bits").to_pylist()
+        plan_terms = sorted(plan.term_indices, key=plan.term_indices.__getitem__)
         flagged_order = sorted(
             flagged_pos.tolist(), key=lambda i: f"{repos_l[i]}/{paths_l[i]}"
         )
@@ -766,13 +798,14 @@ class Engine:
         out_rows = [
             dict(doc_id=int(ids_arr[i]), repo=repos_l[i], path=paths_l[i],
                  rank=r + 1, score=float(boosted_arr[i]),
-                 bm25_score=float(bm25_arr[i]), matched_terms=list(kws_l[i]))
+                 bm25_score=float(bm25_arr[i]),
+                 matched_terms=_bits_to_terms(kws_b[i], plan_terms))
             for r, i in enumerate(order.tolist())
         ]
         out_rows += [
             dict(doc_id=int(ids_arr[i]), repo=repos_l[i], path=paths_l[i],
                  rank=None, score=0.0, bm25_score=0.0,
-                 matched_terms=list(mts_l[i]))
+                 matched_terms=_bits_to_terms(mts_b[i], plan_terms))
             for i in flagged_order
         ]
         out_rows = _apply_limits_rows(out_rows, max_results, max_bytes, max_tokens,
@@ -958,12 +991,21 @@ _FEATS_SCHEMA = pa.schema(
         ("path", pa.string()),
         ("dl", pa.int32()),
         ("tf", pa.list_(pa.int32())),
-        ("matched_terms", pa.list_(pa.string())),
-        ("rank_kws", pa.list_(pa.string())),
+        # packed per-plan-term bitmasks (np.packbits over the alphabetical
+        # plan-term order); decoded to term lists only for FINAL output rows
+        ("matched_bits", pa.binary()),
+        ("kws_bits", pa.binary()),
         ("but", pa.int32()),
         ("n_bytes", pa.int64()),
     ]
 )
+
+
+def _bits_to_terms(bits: bytes, plan_terms: list[str]) -> list[str]:
+    if not bits or not plan_terms:
+        return []
+    arr = np.unpackbits(np.frombuffer(bits, dtype=np.uint8))[: len(plan_terms)]
+    return [t for t, b in zip(plan_terms, arr) if b]
 
 
 def _make_vector_verifier(ctx, lang_exts, fname_matches, ranking_terms,
@@ -1000,14 +1042,14 @@ def _make_vector_verifier(ctx, lang_exts, fname_matches, ranking_terms,
     fname_ref = ray.put(fname_matches)  # term -> sorted doc_id array
     rt_in_plan = {t for t in ranking_terms if t in term_indices}
 
-    def verify(batch: pa.Table) -> pa.Table:
+    def verify(batch: pa.Table, cand_mask=None) -> pa.Table:
         posts = ray.get(post_ref)
         fnames = ray.get(fname_ref)
         n = batch.num_rows
         if n == 0:
             return _FEATS_SCHEMA.empty_table()
         ids = batch.column("doc_id").to_numpy()
-        keep = np.ones(n, dtype=bool)
+        keep = np.ones(n, dtype=bool) if cand_mask is None else cand_mask.copy()
         paths = None
         if lang_exts is not None or not no_filters:
             paths = batch.column("path").to_pylist()
@@ -1038,15 +1080,16 @@ def _make_vector_verifier(ctx, lang_exts, fname_matches, ranking_terms,
             member[t], tfvals[t] = member_tf(t)
 
         # exact-literal injection (file_processing.rs:1353-1358), vectorized
-        content_col = batch.column("content")
         content_lower = None
+        if "content_lower" in batch.schema.names:  # engine-cached
+            content_lower = batch.column("content_lower")
         inj = {}
         inj_count = np.zeros(n, dtype=np.int32)
         for t in plan_terms:
             missing = ~member[t]
             if missing.any():
                 if content_lower is None:
-                    content_lower = pc.utf8_lower(content_col)
+                    content_lower = pc.utf8_lower(batch.column("content"))
                 sub = pc.match_substring(content_lower, t).to_numpy(
                     zero_copy_only=False
                 )
@@ -1110,18 +1153,21 @@ def _make_vector_verifier(ctx, lang_exts, fname_matches, ranking_terms,
         repos_l = batch.column("repo").to_pylist()
         if paths is None:
             paths = batch.column("path").to_pylist()
-        n_bytes = pc.binary_length(content_col.cast(pa.binary())).to_numpy(
-            zero_copy_only=False
-        )
-        matched_terms_out, rank_kws_out = [], []
-        for i in sel:
-            mt = [t for j, t in enumerate(plan_terms) if kws_mask[i, j]]
-            m2 = sorted(
-                t for t in plan_terms
-                if full[t][i]
-            )
-            matched_terms_out.append(m2)
-            rank_kws_out.append(mt)
+        if "n_bytes_pre" in batch.schema.names:
+            n_bytes = batch.column("n_bytes_pre").to_numpy()
+        else:
+            n_bytes = pc.binary_length(
+                batch.column("content").cast(pa.binary())
+            ).to_numpy(zero_copy_only=False)
+        if n_queries_terms:
+            matched_mat = np.stack([full[t] for t in plan_terms], axis=1)
+            matched_bits = np.packbits(matched_mat[sel], axis=1)
+            kws_bits = np.packbits(kws_mask[sel], axis=1)
+            mb_list = [b.tobytes() for b in matched_bits]
+            kb_list = [b.tobytes() for b in kws_bits]
+        else:
+            mb_list = [b""] * sel.size
+            kb_list = [b""] * sel.size
         return pa.table(
             {
                 "doc_id": pa.array(ids[sel], pa.int64()),
@@ -1129,8 +1175,8 @@ def _make_vector_verifier(ctx, lang_exts, fname_matches, ranking_terms,
                 "path": pa.array([paths[i] for i in sel], pa.string()),
                 "dl": pa.array(dl[sel], pa.int32()),
                 "tf": pa.array(tf_mat[sel].tolist(), pa.list_(pa.int32())),
-                "matched_terms": pa.array(matched_terms_out, pa.list_(pa.string())),
-                "rank_kws": pa.array(rank_kws_out, pa.list_(pa.string())),
+                "matched_bits": pa.array(mb_list, pa.binary()),
+                "kws_bits": pa.array(kb_list, pa.binary()),
                 "but": pa.array(but[sel], pa.int32()),
                 "n_bytes": pa.array(n_bytes[sel].astype(np.int64), pa.int64()),
             }
@@ -1161,6 +1207,17 @@ def _apply_limits_rows(rows, max_results, max_bytes, max_tokens, nbytes_by_id=No
     return out
 
 
+def _terms_to_bits(terms, plan_term_pos) -> bytes:
+    if not terms or not plan_term_pos:
+        return b""
+    arr = np.zeros(len(plan_term_pos), dtype=np.uint8)
+    for t in terms:
+        p = plan_term_pos.get(t)
+        if p is not None:
+            arr[p] = 1
+    return np.packbits(arr).tobytes()
+
+
 def _make_verifier(ctx, lang_exts, fname_matches, ranking_terms,
                    files_only=False, seen=None, allow_tests=True):
     plan = ctx.plan
@@ -1171,6 +1228,7 @@ def _make_verifier(ctx, lang_exts, fname_matches, ranking_terms,
     is_universal = plan.is_universal
     term_indices = plan.term_indices
     eval_fast = None if is_universal else qp.make_evaluator(plan.ast, term_indices)
+    plan_term_pos = {t: i for i, t in enumerate(sorted(term_indices, key=term_indices.__getitem__))}
     seen = seen or set()
     # invert term -> doc_id arrays into doc_id -> term set for the row loop
     by_doc: dict[int, set[str]] = {}
@@ -1191,7 +1249,7 @@ def _make_verifier(ctx, lang_exts, fname_matches, ranking_terms,
         fmatches = ray.get(fname_ref)
         out = {
             "doc_id": [], "repo": [], "path": [], "dl": [], "tf": [],
-            "matched_terms": [], "rank_kws": [], "but": [], "n_bytes": [],
+            "matched_bits": [], "kws_bits": [], "but": [], "n_bytes": [],
         }
         ids = batch.column("doc_id").to_pylist()
         repos = batch.column("repo").to_pylist()
@@ -1270,8 +1328,10 @@ def _make_verifier(ctx, lang_exts, fname_matches, ranking_terms,
             out["path"].append(path)
             out["dl"].append(dl)
             out["tf"].append(tf)
-            out["matched_terms"].append([] if files_only else sorted(matched))
-            out["rank_kws"].append(sorted(direct | compound))
+            out["matched_bits"].append(
+                b"" if files_only else _terms_to_bits(matched, plan_term_pos)
+            )
+            out["kws_bits"].append(_terms_to_bits(direct | compound, plan_term_pos))
             out["but"].append(len(direct) + len(compound))
             out["n_bytes"].append(len(content.encode("utf-8", "surrogatepass")))
         return pa.table(
@@ -1281,8 +1341,8 @@ def _make_verifier(ctx, lang_exts, fname_matches, ranking_terms,
                 "path": pa.array(out["path"], pa.string()),
                 "dl": pa.array(out["dl"], pa.int32()),
                 "tf": pa.array(out["tf"], pa.list_(pa.int32())),
-                "matched_terms": pa.array(out["matched_terms"], pa.list_(pa.string())),
-                "rank_kws": pa.array(out["rank_kws"], pa.list_(pa.string())),
+                "matched_bits": pa.array(out["matched_bits"], pa.binary()),
+                "kws_bits": pa.array(out["kws_bits"], pa.binary()),
                 "but": pa.array(out["but"], pa.int32()),
                 "n_bytes": pa.array(out["n_bytes"], pa.int64()),
             }
