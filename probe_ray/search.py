@@ -25,7 +25,6 @@ rule, and conformance tests assert engine == oracle exactly.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 
 import numpy as np
@@ -39,7 +38,7 @@ from probe_ray import codec
 from probe_ray import queryparse as qp
 from probe_ray import tokenizer as tok
 from probe_ray.build import IndexPaths
-from probe_ray.oracle import BM25_B, BM25_K1, coverage_boost, idf, score_expr
+from probe_ray.oracle import BM25_B, BM25_K1, idf, score_expr
 
 RESULT_SCHEMA = pa.schema(
     [
@@ -1403,36 +1402,6 @@ def _score_feats_vectorized(feats_tbl, ranking_ast, ranking_terms, idfs, avgdl,
     cov = np.minimum(but / n_queries, 1.0) if n_queries > 0 else np.zeros(n)
     boosted = bm25 * (1.0 + cov**1.5 * 2.0)
     return np.asarray(bm25, dtype=np.float64), boosted, valid
-
-
-def _make_scorer(ranking_ast, ranking_terms, idfs, avgdl, n_queries):
-    def scorer(batch: pa.Table) -> pa.Table:
-        scores, bm25s, has = [], [], []
-        tf_col = batch.column("tf").to_pylist()
-        dl_col = batch.column("dl").to_pylist()
-        but_col = batch.column("but").to_pylist()
-        for tf_list, dl, but in zip(tf_col, dl_col, but_col):
-            if ranking_ast is None:
-                has.append(False)
-                scores.append(0.0)
-                bm25s.append(0.0)
-                continue
-            tf = {t: v for t, v in zip(ranking_terms, tf_list) if v > 0}
-            s = score_expr(ranking_ast, tf, dl, avgdl, idfs)
-            if s is None:
-                has.append(False)
-                scores.append(0.0)
-                bm25s.append(0.0)
-            else:
-                has.append(True)
-                bm25s.append(s)
-                scores.append(s * coverage_boost(but, n_queries))
-        out = batch.append_column("bm25_score", pa.array(bm25s, pa.float64()))
-        out = out.append_column("score", pa.array(scores, pa.float64()))
-        out = out.append_column("has_score", pa.array(has, pa.bool_()))
-        return out
-
-    return scorer
 
 
 def _rows_to_result(rows, ranked: bool) -> pa.Table:
