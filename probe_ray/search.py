@@ -1270,8 +1270,20 @@ def _make_verifier(ctx, lang_exts, fname_matches, ranking_terms,
                     continue
             if not no_filters and not filters.matches_path(path):
                 continue
-            if specials:  # re-tokenize with query-scoped special terms
-                vector = tok.tokenize(content, specials) + tok.tokenize(path, specials)
+            if specials:
+                # dynamic special terms can only change tokenization of a
+                # doc whose content/path CONTAINS the special term text
+                # (is_special_case compares against words/parts that are
+                # substrings of the text); others reuse stored tokens
+                cl = content.lower()
+                pl = path.lower()
+                if any(s in cl or s in pl for s in specials):
+                    vector = (
+                        tok.tokenize(content, specials)
+                        + tok.tokenize(path, specials)
+                    )
+                else:
+                    vector = tokens
             else:
                 vector = tokens
             vec_set = set(vector)
