@@ -105,6 +105,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": T.quality_score,
         "lang_distribution": T.lang_distribution,
         "grep_count": T.grep_count,
+        "source_stats": T.source_stats,
+        # --- streaming-shaped windows over events (SQL-checked) ---
+        "events_tumbling_hourly": T.events_tumbling_hourly,
+        "events_sessionize": T.events_sessionize,
         # --- boolean retrieval + BM25 over documents (SQL-checked) ---
         "search_and": T.search_and,
         "search_or": T.search_or,
@@ -146,6 +150,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     toks = SIMPLE_TOKENS_SQL
     return {
+        "source_stats": f"""
+            WITH t AS (
+              SELECT source, len({toks}) AS n FROM documents
+            )
+            SELECT source, count(*) AS n_docs, sum(n)::BIGINT AS total_tokens,
+                   max(n) AS max_tokens,
+                   sum(n)::DOUBLE / count(*) AS avg_tokens
+            FROM t GROUP BY source ORDER BY source
+        """,
+        "events_tumbling_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events,
+                   sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT AS value_sum_micros
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+            ORDER BY event_type, window_start
+        """,
+        "events_sessionize": """
+            WITH ordered AS (
+              SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events
+            ),
+            flagged AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN prev_ts IS NULL
+                          OR ts - prev_ts > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_session
+              FROM ordered
+            ),
+            sessions AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM sessions GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
+        """,
         "grep_count": r"""
             SELECT doc_id, len(regexp_extract_all(text, 'ba[a-z]+')) AS n_matches
             FROM documents

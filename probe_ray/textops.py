@@ -844,3 +844,119 @@ def grep_count(sf_dir: str, pattern: str = "ba[a-z]+") -> rd.Dataset:
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(scan, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shaped ops over the events table (Ray Data has no event-time
+# windows; windows are expressed as groupby(key).map_groups over ts-sorted
+# groups — the pattern the engine would use for any stream-shaped input)
+# ---------------------------------------------------------------------------
+
+def _events(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def events_tumbling_hourly(sf_dir: str) -> pa.Table:
+    """Tumbling 1-hour windows per event_type: count + sum(value).
+    Pre-aggregated per batch before the groupby shuffle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("us"))
+        hour = pc.floor_temporal(ts, unit="hour")
+        # fixed-point micros so the distributed sum is EXACT (float sums
+        # are order-dependent and would not hash-match the SQL oracle)
+        micros = np.rint(
+            batch.column("value").to_numpy() * 1e6
+        ).astype(np.int64)
+        tbl = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "window_start": hour,
+                "n": pa.array([1] * batch.num_rows, pa.int64()),
+                "value_micros": pa.array(micros, pa.int64()),
+            }
+        )
+        df = tbl.to_pandas()
+        agg = df.groupby(["event_type", "window_start"], as_index=False).agg(
+            n=("n", "sum"), value_micros=("value_micros", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    agg = (
+        _events(sf_dir, ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            rd.aggregate.Sum("n", alias_name="n_events"),
+            rd.aggregate.Sum("value_micros", alias_name="value_sum_micros"),
+        )
+    )
+    df = agg.to_pandas().sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["event_type", "window_start", "n_events", "value_sum_micros"]]
+    )
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> pa.Table:
+    """Session windows per user (new session when the gap to the previous
+    event exceeds ``gap_minutes``): (user_id, session_id, n_events,
+    session_start, session_end). groupby(user).map_groups over ts-sorted
+    groups — the ordered-log pattern for stream-shaped tables."""
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        ts = g["ts"].values
+        new_session = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new_session[1:] = (ts[1:] - ts[:-1]) > gap
+        session_id = np.cumsum(new_session)
+        g = g.assign(session_id=session_id)
+        out = g.groupby("session_id", as_index=False).agg(
+            user_id=("user_id", "first"),
+            n_events=("event_id", "count"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+        )
+        return out[["user_id", "session_id", "n_events", "session_start", "session_end"]]
+
+    df = (
+        _events(sf_dir, ["event_id", "ts", "user_id"])
+        .groupby("user_id")
+        .map_groups(sessionize, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df)
+
+
+def source_stats(sf_dir: str) -> pa.Table:
+    """Per-source document statistics (groupby + multiple aggregates)."""
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n_tokens": pa.array(
+                    [len(simple_tokens(t)) for t in texts], pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(tok_counts, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            rd.aggregate.Count(alias_name="n_docs"),
+            rd.aggregate.Sum("n_tokens", alias_name="total_tokens"),
+            rd.aggregate.Max("n_tokens", alias_name="max_tokens"),
+        )
+    )
+    df = agg.to_pandas().sort_values("source").reset_index(drop=True)
+    df["avg_tokens"] = df["total_tokens"] / df["n_docs"]
+    return pa.Table.from_pandas(
+        df[["source", "n_docs", "total_tokens", "max_tokens", "avg_tokens"]]
+    )
