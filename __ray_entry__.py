@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": T.lang_distribution,
         "grep_count": T.grep_count,
         "source_stats": T.source_stats,
+        "pricing_summary": T.pricing_summary,
+        "top_customers_by_orders": T.top_customers_by_orders,
         # --- streaming-shaped windows over events (SQL-checked) ---
         "events_tumbling_hourly": T.events_tumbling_hourly,
         "events_sessionize": T.events_sessionize,
@@ -158,6 +160,25 @@ def oracle_sql() -> dict[str, str]:
                    max(n) AS max_tokens,
                    sum(n)::DOUBLE / count(*) AS avg_tokens
             FROM t GROUP BY source ORDER BY source
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT AS sum_qty_cents,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_price_cents,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_customers_by_orders": """
+            WITH t AS (
+              SELECT o_custkey AS c_custkey,
+                     count(*) AS n_orders,
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS total_cents
+              FROM orders GROUP BY o_custkey
+            )
+            SELECT t.c_custkey, c.c_name, t.n_orders, t.total_cents
+            FROM t JOIN customer c ON c.c_custkey = t.c_custkey
+            ORDER BY t.total_cents DESC, t.c_custkey LIMIT 25
         """,
         "events_tumbling_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,

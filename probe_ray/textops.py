@@ -960,3 +960,90 @@ def source_stats(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(
         df[["source", "n_docs", "total_tokens", "max_tokens", "avg_tokens"]]
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational wide-step demos over the TPC-H-ish tables (pre-aggregate before
+# the shuffle; broadcast the small join side — the engine's standard moves)
+# ---------------------------------------------------------------------------
+
+def pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-style pricing summary over lineitem (fixed-point cents so
+    distributed sums hash-match the SQL oracle exactly)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = np.rint(batch.column("l_quantity").to_numpy() * 100).astype(np.int64)
+        price = np.rint(batch.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        df = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty_cents": pa.array(qty, pa.int64()),
+                "price_cents": pa.array(price, pa.int64()),
+                "n": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        ).to_pandas()
+        agg = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    agg = (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            rd.aggregate.Sum("qty_cents", alias_name="sum_qty_cents"),
+            rd.aggregate.Sum("price_cents", alias_name="sum_price_cents"),
+            rd.aggregate.Sum("n", alias_name="count_order"),
+        )
+    )
+    df = agg.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["l_returnflag", "l_linestatus", "sum_qty_cents", "sum_price_cents", "count_order"]]
+    )
+
+
+def top_customers_by_orders(sf_dir: str, k: int = 25) -> pa.Table:
+    """Join orders to customer and rank customers by total order value.
+    The customer table is SMALL -> broadcast dict lookup inside map_batches
+    (no shuffle join)."""
+    import pyarrow.parquet as _pq
+
+    cust = _pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    name_by_key = dict(
+        zip(cust.column("c_custkey").to_pylist(), cust.column("c_name").to_pylist())
+    )
+    ref = ray.put(name_by_key)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        df = pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "total_cents": pa.array(cents, pa.int64()),
+                "n": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        ).to_pandas()
+        agg = df.groupby("o_custkey", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            rd.aggregate.Sum("total_cents", alias_name="total_cents"),
+            rd.aggregate.Sum("n", alias_name="n_orders"),
+        )
+    )
+    df = agg.to_pandas().sort_values(
+        ["total_cents", "o_custkey"], ascending=[False, True]
+    ).head(k).reset_index(drop=True)
+    names = ray.get(ref)
+    df["c_name"] = [names.get(ck, "") for ck in df["o_custkey"]]
+    df = df.rename(columns={"o_custkey": "c_custkey"})
+    return pa.Table.from_pandas(df[["c_custkey", "c_name", "n_orders", "total_cents"]])
