@@ -141,6 +141,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "probe_search_required": probe_search("+spark window"),
         "probe_search_exclusion": probe_search("spark -window"),
         "probe_search_exact": probe_search('"batch"'),
+        "probe_search_files_only": probe_search("spark -window", files_only=True),
+        "probe_search_limited": probe_search("spark OR vector", max_results=20,
+                                             max_bytes=200_000),
         "probe_search_global_topk": probe_search_global("spark join", max_results=50),
     }
 
