@@ -150,3 +150,18 @@ def test_maxscore_matches_exhaustive(t2_index):
             [r["score"] for r in pruned], [r["score"] for r in full],
             rtol=1e-9,
         ), q
+
+
+@pytest.mark.parametrize("query", ["keywordAlpha", "zetaTerm OR whitelist", "auth"])
+def test_t1_rank_identity_with_guard_rows(query, t1_index):
+    """Rank identity also on the t1 corpus, whose input includes
+    guard-violating rows (NUL, >1 MiB, 3000-char lines)."""
+    from probe_ray.corpus import generate_rows
+
+    rows = generate_rows("t1")
+    expected = _oracle_rows(oracle_search(rows, [query]))
+    got = _engine_rows(Engine(t1_index).search([query]))
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        assert g[0] == e[0] and g[1] == e[1]
+        assert math.isclose(g[2], e[2], abs_tol=1e-9)
