@@ -527,6 +527,7 @@ class Engine:
         session: str | None = None,
         seen: set[str] | None = None,
         allow_tests: bool = True,
+        exhaustive: bool = False,
         mode: str = "compat",
     ) -> pa.Table:
         """Search the index.
@@ -567,7 +568,7 @@ class Engine:
             return result
         result = self._search_compat(
             ctx, queries, exact, max_results, max_bytes, max_tokens,
-            files_only, seen, allow_tests,
+            files_only, seen, allow_tests, exhaustive,
         )
         ranks = result.column("rank").to_pylist()
         self.last_metrics = dict(
@@ -634,6 +635,7 @@ class Engine:
         files_only: bool = False,
         seen: set[str] | None = None,
         allow_tests: bool = True,
+        exhaustive: bool = False,
     ) -> pa.Table:
         plan = ctx.plan
         local_tbl = self._local_docs_table()
@@ -694,6 +696,10 @@ class Engine:
                 cand_ds = self._docs_ds(cols)
         else:
             cand_ids, postings = self._candidate_ids(ctx, fname_matches, extra_lookup)
+            if exhaustive:
+                # full-scan mode: every doc is a candidate (probe's actual
+                # behavior); verification decides
+                cand_ids = np.arange(self._stats["n_docs"], dtype=np.int64)
             if cand_ids.size == 0:
                 return _empty_result()
             local_cap = (

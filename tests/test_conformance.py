@@ -165,3 +165,19 @@ def test_t1_rank_identity_with_guard_rows(query, t1_index):
     for g, e in zip(got, expected):
         assert g[0] == e[0] and g[1] == e[1]
         assert math.isclose(g[2], e[2], abs_tol=1e-9)
+
+
+def test_exhaustive_closes_cross_boundary_substring_gap(t2_rows, t2_index):
+    """'dalpha' only occurs ACROSS the camel split of keywordAlpha — the
+    index candidate generation cannot see it (documented narrowing), but
+    exhaustive=True (probe's full-scan behavior) matches the oracle."""
+    expected = _oracle_rows(oracle_search(t2_rows, ["dalpha"]))
+    assert expected, "oracle should match via substring injection"
+    engine = Engine(t2_index)
+    default = engine.search(["dalpha"]).to_pylist()
+    assert default == []  # the documented narrowing
+    got = _engine_rows(engine.search(["dalpha"], exhaustive=True))
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        assert g[0] == e[0] and g[1] == e[1]
+        assert math.isclose(g[2], e[2], abs_tol=1e-9)
