@@ -38,7 +38,13 @@ def _corpus_from_documents(sf_dir: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # cache key includes the SOURCE file's size+mtime so regenerated input
+    # data invalidates the cached corpus (and, via the same tag, the index)
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{int(st.st_mtime)}".encode()
+    ).hexdigest()[:10]
     out = f"/tmp/probe_ray_corpus_{tag}.parquet"
     if os.path.exists(out):
         return out
@@ -67,7 +73,10 @@ def _engine_for(sf_dir: str):
     from probe_ray.search import Engine
 
     corpus = _corpus_from_documents(sf_dir)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # index dir keyed on the corpus cache tag -> regenerated inputs rebuild
+    tag = os.path.basename(corpus).replace("probe_ray_corpus_", "").replace(
+        ".parquet", ""
+    )
     paths = build_index(corpus, f"/tmp/probe_ray_index_{tag}")
     return Engine(paths)
 
@@ -127,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": T.knn_cosine,                    # SQL-checked
         "knn_lsh": T.knn_lsh,                          # rows-only (approx)
         "embedding_cosine_dedup": T.embedding_cosine_dedup,  # rows-only
+        "embedding_cosine_window_pairs": T.embedding_cosine_window_pairs,  # SQL-checked
         # --- language id (heuristic; rows-only) ---
         "langid_heuristic": T.langid_heuristic,
         # --- multimodal plumbing (sha/bytes SQL-checked) ---
@@ -336,6 +346,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT row_number() OVER (ORDER BY sim DESC, vec_id) AS rank, vec_id
             FROM s ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        "embedding_cosine_window_pairs": """
+            WITH t AS (SELECT vec_id, embedding FROM embeddings)
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+            FROM t a JOIN t b
+              ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 100
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+            ORDER BY vec_id_a, vec_id_b
         """,
         "media_features": """
             SELECT doc_id, octet_length(encode(text)) AS n_bytes,

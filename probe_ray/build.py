@@ -402,7 +402,13 @@ def _fingerprint(corpus, params: dict) -> str:
             st = os.stat(p)
             h.update(f"{p}:{st.st_size}:{int(st.st_mtime)}".encode())
     else:
-        h.update(b"<dataset>")
+        # Dataset corpora: CONTENT fingerprint (row count + schema + sampled
+        # row hashes) — a constant marker would silently reuse a stale index
+        # built from a different Dataset via the manifest resume check
+        h.update(str(corpus.count()).encode())
+        h.update(str(corpus.schema()).encode())
+        for row in corpus.limit(64).take_all():
+            h.update(repr(sorted(row.items())).encode())
     h.update(json.dumps(params, sort_keys=True).encode())
     return h.hexdigest()
 

@@ -964,23 +964,50 @@ class Engine:
         return _dicts_to_result(rows)
 
     def _doc_lens(self, ids: np.ndarray) -> dict[int, int]:
-        tbl = pq.read_table(self.paths.docs_dir, columns=["doc_id", "doc_len"])
-        d = tbl.column("doc_id").to_numpy()
-        l = tbl.column("doc_len").to_numpy()
-        mask = np.isin(d, ids)
-        return dict(zip(d[mask].tolist(), l[mask].tolist()))
+        """doc_id -> doc_len for the given ids. Served from the engine's
+        cached dense array below LOCAL_DOCS_MAX (no per-query table read);
+        above it, a doc_id parquet predicate prunes row groups (doc files
+        are doc_id-sorted by construction)."""
+        if self._stats["n_docs"] <= self.LOCAL_DOCS_MAX:
+            arr = self._doc_len_array()
+            return {int(i): int(arr[int(i)]) for i in ids}
+        tbl = pq.read_table(
+            self.paths.docs_dir,
+            columns=["doc_id", "doc_len"],
+            filters=[("doc_id", "in", [int(i) for i in ids])],
+        )
+        return dict(
+            zip(tbl.column("doc_id").to_pylist(), tbl.column("doc_len").to_pylist())
+        )
 
     def _doc_meta(self, ids: np.ndarray) -> dict[int, tuple[str, str]]:
-        tbl = pq.read_table(self.paths.docs_dir, columns=["doc_id", "repo", "path"])
-        d = tbl.column("doc_id").to_numpy()
-        mask = np.isin(d, ids)
-        sub = tbl.filter(pa.array(mask))
+        """doc_id -> (repo, path). Engine-cached object arrays below
+        LOCAL_DOCS_MAX (read once per engine, not per query); row-group
+        predicate read above it (final-result ids only — small)."""
+        if self._stats["n_docs"] <= self.LOCAL_DOCS_MAX:
+            if getattr(self, "_meta_cache", None) is None:
+                tbl = pq.read_table(
+                    self.paths.docs_dir, columns=["doc_id", "repo", "path"]
+                )
+                d = tbl.column("doc_id").to_numpy()
+                repo = np.empty(self._stats["n_docs"], dtype=object)
+                path = np.empty(self._stats["n_docs"], dtype=object)
+                repo[d] = tbl.column("repo").to_pylist()
+                path[d] = tbl.column("path").to_pylist()
+                self._meta_cache = (repo, path)
+            repo, path = self._meta_cache
+            return {int(i): (repo[int(i)], path[int(i)]) for i in ids}
+        tbl = pq.read_table(
+            self.paths.docs_dir,
+            columns=["doc_id", "repo", "path"],
+            filters=[("doc_id", "in", [int(i) for i in ids])],
+        )
         return {
             int(i): (r, p)
             for i, r, p in zip(
-                sub.column("doc_id").to_pylist(),
-                sub.column("repo").to_pylist(),
-                sub.column("path").to_pylist(),
+                tbl.column("doc_id").to_pylist(),
+                tbl.column("repo").to_pylist(),
+                tbl.column("path").to_pylist(),
             )
         }
 
