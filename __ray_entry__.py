@@ -105,6 +105,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return run
 
+    def probe_search_blocks(query, **opts):
+        def run(sf_dir):
+            tbl = _engine_for(sf_dir).search_blocks([query], **opts)
+            # drop the code text for the correctness harness (hash stability
+            # over narrow columns; the code column is exercised in pytest)
+            return tbl.drop_columns(["code"])
+
+        return run
+
     return {
         # --- text statistics / analysis (SQL-checked) ---
         "doc_stats": T.doc_stats,
@@ -154,6 +163,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "probe_search_files_only": probe_search("spark -window", files_only=True),
         "probe_search_limited": probe_search("spark OR vector", max_results=20,
                                              max_bytes=200_000),
+        "probe_search_blocks": probe_search_blocks("spark join"),
+        "probe_search_blocks_topk": probe_search_blocks("spark OR vector",
+                                                        max_results=25),
         "probe_search_global_topk": probe_search_global("spark join", max_results=50),
     }
 

@@ -260,6 +260,248 @@ def apply_limits(
     return out
 
 
+@dataclass
+class BlockHit:
+    doc_id: int
+    repo: str
+    path: str
+    start: int
+    end: int
+    node_type: str
+    rank: int | None
+    score: float
+    bm25_score: float
+    matched_keywords: list[str] = field(default_factory=list)
+    matched_lines: list[int] = field(default_factory=list)
+    code: str = ""
+
+    @property
+    def file(self) -> str:
+        return f"{self.repo}/{self.path}"
+
+
+def oracle_search_blocks(
+    docs: list[Doc],
+    queries: list[str],
+    exact: bool = False,
+    max_results: int | None = None,
+    max_bytes: int | None = None,
+    max_tokens: int | None = None,
+    language: str | None = None,
+    include_filenames: bool = True,
+    allow_tests: bool = True,
+    seen: set[str] | None = None,
+    no_merge: bool = False,
+    merge_threshold: int | None = None,
+) -> list[BlockHit]:
+    """Block-granularity oracle: the reference's ACTUAL output unit.
+
+    Pipeline (search_runner.rs:900-1595 + file_processing.rs fallback path —
+    this corpus is unsupported-language, so the fallback extractor IS the
+    extractor):
+
+    1. line-level term matches from generated literal patterns
+       (blocks.term_patterns / line_term_matches; query.rs:415-646),
+       filename matches mark ALL lines (search_runner.rs:592-614);
+    2. early file filter: evaluate(matched terms, ignore_negatives=True)
+       (search_runner.rs:637-686);
+    3. fallback context extraction per file (blocks.extract_fallback_blocks;
+       file_processing.rs:473-1048);
+    4. block ranking: candidate-set BM25 over block token vectors
+       (result_ranking.rs:118-333) with per-block coverage + node-type
+       boosts; positional-overwrite quirk for score-vetoed blocks
+       (result_ranking.rs:337-358);
+    5. secondary sort (rank, then (file, start)) (search_runner.rs:1334-1359);
+    6. apply_limits over block code bytes with the estimated-results
+       iteration cap (search_limiter.rs:22-226);
+    7. contained-block dedup (block_merging.rs:17-118);
+    8. adjacent merge, threshold 5, unless no_merge (block_merging.rs:131-360).
+
+    Deviations (documented): candidate order is canonical (doc_id, start)
+    — the reference's is rayon-scheduling-dependent; sessions stay at
+    document granularity (cache.rs stores block keys); universal queries
+    are out of scope here (document-mode search covers them).
+    """
+    from probe_ray import blocks as blk
+
+    plan, filters = qp.plan_query(queries, exact)
+    if plan.is_universal:
+        raise NotImplementedError(
+            "universal (filter-only) queries return whole files; use the "
+            "document-granularity search"
+        )
+    specials = plan.specials
+    ast_all_exact = qp.is_exact_search(plan.ast)
+    filenames_enabled = include_filenames and not exact and not ast_all_exact
+    term_indices = plan.term_indices
+    patterns = blk.term_patterns(plan)
+
+    lang_exts = None
+    if language:
+        lang_exts = qp._LANG_EXTENSIONS.get(qp.normalize_language(language))
+
+    def path_admitted(doc: Doc) -> bool:
+        if not allow_tests:
+            from probe_ray.tools import is_test_file
+
+            if is_test_file(doc.path, doc.content):
+                return False
+        if lang_exts is not None:
+            ext = doc.path.rsplit(".", 1)[-1].lower() if "." in doc.path else None
+            if ext is None or ext not in lang_exts:
+                return False
+        return filters.matches_path(doc.path)
+
+    # --- per-doc block extraction in canonical (doc_id, window) order ---
+    candidates: list[tuple[Doc, dict]] = []
+    for doc in docs:
+        if not path_admitted(doc):
+            continue
+        lines = doc.content.split("\n")
+        term_map = blk.line_term_matches(lines, patterns)
+        if filenames_enabled:
+            fn_terms = filename_match_terms(doc.path, term_indices, specials)
+            if fn_terms:
+                all_ln = set(range(1, len(lines) + 1))
+                for t in fn_terms:
+                    term_map.setdefault(term_indices[t], set()).update(all_ln)
+        if not term_map:
+            continue
+        if not qp.evaluate(plan.ast, set(term_map), term_indices, True):
+            continue  # early file filter (ignore negatives)
+        if seen and doc.file in seen:
+            continue  # session anti-join at document granularity
+        for b in blk.extract_fallback_blocks(
+            lines, doc.path, term_map, plan, specials,
+            allow_tests=allow_tests, exact=exact,
+        ):
+            b["doc_id"] = doc.doc_id
+            b["repo"] = doc.repo
+            b["file"] = doc.file
+            candidates.append((doc, b))
+
+    def to_hit(doc: Doc, b: dict, rank, score, bm25) -> BlockHit:
+        return BlockHit(
+            doc_id=doc.doc_id, repo=doc.repo, path=doc.path,
+            start=b["start"], end=b["end"], node_type=b["node_type"],
+            rank=rank, score=score, bm25_score=bm25,
+            matched_keywords=list(b["matched_keywords"]),
+            matched_lines=list(b["matched_lines"]), code=b["code"],
+        )
+
+    if exact or ast_all_exact:
+        hits = [to_hit(d, b, None, 0.0, 0.0) for d, b in candidates]
+        hits.sort(key=lambda h: (h.file, h.start))
+    else:
+        try:
+            ranking_ast, _ = qp.parse_query(" ".join(queries), False)
+        except qp.ParseError:
+            ranking_ast = None
+        n = len(candidates)
+        hits_ranked: list[BlockHit] = []
+        flagged: list[BlockHit] = []
+        if ranking_ast is not None and n > 0:
+            query_terms = {
+                kw for t in qp.walk_terms(ranking_ast) for kw in t.lowercase_keywords
+            }
+            if len(query_terms) > MAX_QUERY_TERMS:
+                ranked = []
+            else:
+                vectors = [b["tokenized"] for _, b in candidates]
+                dls = [len(v) for v in vectors]
+                avgdl = sum(dls) / n if n else 0.0
+                vec_sets = [set(v) for v in vectors]
+                dfs = {t: sum(1 for s in vec_sets if t in s) for t in query_terms}
+                idfs = {t: idf(n, df) for t, df in dfs.items() if df > 0}
+                tfs = []
+                for v in vectors:
+                    tf: dict[str, int] = {}
+                    for token in v:
+                        if token in query_terms:
+                            tf[token] = tf.get(token, 0) + 1
+                    tfs.append(tf)
+                scored = [
+                    (i, score_expr(ranking_ast, tfs[i], dls[i], avgdl, idfs))
+                    for i in range(n)
+                ]
+                ranked = [(i, s) for i, s in scored if s is not None]
+                ranked.sort(key=lambda p: (-p[1], p[0]))
+            boosted_list = []
+            for pos, (i, bm25) in enumerate(ranked):
+                _, b = candidates[i]
+                boosted = (
+                    bm25
+                    * coverage_boost(b["but"], len(queries))
+                    * blk.node_type_boost(b["node_type"], b["start"], b["end"])
+                )
+                boosted_list.append((pos, i, bm25, boosted))
+            boosted_list.sort(key=lambda x: (-x[3], x[0]))
+            for rank0, (_, i, bm25, boosted) in enumerate(boosted_list):
+                d, b = candidates[i]
+                hits_ranked.append(to_hit(d, b, rank0 + 1, boosted, bm25))
+            k = len(hits_ranked)
+            for d, b in candidates[k:]:
+                flagged.append(to_hit(d, b, None, 0.0, 0.0))
+            flagged.sort(key=lambda h: (h.file, h.start))
+        hits = hits_ranked + flagged
+
+    # --- limits over block code bytes (search_limiter.rs:22-226) ---
+    if max_results is not None or max_bytes is not None or max_tokens is not None:
+        max_iter = min(max_results if max_results is not None else 1000, len(hits))
+        out: list[BlockHit] = []
+        total_bytes = 0
+        total_tokens = 0
+        for idx, h in enumerate(hits):
+            if idx >= max_iter:
+                break
+            size = len(h.code.encode("utf-8", "surrogatepass"))
+            if max_results is not None and len(out) >= max_results:
+                break
+            if max_bytes is not None and total_bytes + size > max_bytes and out:
+                break
+            toks = estimate_tokens(size)
+            if max_tokens is not None and total_tokens + toks > max_tokens and out:
+                break
+            total_bytes += size
+            total_tokens += toks
+            out.append(h)
+        hits = out
+
+    # --- contained dedup + adjacent merge over dict rows ---
+    rows = [
+        dict(
+            doc_id=h.doc_id, repo=h.repo, path=h.path, file=h.file,
+            start=h.start, end=h.end, node_type=h.node_type, rank=h.rank,
+            score=h.score, bm25_score=h.bm25_score,
+            matched_keywords=h.matched_keywords, matched_lines=h.matched_lines,
+            code=h.code, but=None, total=None,
+        )
+        for h in hits
+    ]
+    from probe_ray import blocks as _b
+
+    rows = _b.dedupe_contained_blocks(rows)
+    if not no_merge:
+        file_lines = {
+            d.file: d.content.split("\n")
+            for d in docs
+            if d.file in {r["file"] for r in rows}
+        }
+        rows = _b.merge_ranked_blocks(
+            rows, merge_threshold or _b.MERGE_THRESHOLD_DEFAULT, file_lines
+        )
+    return [
+        BlockHit(
+            doc_id=r["doc_id"], repo=r["repo"], path=r["path"], start=r["start"],
+            end=r["end"], node_type=r["node_type"], rank=r["rank"],
+            score=r["score"], bm25_score=r["bm25_score"],
+            matched_keywords=list(r["matched_keywords"]),
+            matched_lines=list(r["matched_lines"]), code=r["code"],
+        )
+        for r in rows
+    ]
+
+
 def oracle_search_docs(
     docs: list[Doc],
     queries: list[str],

@@ -590,6 +590,259 @@ class Engine:
             self._session_add(session_key, returned)
         return result
 
+    # -- block-granularity search (the reference's real output unit) --------
+
+    def search_blocks(
+        self,
+        queries: list[str] | str,
+        *,
+        exact: bool = False,
+        max_results: int | None = None,
+        max_bytes: int | None = None,
+        max_tokens: int | None = None,
+        language: str | None = None,
+        include_filenames: bool = True,
+        allow_tests: bool = True,
+        session: str | None = None,
+        seen: set[str] | None = None,
+        no_merge: bool = False,
+        merge_threshold: int | None = None,
+        exhaustive: bool = False,
+    ) -> pa.Table:
+        """Ranked code BLOCKS (fallback-extractor granularity), rank- and
+        score-identical to oracle.oracle_search_blocks. Candidates come from
+        the index (dictionary substring expansion over the generated pattern
+        needles + filename matches + shadow postings); per-candidate line
+        matching, window extraction, block stats and code text are computed
+        in a ``map_batches`` over candidate docs only. Ranking is the
+        candidate-set BM25 with per-block coverage and node-type boosts;
+        then limits -> contained dedup -> adjacent merge (block_merging.rs).
+        """
+        from probe_ray import blocks as blk
+
+        if isinstance(queries, str):
+            queries = [queries]
+        plan, filters = qp.plan_query(queries, exact)
+        if plan.is_universal:
+            raise NotImplementedError(
+                "universal (filter-only) queries return whole files; use "
+                "search() for document granularity"
+            )
+        specials = plan.specials
+        ast_all_exact = qp.is_exact_search(plan.ast)
+        ctx = _QueryContext(
+            plan=plan, filters=filters, specials=specials,
+            filenames_enabled=include_filenames and not exact and not ast_all_exact,
+            ast_all_exact=ast_all_exact, language=language,
+        )
+        if session is not None:
+            key = self._session_key(session, queries)
+            seen = (seen or set()) | self._session_seen(key)
+
+        patterns = blk.term_patterns(plan)
+        all_needles = sorted({p for ps in patterns.values() for p in ps})
+        fname_matches = (
+            self._filename_match_term_ids(
+                ctx, local_ok=self._stats["n_docs"] <= self.LOCAL_DOCS_MAX
+            )
+            if ctx.filenames_enabled
+            else {}
+        )
+
+        # candidate doc ids: the document-level candidate machinery (plain
+        # terms, exact/excluded static-tokenization prefilter, dictionary
+        # substring expansion, filename matches) UNION the expansion over
+        # the extra line-pattern needles (stems / compound parts, which
+        # match as substrings at line level)
+        if exhaustive:
+            cand_ids = np.arange(self._stats["n_docs"], dtype=np.int64)
+        else:
+            cand_ids, _ = self._candidate_ids(ctx, fname_matches)
+            extra = sorted(set(all_needles) - set(plan.term_indices))
+            if extra:
+                expansion = self._expand_substring_terms(extra)
+                lookup = sorted({w for ws in expansion.values() for w in ws})
+                postings = self._read_postings(lookup)
+                id_sets = [p[0].astype(np.int64) for p in postings.values()]
+                id_sets.append(cand_ids)
+                cand_ids = np.unique(np.concatenate(id_sets))
+        if cand_ids.size == 0:
+            return _BLOCK_SCHEMA.empty_table()
+
+        ranking_terms: list[str] = []
+        ranking_ast = None
+        if not (exact or ast_all_exact):
+            try:
+                ranking_ast, _ = qp.parse_query(" ".join(queries), False)
+                ranking_terms = sorted(
+                    {kw for t in qp.walk_terms(ranking_ast)
+                     for kw in t.lowercase_keywords}
+                )
+                if len(ranking_terms) > 256:
+                    ranking_ast, ranking_terms = None, []
+            except qp.ParseError:
+                ranking_ast = None
+
+        lang_exts = None
+        if ctx.language:
+            lang_exts = qp._LANG_EXTENSIONS.get(qp.normalize_language(ctx.language))
+        extract = _make_block_extractor(
+            ctx, patterns, fname_matches, ranking_terms, lang_exts,
+            allow_tests=allow_tests, exact=exact, seen=seen,
+        )
+
+        cols = ["doc_id", "repo", "path", "content"]
+        local_tbl = self._local_docs_table()
+        if local_tbl is not None:
+            mask = np.isin(local_tbl.column("doc_id").to_numpy(), cand_ids)
+            feats = extract(local_tbl.filter(pa.array(mask)))
+        else:
+            refs = (
+                self._fetch_candidates(cand_ids, cols)
+                .map_batches(extract, batch_format="pyarrow")
+                .to_arrow_refs()
+            )
+            tables = [ray.get(r) for r in refs]
+            feats = (
+                pa.concat_tables(tables) if tables else _BLOCK_FEATS_SCHEMA.empty_table()
+            )
+        if feats.num_rows == 0:
+            return _BLOCK_SCHEMA.empty_table()
+        # canonical candidate order: (doc_id, start)
+        feats = feats.sort_by([("doc_id", "ascending"), ("start", "ascending")])
+        n = feats.num_rows
+
+        rows: list[dict]
+        if exact or ast_all_exact or ranking_ast is None:
+            rows = _block_rows(feats, order=None)
+            rows.sort(key=lambda r: (r["file"], r["start"]))
+        else:
+            tf_lists = feats.column("tf").to_pylist()
+            if ranking_terms:
+                arr = np.array(tf_lists, dtype=np.int64).reshape(n, -1)
+                df_vec = (arr > 0).sum(axis=0)
+            else:
+                df_vec = np.zeros(0, dtype=np.int64)
+            sum_dl = int(np.sum(feats.column("dl").to_numpy()))
+            avgdl = sum_dl / n
+            idfs = {
+                t: idf(n, int(df))
+                for t, df in zip(ranking_terms, df_vec)
+                if df > 0
+            }
+            bm25_arr, boosted_arr, valid_arr = _score_feats_vectorized(
+                feats, ranking_ast, ranking_terms, idfs, avgdl, len(queries)
+            )
+            node_boosts = np.array(
+                [
+                    blk.node_type_boost(nt, s, e)
+                    for nt, s, e in zip(
+                        feats.column("node_type").to_pylist(),
+                        feats.column("start").to_pylist(),
+                        feats.column("end").to_pylist(),
+                    )
+                ]
+            )
+            boosted_arr = boosted_arr * node_boosts
+            valid_idx = np.flatnonzero(valid_arr)
+            order = valid_idx[
+                np.lexsort(
+                    (valid_idx, -bm25_arr[valid_idx], -boosted_arr[valid_idx])
+                )
+            ]
+            k = len(order)
+            ranked_rows = _block_rows(feats, order=order, bm25=bm25_arr,
+                                      boosted=boosted_arr)
+            flagged_rows = _block_rows(
+                feats, order=np.arange(k, n), bm25=None, boosted=None
+            )
+            flagged_rows.sort(key=lambda r: (r["file"], r["start"]))
+            rows = ranked_rows + flagged_rows
+
+        # limits over block code bytes (search_limiter.rs:22-226)
+        if max_results is not None or max_bytes is not None or max_tokens is not None:
+            max_iter = min(max_results if max_results is not None else 1000, len(rows))
+            out_rows: list[dict] = []
+            tb = tt = 0
+            for i, r in enumerate(rows):
+                if i >= max_iter:
+                    break
+                size = r["n_code_bytes"]
+                if max_results is not None and len(out_rows) >= max_results:
+                    break
+                if max_bytes is not None and tb + size > max_bytes and out_rows:
+                    break
+                toks = size // 4
+                if max_tokens is not None and tt + toks > max_tokens and out_rows:
+                    break
+                tb += size
+                tt += toks
+                out_rows.append(r)
+            rows = out_rows
+
+        # attach code text for the surviving rows (content only for the
+        # final files — small), then contained dedup + adjacent merge
+        file_lines = self._file_lines_for(sorted({r["doc_id"] for r in rows}))
+        for r in rows:
+            lines = file_lines[r["doc_id"]]
+            r["code"] = "\n".join(lines[r["start"] - 1 : r["end"]])
+        rows = blk.dedupe_contained_blocks(rows)
+        if not no_merge:
+            rows = blk.merge_ranked_blocks(
+                rows,
+                merge_threshold or blk.MERGE_THRESHOLD_DEFAULT,
+                {r["file"]: file_lines[r["doc_id"]] for r in rows},
+            )
+        if session is not None:
+            self._session_add(
+                self._session_key(session, queries), {r["file"] for r in rows}
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+                "repo": pa.array([r["repo"] for r in rows], pa.string()),
+                "path": pa.array([r["path"] for r in rows], pa.string()),
+                "start_line": pa.array([r["start"] for r in rows], pa.int64()),
+                "end_line": pa.array([r["end"] for r in rows], pa.int64()),
+                "node_type": pa.array([r["node_type"] for r in rows], pa.string()),
+                "rank": pa.array([r["rank"] for r in rows], pa.int64()),
+                "score": pa.array([r["score"] for r in rows], pa.float64()),
+                "bm25_score": pa.array(
+                    [r["bm25_score"] for r in rows], pa.float64()
+                ),
+                "matched_keywords": pa.array(
+                    [r["matched_keywords"] for r in rows], pa.list_(pa.string())
+                ),
+                "matched_lines": pa.array(
+                    [r["matched_lines"] for r in rows], pa.list_(pa.int64())
+                ),
+                "code": pa.array([r["code"] for r in rows], pa.string()),
+            }
+        )
+
+    def _file_lines_for(self, doc_ids: list[int]) -> dict[int, list[str]]:
+        """Effective content lines for the given docs (final-result files
+        only — pruned read)."""
+        if not doc_ids:
+            return {}
+        local = self._local_docs_table()
+        if local is not None:
+            ids = local.column("doc_id").to_numpy()
+            mask = np.isin(ids, np.asarray(doc_ids, dtype=np.int64))
+            sub = local.filter(pa.array(mask))
+        else:
+            sub = pq.read_table(
+                self.paths.docs_dir,
+                columns=["doc_id", "content"],
+                filters=[("doc_id", "in", [int(i) for i in doc_ids])],
+            )
+        return {
+            int(i): c.split("\n")
+            for i, c in zip(
+                sub.column("doc_id").to_pylist(), sub.column("content").to_pylist()
+            )
+        }
+
     # -- session cache (cache.rs at document granularity) -------------------
 
     def _session_key(self, session: str, queries: list[str]) -> str:
@@ -1010,6 +1263,186 @@ class Engine:
                 tbl.column("path").to_pylist(),
             )
         }
+
+
+# ---------------------------------------------------------------------------
+# Block-granularity schemas + closures
+# ---------------------------------------------------------------------------
+
+_BLOCK_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("start_line", pa.int64()),
+        ("end_line", pa.int64()),
+        ("node_type", pa.string()),
+        ("rank", pa.int64()),
+        ("score", pa.float64()),
+        ("bm25_score", pa.float64()),
+        ("matched_keywords", pa.list_(pa.string())),
+        ("matched_lines", pa.list_(pa.int64())),
+        ("code", pa.string()),
+    ]
+)
+
+_BLOCK_FEATS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("start", pa.int64()),
+        ("end", pa.int64()),
+        ("node_type", pa.string()),
+        ("dl", pa.int32()),
+        ("tf", pa.list_(pa.int32())),
+        ("but", pa.int32()),
+        ("matched_keywords", pa.list_(pa.string())),
+        ("matched_lines", pa.list_(pa.int64())),
+        ("n_code_bytes", pa.int64()),
+    ]
+)
+
+
+def _make_block_extractor(ctx, patterns, fname_matches, ranking_terms, lang_exts,
+                          *, allow_tests, exact, seen):
+    """Per-batch closure: candidate docs -> block feature rows (no code
+    text; narrow columns only). Line matching, window extraction and block
+    stats are blocks.py pure functions — identical to the oracle's."""
+    from probe_ray import blocks as blk
+    from probe_ray.tools import is_test_file
+
+    plan = ctx.plan
+    filters = ctx.filters
+    specials = ctx.specials
+    no_filters = filters.is_empty()
+    term_indices = plan.term_indices
+    pat_ref = ray.put(patterns)
+    fname_ref = ray.put(fname_matches)  # term -> sorted doc_id array
+    seen = seen or set()
+    rt = list(ranking_terms)
+    rt_set = frozenset(rt)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        pats = ray.get(pat_ref)
+        fnames = ray.get(fname_ref)
+        ids = batch.column("doc_id").to_pylist()
+        repos = batch.column("repo").to_pylist()
+        paths = batch.column("path").to_pylist()
+        contents = batch.column("content").to_pylist()
+        ids_np = np.asarray(ids, dtype=np.int64)
+        fname_mask = {
+            t: np.isin(ids_np, arr) for t, arr in fnames.items()
+        }
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "repo", "path", "start", "end", "node_type", "dl",
+            "tf", "but", "matched_keywords", "matched_lines", "n_code_bytes")}
+        for row_i, (did, repo, path, content) in enumerate(
+            zip(ids, repos, paths, contents)
+        ):
+            if not allow_tests and is_test_file(path, content):
+                continue
+            if lang_exts is not None:
+                ext = path.rsplit(".", 1)[-1].lower() if "." in path else None
+                if ext is None or ext not in lang_exts:
+                    continue
+            if not no_filters and not filters.matches_path(path):
+                continue
+            lines = content.split("\n")
+            term_map = blk.line_term_matches(lines, pats)
+            for t, mask in fname_mask.items():
+                if mask[row_i]:
+                    term_map.setdefault(term_indices[t], set()).update(
+                        range(1, len(lines) + 1)
+                    )
+            if not term_map:
+                continue
+            if not qp.evaluate(plan.ast, set(term_map), term_indices, True):
+                continue
+            if seen and f"{repo}/{path}" in seen:
+                continue
+            for b in blk.extract_fallback_blocks(
+                lines, path, term_map, plan, specials,
+                allow_tests=allow_tests, exact=exact,
+            ):
+                if rt:
+                    cnt: dict[str, int] = {}
+                    for tok_ in b["tokenized"]:
+                        if tok_ in rt_set:
+                            cnt[tok_] = cnt.get(tok_, 0) + 1
+                    tf = [cnt.get(t, 0) for t in rt]
+                else:
+                    tf = []
+                out["doc_id"].append(did)
+                out["repo"].append(repo)
+                out["path"].append(path)
+                out["start"].append(b["start"])
+                out["end"].append(b["end"])
+                out["node_type"].append(b["node_type"])
+                out["dl"].append(len(b["tokenized"]))
+                out["tf"].append(tf)
+                out["but"].append(b["but"])
+                out["matched_keywords"].append(b["matched_keywords"])
+                out["matched_lines"].append(b["matched_lines"])
+                out["n_code_bytes"].append(
+                    len(b["code"].encode("utf-8", "surrogatepass"))
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "repo": pa.array(out["repo"], pa.string()),
+                "path": pa.array(out["path"], pa.string()),
+                "start": pa.array(out["start"], pa.int64()),
+                "end": pa.array(out["end"], pa.int64()),
+                "node_type": pa.array(out["node_type"], pa.string()),
+                "dl": pa.array(out["dl"], pa.int32()),
+                "tf": pa.array(out["tf"], pa.list_(pa.int32())),
+                "but": pa.array(out["but"], pa.int32()),
+                "matched_keywords": pa.array(
+                    out["matched_keywords"], pa.list_(pa.string())
+                ),
+                "matched_lines": pa.array(
+                    out["matched_lines"], pa.list_(pa.int64())
+                ),
+                "n_code_bytes": pa.array(out["n_code_bytes"], pa.int64()),
+            }
+        )
+
+    return extract
+
+
+def _block_rows(feats: pa.Table, order, bm25=None, boosted=None) -> list[dict]:
+    """Materialize block feat rows as result dicts. ``order=None`` takes all
+    rows unranked; an index array takes those rows, ranked sequentially when
+    ``boosted`` is given, else flagged (rank None)."""
+    ids = feats.column("doc_id").to_pylist()
+    repos = feats.column("repo").to_pylist()
+    paths = feats.column("path").to_pylist()
+    starts = feats.column("start").to_pylist()
+    ends = feats.column("end").to_pylist()
+    node_types = feats.column("node_type").to_pylist()
+    kws = feats.column("matched_keywords").to_pylist()
+    mls = feats.column("matched_lines").to_pylist()
+    nbytes = feats.column("n_code_bytes").to_pylist()
+    if order is None:
+        order = range(feats.num_rows)
+    rows = []
+    for pos, i in enumerate(order):
+        i = int(i)
+        ranked = boosted is not None
+        rows.append(
+            dict(
+                doc_id=ids[i], repo=repos[i], path=paths[i],
+                file=f"{repos[i]}/{paths[i]}",
+                start=starts[i], end=ends[i], node_type=node_types[i],
+                rank=(pos + 1) if ranked else None,
+                score=float(boosted[i]) if ranked else 0.0,
+                bm25_score=float(bm25[i]) if ranked else 0.0,
+                matched_keywords=list(kws[i]), matched_lines=list(mls[i]),
+                n_code_bytes=nbytes[i], but=None, total=None,
+            )
+        )
+    return rows
 
 
 # ---------------------------------------------------------------------------

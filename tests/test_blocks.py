@@ -1,0 +1,299 @@
+"""Block-granularity conformance: engine.search_blocks must equal
+oracle.oracle_search_blocks exactly (spans, ranks, scores 1e-9, node types,
+matched keywords/lines, code text) — the block-level analogue of
+test_conformance. Plus unit goldens for the fallback extractor derived from
+file_processing.rs:473-1048 semantics and fixture content ported from
+tests/elastic_query_integration_tests.rs:14-88 (as .txt so the reference's
+own fallback path applies)."""
+
+import math
+
+import pytest
+
+from probe_ray.corpus import QUERY_SUITE, generate_rows
+from probe_ray.oracle import load_docs, oracle_search_blocks
+from probe_ray.search import Engine
+
+# files_only has no block-level analogue; universal (filter-only) queries —
+# including filename-autodetect ones — are documented out of scope for
+# block mode (they return whole files via document-mode search)
+_SKIP = {"q24_files_only", "q17_filename_autodetect"}
+_BLOCK_SUITE = [
+    (qid, queries, opts)
+    for qid, queries, opts in QUERY_SUITE
+    if qid not in _SKIP
+]
+
+
+def _assert_blocks_equal(tbl, hits, qid):
+    rows = tbl.to_pylist()
+    assert len(rows) == len(hits), f"{qid}: {len(rows)} vs {len(hits)}"
+    for i, (e, h) in enumerate(zip(rows, hits)):
+        assert e["doc_id"] == h.doc_id, f"{qid} row {i} doc_id"
+        assert e["start_line"] == h.start, f"{qid} row {i} start"
+        assert e["end_line"] == h.end, f"{qid} row {i} end"
+        assert e["rank"] == h.rank, f"{qid} row {i} rank {e['rank']} != {h.rank}"
+        assert math.isclose(e["score"], h.score, abs_tol=1e-9), f"{qid} row {i} score"
+        assert math.isclose(e["bm25_score"], h.bm25_score, abs_tol=1e-9), (
+            f"{qid} row {i} bm25"
+        )
+        assert e["node_type"] == h.node_type, f"{qid} row {i} node_type"
+        assert list(e["matched_keywords"]) == h.matched_keywords, (
+            f"{qid} row {i} matched_keywords"
+        )
+        assert list(e["matched_lines"]) == h.matched_lines, (
+            f"{qid} row {i} matched_lines"
+        )
+        assert e["code"] == h.code, f"{qid} row {i} code text"
+
+
+@pytest.mark.parametrize(
+    "qid,queries,opts", _BLOCK_SUITE, ids=[q[0] for q in _BLOCK_SUITE]
+)
+def test_block_rank_identity(qid, queries, opts, t2_rows, t2_index):
+    opts = dict(opts)
+    opts.pop("files_only", None)
+    expected = oracle_search_blocks(load_docs(t2_rows), queries, **opts)
+    got = Engine(t2_index).search_blocks(queries, **opts)
+    _assert_blocks_equal(got, expected, qid)
+
+
+def test_block_no_merge_and_threshold(t2_rows, t2_index):
+    docs = load_docs(t2_rows)
+    for opts in ({"no_merge": True}, {"merge_threshold": 12}, {"max_results": 10}):
+        expected = oracle_search_blocks(docs, ["keywordAlpha OR keywordBeta"], **opts)
+        got = Engine(t2_index).search_blocks(["keywordAlpha OR keywordBeta"], **opts)
+        _assert_blocks_equal(got, expected, f"opts={opts}")
+
+
+def test_block_exhaustive_matches_default_on_plain_terms(t2_rows, t2_index):
+    """exhaustive=True (full-scan candidates) must not change results for
+    in-dictionary terms — the narrowing is complete there."""
+    docs = load_docs(t2_rows)
+    expected = oracle_search_blocks(docs, ["keywordAlpha"])
+    got = Engine(t2_index).search_blocks(["keywordAlpha"], exhaustive=True)
+    _assert_blocks_equal(got, expected, "exhaustive")
+
+
+# ---------------------------------------------------------------------------
+# Fallback-extractor unit goldens (file_processing.rs semantics)
+# ---------------------------------------------------------------------------
+
+def test_fallback_windows_merge_arithmetic():
+    from probe_ray.blocks import fallback_windows
+
+    # single matched line 10 in a 100-line file: window 5..15
+    assert fallback_windows({10}, 100) == [([10], 5, 15)]
+    # clamping at file start/end
+    assert fallback_windows({2}, 100) == [([2], 1, 7)]
+    assert fallback_windows({99}, 100) == [([99], 94, 100)]
+    # two windows, gap 1 <= threshold(=1 for <=5 windows): lines 10, 22
+    # windows (5,15) and (17,27): 17 <= 15+1? no -> separate
+    assert fallback_windows({10, 22}, 100) == [([10], 5, 15), ([22], 17, 27)]
+    # lines 10, 21 -> (5,15), (16,26): 16 <= 15+1 -> merged
+    assert fallback_windows({10, 21}, 100) == [([10, 21], 5, 26)]
+    # >5 windows raises the threshold to 6
+    lines = {10, 30, 50, 70, 90, 110}
+    ws = fallback_windows(lines, 200)
+    assert len(ws) == 6  # gaps of 9 > 6 stay separate
+    lines = {10, 22, 34, 46, 58, 70}
+    ws = fallback_windows(lines, 200)  # gaps: next start 17 vs end 15+6 -> merge
+    assert len(ws) == 1
+
+
+def test_fallback_node_type():
+    from probe_ray.blocks import determine_fallback_node_type as nt
+
+    assert nt("// a comment", "rs") == "comment"
+    assert nt("# python comment", "py") == "comment"
+    assert nt("# not a comment in rust", "rs") != "comment"
+    assert nt("fn foo() {", "rs") == "function"
+    assert nt("def foo():", "py") == "function"
+    assert nt("class Foo:", "py") == "class"
+    assert nt("import os", "py") == "import"
+    assert nt("let x = 1;", "rs") == "variable_declaration"
+    assert nt("if x > 0 {", "rs") == "control_flow"
+    assert nt("plain words here", "txt") == "code"
+
+
+def test_term_patterns_include_stems_and_compounds():
+    from probe_ray import queryparse as qp
+    from probe_ray.blocks import term_patterns
+
+    plan, _ = qp.plan_query(["keywordAlpha running"], False)
+    pats = term_patterns(plan)
+    needles = {p for ps in pats.values() for p in ps}
+    # the parser already tokenized/stemmed the keywords (reference AST
+    # keywords are processed terms): camel parts of keywordAlpha and the
+    # stem of 'running' are the needles
+    assert {"key", "word", "alpha", "run"} <= needles
+    # exact terms keep the literal keyword only (no stem expansion)
+    plan2, _ = qp.plan_query(['"cleanupScopeMappings"'], False)
+    pats2 = term_patterns(plan2)
+    assert pats2 == {0: ["cleanupscopemappings"]}
+
+
+def test_block_merging_gap_fill_and_placeholder():
+    from probe_ray.blocks import merge_ranked_blocks
+
+    lines = [f"line{i}" for i in range(1, 41)]
+    b1 = dict(file="f", start=1, end=5, node_type="code", rank=1, score=2.0,
+              bm25_score=1.0, code="\n".join(lines[0:5]),
+              matched_keywords=["a"], matched_lines=[0], but=1, total=1,
+              doc_id=0, repo="r", path="p")
+    b2 = dict(file="f", start=9, end=12, node_type="code", rank=2, score=1.0,
+              bm25_score=0.5, code="\n".join(lines[8:12]),
+              matched_keywords=["b"], matched_lines=[1], but=1, total=1,
+              doc_id=0, repo="r", path="p")
+    merged = merge_ranked_blocks([b1, b2], 5, {"f": lines})
+    assert len(merged) == 1
+    m = merged[0]
+    assert (m["start"], m["end"]) == (1, 12)
+    assert m["code"] == "\n".join(lines[0:12])  # gap 6-8 filled from file
+    assert m["score"] == 2.0 and m["bm25_score"] == 1.0
+    assert m["matched_keywords"] == ["a", "b"]
+    assert m["matched_lines"] == [0, 9]
+    # without file content, small gaps get the placeholder
+    merged2 = merge_ranked_blocks(
+        [dict(b1), dict(b2)], 5, None
+    )
+    assert "should be included" in merged2[0]["code"]
+
+
+def test_dedupe_contained():
+    from probe_ray.blocks import dedupe_contained_blocks
+
+    outer = dict(file="f", start=1, end=20, node_type="code",
+                 matched_keywords=["a"], doc_id=0)
+    inner = dict(file="f", start=5, end=10, node_type="code",
+                 matched_keywords=["b"], doc_id=0)
+    out = dedupe_contained_blocks([outer, inner])
+    assert len(out) == 1
+    assert out[0]["start"] == 1 and out[0]["matched_keywords"] == ["a", "b"]
+
+
+# ---------------------------------------------------------------------------
+# Fixture ported from tests/elastic_query_integration_tests.rs:14-88
+# (as .txt so the reference's own fallback path would apply)
+# ---------------------------------------------------------------------------
+
+_INTEGRATION_FILES = {
+    "file1.txt": (
+        "\n// This file contains keywordAlpha and keywordBeta\n"
+        "// Plain markers: alpha beta\nfn test_function() {\n"
+        "    // This is keywordAlpha\n    let x = 1;\n\n"
+        "    // This is keywordBeta\n    let y = 2;\n\n"
+        '    println!("Result: {}", x + y);\n}\n'
+    ),
+    "file2.txt": (
+        "\n// This file contains keywordAlpha and keywordGamma\n"
+        "// Plain markers: alpha gamma\nfn another_function() {\n"
+        "    // This is keywordAlpha\n    let x = 1;\n\n"
+        "    // This is keywordGamma\n    let z = 3;\n\n"
+        '    println!("Result: {}", x + z);\n}\n'
+    ),
+    "file3.txt": (
+        "\n// This file contains keywordBeta and keywordGamma\n"
+        "// Plain markers: beta gamma\nfn third_function() {\n"
+        "    // This is keywordBeta\n    let y = 2;\n\n"
+        "    // This is keywordGamma\n    let z = 3;\n\n"
+        '    println!("Result: {}", y + z);\n}\n'
+    ),
+    "file4.txt": (
+        "\n// This file contains keywordAlpha, keywordBeta, and keywordGamma\n"
+        "// Plain markers: alpha beta gamma\nfn all_keywords_function() {\n"
+        "    // This is keywordAlpha\n    let x = 1;\n\n"
+        "    // This is keywordBeta\n    let y = 2;\n\n"
+        "    // This is keywordGamma\n    let z = 3;\n\n"
+        '    println!("Result: {}", x + y + z);\n}\n'
+    ),
+}
+
+
+def _integration_docs():
+    rows = [
+        dict(repo="itest", path=p, commit="c", lang="txt", content=c)
+        for p, c in _INTEGRATION_FILES.items()
+    ]
+    return load_docs(rows)
+
+
+def test_integration_or_query_block_files():
+    """OR over the three keywords must surface blocks from all four files
+    (test_required_term_query, elastic_query_integration_tests.rs:89+)."""
+    hits = oracle_search_blocks(
+        _integration_docs(), ["keywordAlpha OR keywordBeta OR keywordGamma"]
+    )
+    files = {h.path for h in hits}
+    assert files == set(_INTEGRATION_FILES)
+    # every block's matched keywords are non-empty and code spans its lines
+    for h in hits:
+        assert h.matched_keywords
+        assert h.code.count("\n") == h.end - h.start
+
+
+def test_integration_and_query_blocks():
+    """alpha AND beta (disjoint plain markers) -> files 1 and 4 only.
+    (keywordAlpha AND keywordBeta would match all four files: the camel
+    parts 'key'/'word' are shared keywords and probe's Term evaluation
+    passes on ANY keyword.)"""
+    hits = oracle_search_blocks(_integration_docs(), ["alpha AND beta"])
+    assert {h.path for h in hits} == {"file1.txt", "file4.txt"}
+
+
+def test_integration_exclusion_blocks():
+    hits = oracle_search_blocks(_integration_docs(), ["alpha -gamma"])
+    assert {h.path for h in hits} == {"file1.txt"}
+
+
+def test_integration_block_spans_are_windows():
+    """Single-file sanity: matched lines produce merged ±5 windows."""
+    hits = oracle_search_blocks(_integration_docs(), ["keywordGamma"])
+    for h in hits:
+        assert h.start >= 1 and h.end >= h.start
+        assert h.matched_lines  # every block records its matched lines
+
+
+# ---------------------------------------------------------------------------
+# Distributed path + fuzz at block level
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def distributed_engine(t2_index, monkeypatch):
+    monkeypatch.setattr(Engine, "LOCAL_DOCS_MAX", 0)
+    monkeypatch.setattr(Engine, "LOCAL_CAND_MAX", 0)
+    return Engine(t2_index)
+
+
+_DIST_SUBSET = [q for q in _BLOCK_SUITE if q[0] in (
+    "q01_single_term", "q04_exclusion", "q09_quoted_exact",
+    "q14_filename_only", "q23_max_results",
+)]
+
+
+@pytest.mark.parametrize(
+    "qid,queries,opts", _DIST_SUBSET, ids=[q[0] for q in _DIST_SUBSET]
+)
+def test_distributed_block_identity(qid, queries, opts, t2_rows, distributed_engine):
+    expected = oracle_search_blocks(load_docs(t2_rows), queries, **opts)
+    got = distributed_engine.search_blocks(queries, **opts)
+    _assert_blocks_equal(got, expected, qid)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_block_identity(seed, t2_rows, t2_index):
+    import random
+
+    from tests.test_fuzz_conformance import _gen_query
+
+    rng = random.Random(1000 + seed)
+    docs = load_docs(t2_rows)
+    engine = Engine(t2_index)
+    for _ in range(3):
+        q = _gen_query(rng)
+        try:
+            expected = oracle_search_blocks(docs, [q])
+        except NotImplementedError:
+            continue  # universal parse — out of block-mode scope
+        got = engine.search_blocks([q])
+        _assert_blocks_equal(got, expected, f"seed={seed} q={q!r}")
