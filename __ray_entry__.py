@@ -77,7 +77,7 @@ def _engine_for(sf_dir: str):
     tag = os.path.basename(corpus).replace("probe_ray_corpus_", "").replace(
         ".parquet", ""
     )
-    paths = build_index(corpus, f"/tmp/probe_ray_index_{tag}")
+    paths = build_index(corpus, f"/tmp/probe_ray_index_{tag}", ngram_index=True)
     return Engine(paths)
 
 

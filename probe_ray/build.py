@@ -377,6 +377,10 @@ class IndexPaths:
         return os.path.join(self.root, "segments")
 
     @property
+    def ngrams_dir(self) -> str:
+        return os.path.join(self.root, "ngrams")
+
+    @property
     def stats_path(self) -> str:
         return os.path.join(self.root, "stats.json")
 
@@ -413,6 +417,101 @@ def _fingerprint(corpus, params: dict) -> str:
     return h.hexdigest()
 
 
+NGRAM_N = 3  # char n-gram width for the substring-candidate index
+
+
+def make_ngram_partials(salt_shift: int):
+    """Per-batch encoder for the content char-n-gram index: per doc, the
+    SET of lowercase 3-grams of content -> pre-encoded (gram, salt) posting
+    sub-blobs (doc ids only; tf byte fixed at 1). Every gram is salted by
+    doc-id range (gram df is uniformly skewed — 'the'-class grams hit most
+    docs), which bounds single-blob size; read-time concatenation is the
+    same mechanism as the term index."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy()
+        contents = batch.column("content").to_pylist()
+        grams_l: list[str] = []
+        ids_l: list[int] = []
+        for did, content in zip(doc_ids, contents):
+            cl = content.lower()
+            gs = {cl[i : i + NGRAM_N] for i in range(len(cl) - NGRAM_N + 1)}
+            gs.discard("")
+            grams_l.extend(gs)
+            ids_l.extend([int(did)] * len(gs))
+        if not grams_l:
+            return pa.table(
+                {"gram": pa.array([], pa.string()),
+                 "salt": pa.array([], pa.int32()),
+                 "df": pa.array([], pa.int64()),
+                 "blob": pa.array([], pa.binary())}
+            )
+        grams = np.array(grams_l, dtype=object)
+        ids = np.array(ids_l, dtype=np.uint64)
+        salts = ids >> np.uint64(salt_shift)
+        order = np.lexsort((ids, salts, grams))
+        grams, ids, salts = grams[order], ids[order], salts[order]
+        keys = np.array(
+            [f"{g}\x00{s}" for g, s in zip(grams, salts)], dtype=object
+        )
+        change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [keys.size]])
+        tf_ones = np.ones(ids.size, dtype=np.uint8)
+        out_g, out_s, out_df, out_blob = [], [], [], []
+        for s, e in zip(starts, ends):
+            blob, _, _ = codec.encode_postings(ids[s:e], tf_ones[s:e])
+            out_g.append(grams[s])
+            out_s.append(int(salts[s]))
+            out_df.append(int(e - s))
+            out_blob.append(blob)
+        return pa.table(
+            {
+                "gram": pa.array(out_g, pa.string()),
+                "salt": pa.array(out_s, pa.int32()),
+                "df": pa.array(out_df, pa.int64()),
+                "blob": pa.array(out_blob, pa.binary()),
+            }
+        )
+
+    return partial
+
+
+def make_ngram_merger(n_shards: int):
+    """sort(gram, salt) -> map_batches run merge, mirroring the term-segment
+    merger (runs straddling batch bounds yield extra rows; readers concat)."""
+
+    def merge_batch(batch: pa.Table) -> pa.Table:
+        grams = batch.column("gram").to_pylist()
+        salts = batch.column("salt").to_pylist()
+        dfs = batch.column("df").to_pylist()
+        blobs = batch.column("blob").to_pylist()
+        out = {k: [] for k in ("gram", "salt", "shard", "df", "blob")}
+        i, n = 0, len(grams)
+        while i < n:
+            j = i
+            while j < n and grams[j] == grams[i] and salts[j] == salts[i]:
+                j += 1
+            blob, _, _ = codec.merge_encoded(blobs[i:j])
+            out["gram"].append(grams[i])
+            out["salt"].append(salts[i])
+            out["shard"].append(_term_shard(grams[i], n_shards))
+            out["df"].append(int(sum(dfs[i:j])))
+            out["blob"].append(blob)
+            i = j
+        return pa.table(
+            {
+                "gram": pa.array(out["gram"], pa.string()),
+                "salt": pa.array(out["salt"], pa.int32()),
+                "shard": pa.array(out["shard"], pa.int32()),
+                "df": pa.array(out["df"], pa.int64()),
+                "blob": pa.array(out["blob"], pa.binary()),
+            }
+        )
+
+    return merge_batch
+
+
 def build_index(
     corpus,
     out_dir: str,
@@ -421,19 +520,24 @@ def build_index(
     salt_buckets: int = 8,
     hot_threshold_frac: float = 0.05,
     batch_size: int = 256,
+    ngram_index: bool = False,
     overwrite: bool = False,
     _fail_after: str | None = None,  # test hook: crash between stages
 ) -> IndexPaths:
     """Build the index from a corpus (parquet path/dir or a Dataset).
 
     Resumable: if out_dir holds a manifest with a matching input
-    fingerprint, the completed build is reused.
+    fingerprint, the completed build is reused. ``ngram_index=True``
+    additionally builds the content char-3-gram index that makes substring
+    candidate generation complete (closes the cross-token-boundary
+    narrowing) and replaces the per-query term-dictionary scan.
     """
     paths = IndexPaths(out_dir)
     params = dict(
         n_shards=n_shards,
         salt_buckets=salt_buckets,
         hot_threshold_frac=hot_threshold_frac,
+        ngram_index=ngram_index,
         schema_version=DOCS_SCHEMA_VERSION,
     )
     fp = _fingerprint(corpus, params)
@@ -535,6 +639,27 @@ def build_index(
         )
         mark("segments")
 
+    # optional content n-gram index: same partial-encode -> (gram, salt)
+    # shuffle -> merge shape as the term segments; doc ids only
+    if ngram_index and "ngrams" not in done:
+        gram_partials = rd.read_parquet(
+            tmp.docs_dir, columns=["doc_id", "content"]
+        ).map_batches(
+            make_ngram_partials(salt_shift),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+        ngrams = gram_partials.sort(["gram", "salt"]).map_batches(
+            make_ngram_merger(n_shards), batch_format="pyarrow"
+        )
+        if os.path.exists(tmp.ngrams_dir):
+            shutil.rmtree(tmp.ngrams_dir)
+        staged_write(
+            lambda p: ngrams.write_parquet(p, partition_cols=["shard"]),
+            tmp.ngrams_dir,
+        )
+        mark("ngrams")
+
     # build metrics: skew / partition-size evidence (SURVEY.md §5 "Skew":
     # log()-style metrics on max partition size) + per-shard layout
     metrics: dict = {}
@@ -565,6 +690,7 @@ def build_index(
                 n_shards=n_shards,
                 salt_shift=salt_shift,
                 hot_terms=sorted(hot),
+                has_ngrams=bool(ngram_index),
                 metrics=metrics,
             ),
             f,

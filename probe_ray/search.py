@@ -111,6 +111,62 @@ class Engine:
             out[t] = terms[mask].tolist()
         return out
 
+    # -- char-n-gram substring index ----------------------------------------
+
+    def _has_ngrams(self) -> bool:
+        import os
+
+        return bool(self._stats.get("has_ngrams")) and os.path.isdir(
+            self.paths.ngrams_dir
+        )
+
+    def _gram_doc_ids(self, needles: list[str]) -> dict[str, np.ndarray]:
+        """Substring-candidate doc ids from the content char-3-gram index:
+        for each needle (len >= 3), intersect the posting lists of its
+        3-grams — a SUPERSET of docs containing the needle as a substring
+        (grams can match non-contiguously); exact verification happens in
+        the normal verify stage. Replaces the O(vocab) per-query dictionary
+        scan AND closes the cross-token-boundary narrowing (VERDICT item 3)."""
+        from probe_ray.build import NGRAM_N, _term_shard
+
+        per_needle: dict[str, list[str]] = {}
+        wanted: set[str] = set()
+        for nd in needles:
+            if len(nd) < NGRAM_N:
+                continue
+            gs = sorted({nd[i : i + NGRAM_N] for i in range(len(nd) - NGRAM_N + 1)})
+            per_needle[nd] = gs
+            wanted.update(gs)
+        if not per_needle:
+            return {}
+        n_shards = self._stats["n_shards"]
+        shards = sorted({_term_shard(g, n_shards) for g in wanted})
+        tbl = pq.ParquetDataset(
+            self.paths.ngrams_dir,
+            filters=[("shard", "in", shards), ("gram", "in", sorted(wanted))],
+        ).read(columns=["gram", "blob"])
+        by_gram: dict[str, list[np.ndarray]] = {}
+        for g, b in zip(tbl.column("gram").to_pylist(), tbl.column("blob").to_pylist()):
+            ids, _ = codec.decode_postings(b)
+            by_gram.setdefault(g, []).append(ids.astype(np.int64))
+        gram_ids = {
+            g: np.unique(np.concatenate(v)) for g, v in by_gram.items()
+        }
+        out: dict[str, np.ndarray] = {}
+        for nd, gs in per_needle.items():
+            sets = [gram_ids.get(g) for g in gs]
+            if any(s is None for s in sets):
+                out[nd] = np.empty(0, dtype=np.int64)
+                continue
+            sets.sort(key=len)
+            inter = sets[0]
+            for s in sets[1:]:
+                if inter.size == 0:
+                    break
+                inter = np.intersect1d(inter, s, assume_unique=True)
+            out[nd] = inter
+        return out
+
     # -- segment access -----------------------------------------------------
 
     def _read_postings(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray]]:
@@ -422,10 +478,17 @@ class Engine:
             if term.exact or term.excluded:
                 for kw in term.keywords:
                     originals.setdefault(kw.lower(), kw)
+        use_ngrams = self._has_ngrams()
+        gram_ids = self._gram_doc_ids(list(ti)) if use_ngrams else {}
+        # dictionary-expansion fallback only for terms the gram index does
+        # not cover (needles shorter than NGRAM_N, or no ngram index built)
+        expand_terms = [t for t in ti if t not in gram_ids]
         lookup = set(plain)
         special_parts: dict[str, list[str]] = {}
         scan_terms: list[str] = []
         for t in special:
+            if t in gram_ids:
+                continue  # gram index subsumes the substring prefilter
             parts = tok.tokenize(originals.get(t, t))  # STATIC prefilter
             if parts:
                 special_parts[t] = parts
@@ -434,12 +497,12 @@ class Engine:
                 scan_terms.append(t)
         # substring-candidate expansion over the term dictionary (probe's
         # scan is substring-based; see _term_dictionary)
-        expansion = self._expand_substring_terms(list(ti))
+        expansion = self._expand_substring_terms(expand_terms)
         for exp in expansion.values():
             lookup.update(exp)
         lookup.update(extra_lookup)
         postings = self._read_postings(sorted(lookup))
-        id_sets: list[np.ndarray] = []
+        id_sets: list[np.ndarray] = [gram_ids[t] for t in ti if t in gram_ids]
         for t in plain:
             for w in expansion.get(t, []) or [t]:
                 if w in postings:
@@ -660,11 +723,16 @@ class Engine:
             cand_ids, _ = self._candidate_ids(ctx, fname_matches)
             extra = sorted(set(all_needles) - set(plan.term_indices))
             if extra:
-                expansion = self._expand_substring_terms(extra)
-                lookup = sorted({w for ws in expansion.values() for w in ws})
-                postings = self._read_postings(lookup)
-                id_sets = [p[0].astype(np.int64) for p in postings.values()]
-                id_sets.append(cand_ids)
+                id_sets = [cand_ids]
+                if self._has_ngrams():
+                    gram_ids = self._gram_doc_ids(extra)
+                    id_sets.extend(gram_ids.values())
+                    extra = [t for t in extra if t not in gram_ids]
+                if extra:
+                    expansion = self._expand_substring_terms(extra)
+                    lookup = sorted({w for ws in expansion.values() for w in ws})
+                    postings = self._read_postings(lookup)
+                    id_sets.extend(p[0].astype(np.int64) for p in postings.values())
                 cand_ids = np.unique(np.concatenate(id_sets))
         if cand_ids.size == 0:
             return _BLOCK_SCHEMA.empty_table()
@@ -702,7 +770,9 @@ class Engine:
                 .map_batches(extract, batch_format="pyarrow")
                 .to_arrow_refs()
             )
-            tables = [ray.get(r) for r in refs]
+            # zero-row blocks pass through map_batches with the upstream
+            # schema — drop before concat
+            tables = [t for t in (ray.get(r) for r in refs) if t.num_rows > 0]
             feats = (
                 pa.concat_tables(tables) if tables else _BLOCK_FEATS_SCHEMA.empty_table()
             )
@@ -981,18 +1051,28 @@ class Engine:
                 ctx, lang_exts, fname_matches, ranking_terms,
                 files_only=files_only, seen=seen, allow_tests=allow_tests,
             )
-        if cand_tbl is not None:
-            feats_tbl = (
-                verify(cand_tbl, cand_mask) if use_vector else verify(cand_tbl)
-            )
-        else:
-            # distributed verify; only the NARROW feature rows (tf/dl/stats,
-            # no content) come back to the driver for ranking
-            refs = cand_ds.map_batches(
+        if cand_tbl is None:
+            # DISTRIBUTED finish (the 100x-scale path): the feats Dataset
+            # never materializes on the driver. Stats are a tiny per-block
+            # reduce; scoring + per-block top-k run in map_batches; the
+            # driver merges <= k rows per block; the positional-overwrite
+            # flagged set is located via a doc-id histogram + one narrow
+            # boundary-resolve pass (SURVEY.md §7.4's plan, VERDICT item 2).
+            feats_ds = cand_ds.map_batches(
                 verify, batch_format="pyarrow"
-            ).to_arrow_refs()
-            tables = [ray.get(r) for r in refs]
-            feats_tbl = pa.concat_tables(tables) if tables else _FEATS_SCHEMA.empty_table()
+            ).materialize()
+            if files_only or exact or ctx.ast_all_exact:
+                return self._finish_exact_distributed(
+                    feats_ds, plan, max_results, max_bytes, max_tokens
+                )
+            if ranking_ast is None:
+                return _empty_result()
+            return self._finish_ranked_distributed(
+                feats_ds, plan, queries, ranking_ast, ranking_terms,
+                max_results, max_bytes, max_tokens,
+            )
+
+        feats_tbl = verify(cand_tbl, cand_mask) if use_vector else verify(cand_tbl)
 
         if files_only or exact or ctx.ast_all_exact:
             rows = feats_tbl.to_pylist()
@@ -1082,6 +1162,261 @@ class Engine:
                 )
                 continue
             seen[key] = r
+            deduped.append(r)
+        return _dicts_to_result(deduped)
+
+    # -- distributed compat finish (no O(candidates) driver state) ----------
+
+    _HIST_BUCKETS = 4096
+
+    @staticmethod
+    def _file_key_column(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            batch.column("repo").combine_chunks(),
+            batch.column("path").combine_chunks(),
+            pa.scalar("/"),
+        )
+        return batch.append_column("file_key", key)
+
+    def _finish_exact_distributed(
+        self, feats_ds: rd.Dataset, plan, max_results, max_bytes, max_tokens
+    ) -> pa.Table:
+        """files_only / exact path at scale: Ray-side sort by the joined
+        file key, then a STREAMING driver consume that stops as soon as the
+        running-total limits are satisfied."""
+        sorted_ds = feats_ds.map_batches(
+            self._file_key_column, batch_format="pyarrow"
+        ).sort("file_key")
+        pt = sorted(plan.term_indices, key=plan.term_indices.__getitem__)
+        out_rows: list[dict] = []
+        total_bytes = total_tokens = 0
+        for batch in sorted_ds.iter_batches(batch_format="pyarrow"):
+            stop = False
+            for r in batch.to_pylist():
+                if max_results is not None and len(out_rows) >= max_results:
+                    stop = True
+                    break
+                size = r["n_bytes"]
+                if max_bytes is not None and total_bytes + size > max_bytes and out_rows:
+                    stop = True
+                    break
+                toks = size // 4
+                if max_tokens is not None and total_tokens + toks > max_tokens and out_rows:
+                    stop = True
+                    break
+                total_bytes += size
+                total_tokens += toks
+                r["matched_terms"] = _bits_to_terms(r.get("matched_bits", b""), pt)
+                out_rows.append(r)
+            if stop:
+                break
+        return _rows_to_result(out_rows, ranked=False)
+
+    def _finish_ranked_distributed(
+        self, feats_ds: rd.Dataset, plan, queries, ranking_ast, ranking_terms,
+        max_results, max_bytes, max_tokens,
+    ) -> pa.Table:
+        HB = self._HIST_BUCKETS
+        n_docs_total = max(self._stats["n_docs"], 1)
+        rt = list(ranking_terms)
+        n_queries = len(queries)
+
+        # --- pass A: per-block stats partials (tiny rows) ---
+        def partials(tbl: pa.Table) -> pa.Table:
+            n = tbl.num_rows
+            if n == 0:
+                return pa.table(
+                    {"n": pa.array([], pa.int64()),
+                     "sum_dl": pa.array([], pa.int64()),
+                     "df": pa.array([], pa.list_(pa.int64())),
+                     "n_valid": pa.array([], pa.int64()),
+                     "hist": pa.array([], pa.list_(pa.int64()))}
+                )
+            if rt:
+                tfm = np.array(tbl.column("tf").to_pylist(), np.int64).reshape(n, -1)
+                df_vec = (tfm > 0).sum(axis=0)
+            else:
+                df_vec = np.zeros(0, dtype=np.int64)
+            # validity is independent of idf/avgdl VALUES (a term contributes
+            # iff tf>0, and tf>0 here implies global df>0): indicator stats
+            _, _, valid = _score_feats_vectorized(
+                tbl, ranking_ast, rt, {t: 1.0 for t in rt}, 1.0, n_queries
+            )
+            ids = tbl.column("doc_id").to_numpy()
+            hist = np.bincount(
+                (ids.astype(np.int64) * HB // n_docs_total), minlength=HB
+            )
+            return pa.table(
+                {
+                    "n": pa.array([n], pa.int64()),
+                    "sum_dl": pa.array(
+                        [int(tbl.column("dl").to_numpy().sum())], pa.int64()
+                    ),
+                    "df": pa.array([df_vec.tolist()], pa.list_(pa.int64())),
+                    "n_valid": pa.array([int(valid.sum())], pa.int64()),
+                    "hist": pa.array([hist.tolist()], pa.list_(pa.int64())),
+                }
+            )
+
+        parts = feats_ds.map_batches(partials, batch_format="pyarrow").take_all()
+        if not parts:
+            return _empty_result()
+        n_cand = sum(p["n"] for p in parts)
+        if n_cand == 0:
+            return _empty_result()
+        sum_dl = sum(p["sum_dl"] for p in parts)
+        avgdl = sum_dl / n_cand
+        df_vec = (
+            np.sum([p["df"] for p in parts], axis=0)
+            if rt else np.zeros(0, dtype=np.int64)
+        )
+        k_valid = sum(p["n_valid"] for p in parts)
+        hist = np.sum([p["hist"] for p in parts], axis=0)
+        idfs = {
+            t: idf(n_cand, int(df)) for t, df in zip(rt, df_vec) if df > 0
+        }
+        plan_terms = sorted(plan.term_indices, key=plan.term_indices.__getitem__)
+
+        # --- pass B: score + per-block top-k (k rows per block max) ---
+        cap = max_results
+
+        part_schema = pa.schema(
+            [("doc_id", pa.int64()), ("repo", pa.string()),
+             ("path", pa.string()), ("kws_bits", pa.binary()),
+             ("n_bytes", pa.int64()), ("bm25", pa.float64()),
+             ("boosted", pa.float64())]
+        )
+
+        def score_topk(tbl: pa.Table) -> pa.Table:
+            n = tbl.num_rows
+            if n == 0:
+                return part_schema.empty_table()
+            bm25_a, boosted_a, valid_a = _score_feats_vectorized(
+                tbl, ranking_ast, rt, idfs, avgdl, n_queries
+            )
+            ids = tbl.column("doc_id").to_numpy()
+            vi = np.flatnonzero(valid_a)
+            if vi.size == 0:
+                return part_schema.empty_table()
+            order = vi[np.lexsort((ids[vi], -bm25_a[vi], -boosted_a[vi]))]
+            if cap is not None:
+                order = order[:cap]
+            sel = tbl.select(["doc_id", "repo", "path", "kws_bits", "n_bytes"]).take(
+                pa.array(order)
+            )
+            sel = sel.append_column("bm25", pa.array(bm25_a[order], pa.float64()))
+            sel = sel.append_column(
+                "boosted", pa.array(boosted_a[order], pa.float64())
+            )
+            return sel.cast(part_schema)
+
+        # NOTE: Ray forwards zero-row input blocks through map_batches
+        # without invoking the UDF, so empty blocks can carry the UPSTREAM
+        # schema — drop them before concat
+        part_tables = [
+            t
+            for t in (
+                ray.get(r)
+                for r in feats_ds.map_batches(
+                    score_topk, batch_format="pyarrow"
+                ).to_arrow_refs()
+            )
+            if t.num_rows > 0
+        ]
+        ranked_tbl = (
+            pa.concat_tables(part_tables) if part_tables
+            else part_schema.empty_table()
+        )
+        # driver k-way merge over <= cap rows per block
+        ids_m = ranked_tbl.column("doc_id").to_numpy()
+        bm_m = ranked_tbl.column("bm25").to_numpy()
+        bo_m = ranked_tbl.column("boosted").to_numpy()
+        order_m = np.lexsort((ids_m, -bm_m, -bo_m))
+        if max_results is not None:
+            order_m = order_m[:max_results]
+        merged = ranked_tbl.take(pa.array(order_m))
+        out_rows = [
+            dict(
+                doc_id=r["doc_id"], repo=r["repo"], path=r["path"],
+                rank=i + 1, score=float(r["boosted"]),
+                bm25_score=float(r["bm25"]),
+                matched_terms=_bits_to_terms(r["kws_bits"], plan_terms),
+                n_bytes=r["n_bytes"],
+            )
+            for i, r in enumerate(merged.to_pylist())
+        ]
+
+        # --- flagged rows (positional-overwrite quirk): the trailing
+        # n_cand - k_valid candidates in doc-id order, located without
+        # materializing candidate ids driver-side ---
+        need_flagged = (
+            None if max_results is None else max(0, max_results - len(out_rows))
+        )
+        flagged_rows: list[dict] = []
+        if k_valid < n_cand and (need_flagged is None or need_flagged > 0):
+            if k_valid == 0:
+                d_star = 0
+            else:
+                cum = np.cumsum(hist)
+                b0 = int(np.searchsorted(cum, k_valid, side="right"))
+                prior = int(cum[b0 - 1]) if b0 > 0 else 0
+
+                # resolve the k-th smallest candidate doc id exactly by
+                # fetching ONLY the ids in histogram bucket b0
+                def pick_bucket(tbl: pa.Table) -> pa.Table:
+                    ids = tbl.column("doc_id").to_numpy().astype(np.int64)
+                    mask = (ids * HB // n_docs_total) == b0
+                    return pa.table(
+                        {"doc_id": pa.array(ids[mask], pa.int64())}
+                    )
+                bucket_ids = np.sort(
+                    np.concatenate(
+                        [
+                            b.column("doc_id").to_numpy()
+                            for b in feats_ds.map_batches(
+                                pick_bucket, batch_format="pyarrow"
+                            ).iter_batches(batch_format="pyarrow")
+                        ]
+                        or [np.empty(0, dtype=np.int64)]
+                    )
+                )
+                d_star = int(bucket_ids[k_valid - prior])
+            flagged_ds = (
+                feats_ds.filter(expr=f"doc_id >= {d_star}")
+                .map_batches(self._file_key_column, batch_format="pyarrow")
+                .sort("file_key")
+            )
+            for batch in flagged_ds.iter_batches(batch_format="pyarrow"):
+                stop = False
+                for r in batch.to_pylist():
+                    if need_flagged is not None and len(flagged_rows) >= need_flagged:
+                        stop = True
+                        break
+                    flagged_rows.append(
+                        dict(
+                            doc_id=r["doc_id"], repo=r["repo"], path=r["path"],
+                            rank=None, score=0.0, bm25_score=0.0,
+                            matched_terms=_bits_to_terms(
+                                r["matched_bits"], plan_terms
+                            ),
+                            n_bytes=r["n_bytes"],
+                        )
+                    )
+                if stop:
+                    break
+        all_rows = out_rows + flagged_rows
+        all_rows = _apply_limits_rows(all_rows, max_results, max_bytes, max_tokens)
+        # whole-file contained-dedup (block_merging.rs:17-118)
+        seen_files: dict[str, dict] = {}
+        deduped = []
+        for r in all_rows:
+            key = f"{r['repo']}/{r['path']}"
+            if key in seen_files:
+                seen_files[key]["matched_terms"] = sorted(
+                    set(seen_files[key]["matched_terms"]) | set(r["matched_terms"])
+                )
+                continue
+            seen_files[key] = r
             deduped.append(r)
         return _dicts_to_result(deduped)
 

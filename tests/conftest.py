@@ -45,7 +45,9 @@ def t2_index(ray_session, tmp_path_factory):
     root = tmp_path_factory.mktemp("t2idx")
     corpus_path = str(root / "corpus.parquet")
     write_corpus(corpus_path, "t2")
-    return build_index(corpus_path, str(root / "index"))
+    # ngram_index=True: substring candidate generation is complete on t2
+    # (t1 stays without it to cover the legacy dictionary-scan path)
+    return build_index(corpus_path, str(root / "index"), ngram_index=True)
 
 
 @pytest.fixture(scope="session")

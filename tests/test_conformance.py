@@ -167,17 +167,25 @@ def test_t1_rank_identity_with_guard_rows(query, t1_index):
         assert math.isclose(g[2], e[2], abs_tol=1e-9)
 
 
-def test_exhaustive_closes_cross_boundary_substring_gap(t2_rows, t2_index):
+def test_ngram_index_closes_cross_boundary_substring_gap(t2_rows, t2_index):
     """'dalpha' only occurs ACROSS the camel split of keywordAlpha — the
-    index candidate generation cannot see it (documented narrowing), but
-    exhaustive=True (probe's full-scan behavior) matches the oracle."""
+    term-dictionary narrowing cannot see it, but the content char-3-gram
+    index (t2 is built with ngram_index=True) retrieves it WITHOUT
+    exhaustive=True; exhaustive mode still agrees."""
     expected = _oracle_rows(oracle_search(t2_rows, ["dalpha"]))
     assert expected, "oracle should match via substring injection"
     engine = Engine(t2_index)
-    default = engine.search(["dalpha"]).to_pylist()
-    assert default == []  # the documented narrowing
-    got = _engine_rows(engine.search(["dalpha"], exhaustive=True))
-    assert len(got) == len(expected)
-    for g, e in zip(got, expected):
-        assert g[0] == e[0] and g[1] == e[1]
-        assert math.isclose(g[2], e[2], abs_tol=1e-9)
+    assert engine._has_ngrams()
+    for kwargs in ({}, {"exhaustive": True}):
+        got = _engine_rows(engine.search(["dalpha"], **kwargs))
+        assert len(got) == len(expected), kwargs
+        for g, e in zip(got, expected):
+            assert g[0] == e[0] and g[1] == e[1]
+            assert math.isclose(g[2], e[2], abs_tol=1e-9)
+
+
+def test_dictionary_narrowing_documented_without_ngrams(t1_index):
+    """Without the ngram index (t1), cross-boundary substrings remain the
+    documented narrowing: default search misses them, exhaustive finds."""
+    engine = Engine(t1_index)
+    assert not engine._has_ngrams()

@@ -12,8 +12,10 @@ from probe_ray.oracle import oracle_search
 from probe_ray.search import Engine
 
 _SUBSET = [q for q in QUERY_SUITE if q[0] in (
-    "q01_single_term", "q04_exclusion", "q09_quoted_exact",
-    "q14_filename_only", "q19_bm25_gradient", "q24_files_only",
+    "q01_single_term", "q02_or_chain", "q04_exclusion", "q07_complex_exclusion",
+    "q09_quoted_exact", "q14_filename_only", "q18_all_stopwords",
+    "q19_bm25_gradient", "q22_multi_query_and", "q23_max_results",
+    "q24_files_only", "q25_max_bytes", "q26_max_tokens",
 )]
 
 
@@ -33,3 +35,5 @@ def test_distributed_rank_identity(qid, queries, opts, t2_rows, distributed_engi
         assert g["doc_id"] == e.doc_id, f"{qid} row {i}"
         assert g["rank"] == e.rank, f"{qid} row {i}"
         assert math.isclose(g["score"], e.score, abs_tol=1e-9), f"{qid} row {i}"
+        assert math.isclose(g["bm25_score"], e.bm25_score, abs_tol=1e-9), f"{qid} row {i}"
+        assert list(g["matched_terms"]) == list(e.matched_terms), f"{qid} row {i}"
