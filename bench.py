@@ -85,6 +85,10 @@ def run_bench() -> dict:
     build_sec = time.time() - t0
     results["index_build_sec"] = round(build_sec, 3)
     results["index_build_files_per_sec"] = round(n_files / build_sec, 1)
+    # per-stage wall: separates the map-dominated stages (guard/ids,
+    # tokenize+write) from the shuffle-dominated segments stage — the
+    # scaling-efficiency evidence (BASELINE.md)
+    results["stage_sec"] = paths.stats().get("metrics", {}).get("stage_sec", {})
 
     if os.environ.get("PROBE_RAY_BENCH_ONLY") == "build":
         ray.shutdown()
@@ -116,6 +120,48 @@ def run_bench() -> dict:
     t0 = time.time()
     engine.search(["keywordAlpha keywordBeta"], mode="global", max_results=10)
     results["q_global_topk"] = round(time.time() - t0, 3)
+
+    # block-granularity search (the reference's real output unit); p50 of 3
+    # like the other classes (first call also pays worker import)
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        engine.search_blocks(["keywordAlpha OR keywordBeta"], max_results=10)
+        times.append(time.time() - t0)
+    results["q_blocks_topk_p50"] = round(sorted(times)[1], 3)
+
+    # forced-distributed compat ranking (the >LOCAL_DOCS_MAX branch a
+    # 10^12-doc corpus takes): wide-OR latency through the scale path
+    eng_dist = Engine(paths)
+    eng_dist.LOCAL_DOCS_MAX = 0
+    eng_dist.LOCAL_CAND_MAX = 0
+    eng_dist.LOCAL_VECTOR_CAND_MAX = 0
+    t0 = time.time()
+    eng_dist.search(
+        ["keywordAlpha OR keywordBeta OR keywordGamma"], max_results=10
+    )
+    results["q_wide_or_forced_distributed"] = round(time.time() - t0, 3)
+
+    # ngram-index engine: substring/quoted candidate generation vs the
+    # dictionary-scan path (VERDICT item 3 comparison)
+    t0 = time.time()
+    paths_ng = build_index(
+        corpus_dir, "/tmp/probe_ray_bench_index_ng", overwrite=True,
+        ngram_index=True,
+    )
+    results["index_build_with_ngram_sec"] = round(time.time() - t0, 3)
+    eng_ng = Engine(paths_ng)
+    for label, q in (
+        ("q_quoted_exact", '"cleanupScopeMappings"'),
+        ("q_substring_fragment", "dalpha"),
+    ):
+        for eng_v, suffix in ((engine, "_dictscan"), (eng_ng, "_ngram")):
+            times = []
+            for _ in range(3):
+                t0 = time.time()
+                eng_v.search([q], max_results=10)
+                times.append(time.time() - t0)
+            results[label + suffix + "_p50"] = round(sorted(times)[1], 3)
 
     # 3) documents-table pipelines at $GRAFT_SF_DIR
     from probe_ray import textops as T
@@ -184,6 +230,8 @@ def run_scaling():
                 f"sec_{hi}": t_hi,
                 f"files_per_sec_{lo}": r_lo["queries"]["index_build_files_per_sec"],
                 f"files_per_sec_{hi}": r_hi["queries"]["index_build_files_per_sec"],
+                f"stage_sec_{lo}": r_lo["queries"].get("stage_sec", {}),
+                f"stage_sec_{hi}": r_hi["queries"].get("stage_sec", {}),
                 "scaling_levels": [lo, hi],
                 "sf": SF_DIR,
             }

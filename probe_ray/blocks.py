@@ -97,15 +97,32 @@ def line_term_matches(
 ) -> dict[int, set[int]]:
     """term index -> set of 1-based line numbers whose lowercase text
     contains any of the term's needles (ripgrep_searcher.rs case-insensitive
-    literal matching of the generated patterns)."""
+    literal matching of the generated patterns).
+
+    Offset-based: one ``str.find`` walk over the joined lowered content per
+    needle, jumping to the next line after each hit — O(matching lines)
+    instead of O(lines x needles). Needles never contain newlines, so
+    joined-text matching is exactly per-line matching."""
+    if not lines or not patterns:
+        return {}
+    lowered = "\n".join(lines).lower()
+    starts = [0]
+    for l in lines:
+        starts.append(starts[-1] + len(l) + 1)
+    import bisect
+
     out: dict[int, set[int]] = {}
-    lowered = [l.lower() for l in lines]
     for idx, needles in patterns.items():
-        hit = {
-            n + 1
-            for n, ll in enumerate(lowered)
-            if any(p in ll for p in needles)
-        }
+        hit: set[int] = set()
+        for p in needles:
+            if not p:
+                continue
+            pos = lowered.find(p)
+            while pos != -1:
+                line_i = bisect.bisect_right(starts, pos) - 1
+                hit.add(line_i + 1)
+                nxt = starts[line_i + 1] if line_i + 1 < len(starts) else len(lowered)
+                pos = lowered.find(p, nxt)
         if hit:
             out[idx] = hit
     return out

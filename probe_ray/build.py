@@ -574,6 +574,8 @@ def build_index(
         with open(stages_path, "w") as f:
             json.dump(dict(fingerprint=fp, done=sorted(done)), f)
 
+    stage_sec: dict[str, float] = {}
+
     def staged_write(pipeline_writer, final_dir: str) -> None:
         part = final_dir + ".part"
         if os.path.exists(part):
@@ -581,10 +583,23 @@ def build_index(
         pipeline_writer(part)
         os.rename(part, final_dir)
 
+    def timed(stage: str):
+        import contextlib
+        import time as _t
+
+        @contextlib.contextmanager
+        def cm():
+            t0 = _t.time()
+            yield
+            stage_sec[stage] = round(_t.time() - t0, 3)
+
+        return cm()
+
     if "docs" not in done:
         ds = rd.read_parquet(corpus) if isinstance(corpus, str) else corpus
         ds = ds.map_batches(guard_batch, batch_format="pyarrow", batch_size=batch_size)
-        ds = assign_doc_ids(ds)
+        with timed("guard_ids"):  # guard + id-assignment materialize
+            ds = assign_doc_ids(ds)
 
         # docs table: ONE streaming consume of the tokenize pipeline straight
         # to parquet (no full materialization in the object store);
@@ -595,10 +610,11 @@ def build_index(
         )
         if os.path.exists(tmp.docs_dir):
             shutil.rmtree(tmp.docs_dir)
-        staged_write(
-            lambda p: docs_pipe.write_parquet(p, min_rows_per_file=8192),
-            tmp.docs_dir,
-        )
+        with timed("docs"):
+            staged_write(
+                lambda p: docs_pipe.write_parquet(p, min_rows_per_file=8192),
+                tmp.docs_dir,
+            )
         mark("docs")
 
     if _fail_after == "docs":
@@ -633,10 +649,11 @@ def build_index(
         )
         if os.path.exists(tmp.segments_dir):
             shutil.rmtree(tmp.segments_dir)
-        staged_write(
-            lambda p: segments.write_parquet(p, partition_cols=["shard"]),
-            tmp.segments_dir,
-        )
+        with timed("segments"):
+            staged_write(
+                lambda p: segments.write_parquet(p, partition_cols=["shard"]),
+                tmp.segments_dir,
+            )
         mark("segments")
 
     # optional content n-gram index: same partial-encode -> (gram, salt)
@@ -654,10 +671,11 @@ def build_index(
         )
         if os.path.exists(tmp.ngrams_dir):
             shutil.rmtree(tmp.ngrams_dir)
-        staged_write(
-            lambda p: ngrams.write_parquet(p, partition_cols=["shard"]),
-            tmp.ngrams_dir,
-        )
+        with timed("ngrams"):
+            staged_write(
+                lambda p: ngrams.write_parquet(p, partition_cols=["shard"]),
+                tmp.ngrams_dir,
+            )
         mark("ngrams")
 
     # build metrics: skew / partition-size evidence (SURVEY.md §5 "Skew":
@@ -680,6 +698,7 @@ def build_index(
         )
     except Exception:  # metrics are best-effort observability
         pass
+    metrics["stage_sec"] = stage_sec  # per-stage wall (scaling evidence)
 
     with open(tmp.stats_path, "w") as f:
         json.dump(

@@ -1,0 +1,107 @@
+"""Output formatters (S4): render result tables in the reference's
+surface formats — json / xml / plain terminal — over the engine's Arrow
+result tables (document- or block-granularity).
+
+Mirrors the field layout of search_output.rs:570-660 (JSON: file, lines
+[start, end], node_type, code, matched_keywords, score, bm25_score) and
+search_output.rs:1077-1160 (XML: <probe_results><result>...), minus the
+tree-sitter-derived enrichment fields (scope/owner symbols/LSP — those
+layers are out of scope, SURVEY.md §7.6). Terminal format follows the
+plain (non-color) layout: `file:start-end` header + code body.
+"""
+
+from __future__ import annotations
+
+import json
+from xml.sax.saxutils import escape
+
+import pyarrow as pa
+
+
+def _rows(table: pa.Table) -> list[dict]:
+    rows = table.to_pylist()
+    for r in rows:
+        # document-granularity results have no span columns; a whole-file
+        # hit renders as lines [1, 1] like the reference's filename matches
+        r.setdefault("start_line", 1)
+        r.setdefault("end_line", 1)
+        r.setdefault("node_type", "file")
+        r.setdefault("code", "")
+        if "matched_keywords" not in r:
+            r["matched_keywords"] = r.get("matched_terms", [])
+    return rows
+
+
+def _file_key(r: dict) -> str:
+    return f"{r['repo']}/{r['path']}"
+
+
+def format_json(table: pa.Table) -> str:
+    """search_output.rs:570-808 JSON shape (summary wrapper + results)."""
+    rows = _rows(table)
+    results = [
+        {
+            "file": _file_key(r),
+            "lines": [r["start_line"], r["end_line"]],
+            "node_type": r["node_type"],
+            "code": r["code"],
+            "matched_keywords": list(r["matched_keywords"]),
+            "rank": r.get("rank"),
+            "score": r.get("score"),
+            "bm25_score": r.get("bm25_score"),
+        }
+        for r in rows
+    ]
+    wrapper = {
+        "results": results,
+        "summary": {
+            "count": len(results),
+            "total_bytes": sum(len(r["code"].encode()) for r in rows),
+            "total_tokens": sum(len(r["code"].encode()) // 4 for r in rows),
+        },
+    }
+    return json.dumps(wrapper, indent=2)
+
+
+def format_xml(table: pa.Table) -> str:
+    """search_output.rs:1077-1160 XML shape."""
+    out = ['<?xml version="1.0" encoding="UTF-8"?>', "<probe_results>"]
+    for r in _rows(table):
+        out.append("  <result>")
+        out.append(f"    <file>{escape(_file_key(r))}</file>")
+        out.append(f"    <lines>{r['start_line']}-{r['end_line']}</lines>")
+        out.append(f"    <node_type>{escape(r['node_type'])}</node_type>")
+        if r["matched_keywords"]:
+            out.append("    <matched_keywords>")
+            for kw in r["matched_keywords"]:
+                out.append(f"      <keyword>{escape(kw)}</keyword>")
+            out.append("    </matched_keywords>")
+        if r.get("score") is not None:
+            out.append(f"    <score>{r['score']:.4f}</score>")
+        if r.get("bm25_score") is not None:
+            out.append(f"    <bm25_score>{r['bm25_score']:.4f}</bm25_score>")
+        out.append(f"    <code>{escape(r['code'])}</code>")
+        out.append("  </result>")
+    out.append("</probe_results>")
+    return "\n".join(out)
+
+
+def format_terminal(table: pa.Table) -> str:
+    """Plain (non-color) terminal layout: header line + code block per
+    result, separated by blank lines (search_output.rs plain branch)."""
+    parts = []
+    for r in _rows(table):
+        rank = f" (rank {r['rank']})" if r.get("rank") is not None else ""
+        header = f"{_file_key(r)}:{r['start_line']}-{r['end_line']}{rank}"
+        parts.append(header + ("\n" + r["code"] if r["code"] else ""))
+    return "\n\n".join(parts)
+
+
+FORMATS = {"json": format_json, "xml": format_xml, "terminal": format_terminal}
+
+
+def format_results(table: pa.Table, fmt: str = "terminal") -> str:
+    try:
+        return FORMATS[fmt](table)
+    except KeyError:
+        raise ValueError(f"unknown format {fmt!r}; choose from {sorted(FORMATS)}")

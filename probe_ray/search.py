@@ -141,24 +141,41 @@ class Engine:
             return {}
         n_shards = self._stats["n_shards"]
         shards = sorted({_term_shard(g, n_shards) for g in wanted})
-        tbl = pq.ParquetDataset(
+        # metadata-first: read per-gram df only, probe the RAREST grams per
+        # needle (any subset intersection stays a superset of true matches;
+        # common grams add read+intersect cost without narrowing)
+        meta = pq.ParquetDataset(
             self.paths.ngrams_dir,
             filters=[("shard", "in", shards), ("gram", "in", sorted(wanted))],
+        ).read(columns=["gram", "df"])
+        df_by_gram: dict[str, int] = {}
+        for g, d in zip(meta.column("gram").to_pylist(), meta.column("df").to_pylist()):
+            df_by_gram[g] = df_by_gram.get(g, 0) + int(d)
+        MAX_PROBE_GRAMS = 6
+        probe: dict[str, list[str]] = {}
+        out: dict[str, np.ndarray] = {}
+        fetch: set[str] = set()
+        for nd, gs in per_needle.items():
+            if any(g not in df_by_gram for g in gs):
+                out[nd] = np.empty(0, dtype=np.int64)  # absent gram: no match
+                continue
+            sel = sorted(gs, key=df_by_gram.__getitem__)[:MAX_PROBE_GRAMS]
+            probe[nd] = sel
+            fetch.update(sel)
+        if not probe:
+            return out
+        shards_f = sorted({_term_shard(g, n_shards) for g in fetch})
+        tbl = pq.ParquetDataset(
+            self.paths.ngrams_dir,
+            filters=[("shard", "in", shards_f), ("gram", "in", sorted(fetch))],
         ).read(columns=["gram", "blob"])
         by_gram: dict[str, list[np.ndarray]] = {}
         for g, b in zip(tbl.column("gram").to_pylist(), tbl.column("blob").to_pylist()):
             ids, _ = codec.decode_postings(b)
             by_gram.setdefault(g, []).append(ids.astype(np.int64))
-        gram_ids = {
-            g: np.unique(np.concatenate(v)) for g, v in by_gram.items()
-        }
-        out: dict[str, np.ndarray] = {}
-        for nd, gs in per_needle.items():
-            sets = [gram_ids.get(g) for g in gs]
-            if any(s is None for s in sets):
-                out[nd] = np.empty(0, dtype=np.int64)
-                continue
-            sets.sort(key=len)
+        gram_ids = {g: np.unique(np.concatenate(v)) for g, v in by_gram.items()}
+        for nd, sel in probe.items():
+            sets = sorted((gram_ids[g] for g in sel), key=len)
             inter = sets[0]
             for s in sets[1:]:
                 if inter.size == 0:
@@ -330,6 +347,9 @@ class Engine:
     # same threshold for the VECTORIZED verifier (C-speed on the driver, so
     # much higher); beyond it the verify fans out across the cluster
     LOCAL_VECTOR_CAND_MAX = 100_000
+    # block extraction is per-row Python (line matching + window tokenize):
+    # fan out beyond a small candidate count even with a pinned docs table
+    LOCAL_BLOCK_CAND_MAX = 2048
 
     def _local_docs_table(self) -> pa.Table | None:
         if self._stats["n_docs"] > self.LOCAL_DOCS_MAX:
@@ -644,10 +664,11 @@ class Engine:
         )
         if session_key is not None and not files_only:
             returned = {
-                f"{r}/{p}"
-                for r, p in zip(
+                f"{r}/{p}": int(d)
+                for r, p, d in zip(
                     result.column("repo").to_pylist(),
                     result.column("path").to_pylist(),
+                    result.column("doc_id").to_pylist(),
                 )
             }
             self._session_add(session_key, returned)
@@ -760,7 +781,14 @@ class Engine:
         )
 
         cols = ["doc_id", "repo", "path", "content"]
-        local_tbl = self._local_docs_table()
+        # block extraction is a Python-heavy per-doc stage (line matching +
+        # window tokenization) — unlike the vectorized doc verifier it pays
+        # to fan out even when the docs table fits driver-side
+        local_tbl = (
+            self._local_docs_table()
+            if cand_ids.size <= self.LOCAL_BLOCK_CAND_MAX
+            else None
+        )
         if local_tbl is not None:
             mask = np.isin(local_tbl.column("doc_id").to_numpy(), cand_ids)
             feats = extract(local_tbl.filter(pa.array(mask)))
@@ -865,7 +893,8 @@ class Engine:
             )
         if session is not None:
             self._session_add(
-                self._session_key(session, queries), {r["file"] for r in rows}
+                self._session_key(session, queries),
+                {r["file"]: int(r["doc_id"]) for r in rows},
             )
         return pa.table(
             {
@@ -895,7 +924,7 @@ class Engine:
         only — pruned read)."""
         if not doc_ids:
             return {}
-        local = self._local_docs_table()
+        local = getattr(self, "_docs_cache", None)  # reuse if already pinned
         if local is not None:
             ids = local.column("doc_id").to_numpy()
             mask = np.isin(ids, np.asarray(doc_ids, dtype=np.int64))
@@ -928,22 +957,73 @@ class Engine:
         os.makedirs(d, exist_ok=True)
         return os.path.join(d, f"{key}.json")
 
+    def _file_shas(self, ids_by_file: dict[str, int]) -> dict[str, str]:
+        """file-key -> stored content_sha256 for the given docs (doc-id
+        predicate read prunes row groups; session sets are small)."""
+        if not ids_by_file:
+            return {}
+        tbl = pq.read_table(
+            self.paths.docs_dir,
+            columns=["doc_id", "repo", "path", "content_sha256"],
+            filters=[("doc_id", "in", sorted(set(ids_by_file.values())))],
+        )
+        by_key = {
+            f"{r}/{p}": s
+            for r, p, s in zip(
+                tbl.column("repo").to_pylist(),
+                tbl.column("path").to_pylist(),
+                tbl.column("content_sha256").to_pylist(),
+            )
+        }
+        return {fk: by_key[fk] for fk in ids_by_file if fk in by_key}
+
     def _session_seen(self, key: str) -> set[str]:
+        """Load the session's seen set, invalidating entries whose file
+        content hash changed or whose file vanished (cache.rs:197-240 —
+        the reference stores per-file MD5; this engine uses the stored
+        content_sha256 invariant, same semantics)."""
         import json
         import os
 
         p = self._session_path(key)
-        if os.path.exists(p):
-            with open(p) as f:
-                return set(json.load(f))
-        return set()
+        if not os.path.exists(p):
+            return set()
+        with open(p) as f:
+            data = json.load(f)
+        if isinstance(data, list):  # pre-invalidation format
+            return set(data)
+        seen = set(data.get("seen", []))
+        recorded = data.get("sha", {})
+        ids = data.get("ids", {})
+        if not recorded or not ids:
+            return seen
+        current = self._file_shas({fk: ids[fk] for fk in recorded if fk in ids})
+        stale = {fk for fk, sha in recorded.items() if current.get(fk) != sha}
+        return seen - stale
 
-    def _session_add(self, key: str, files: set[str]) -> None:
+    def _session_ids(self, key: str) -> dict[str, int]:
+        import json
+        import os
+
+        p = self._session_path(key)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            data = json.load(f)
+        return data.get("ids", {}) if isinstance(data, dict) else {}
+
+    def _session_add(self, key: str, files: dict[str, int]) -> None:
+        """Record returned files (file-key -> doc_id) with their content
+        hashes for later invalidation."""
         import json
 
-        current = self._session_seen(key) | files
+        ids = self._session_ids(key)
+        ids.update(files)
+        current = self._session_seen(key) | set(files)
+        ids = {fk: did for fk, did in ids.items() if fk in current}
+        shas = self._file_shas(ids)
         with open(self._session_path(key), "w") as f:
-            json.dump(sorted(current), f)
+            json.dump(dict(seen=sorted(current), sha=shas, ids=ids), f)
 
     # -- compat mode --------------------------------------------------------
 

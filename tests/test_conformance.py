@@ -120,6 +120,41 @@ def test_session_dedup(t2_rows, t2_index):
     assert [g[0] for g in got] == [e[0] for e in expected]
 
 
+def test_session_sha_invalidation(t2_index):
+    """cache.rs:197-240 semantics: a seen entry whose recorded content hash
+    no longer matches the stored file is invalidated (re-eligible); entries
+    with matching hashes stay seen."""
+    import json
+    import os
+
+    engine = Engine(t2_index)
+    first = engine.search(["keywordAlpha"], max_results=5, session="s_inv")
+    files = [
+        f"{r}/{p}"
+        for r, p in zip(
+            first.column("repo").to_pylist(), first.column("path").to_pylist()
+        )
+    ]
+    assert files
+    key = engine._session_key("s_inv", ["keywordAlpha"])
+    p = engine._session_path(key)
+    with open(p) as f:
+        data = json.load(f)
+    assert set(data["seen"]) == set(files)
+    assert set(data["sha"]) == set(files)
+    # corrupt ONE entry's recorded hash -> that file becomes re-eligible
+    victim = files[0]
+    data["sha"][victim] = "0" * 64
+    with open(p, "w") as f:
+        json.dump(data, f)
+    assert engine._session_seen(key) == set(files) - {victim}
+    # legacy list-format session files still load
+    with open(p, "w") as f:
+        json.dump(files, f)
+    assert engine._session_seen(key) == set(files)
+    os.remove(p)
+
+
 def test_seen_parity(t2_rows, t2_index):
     """Explicit seen-set parity engine vs oracle (affects candidate-set
     statistics, not just output filtering)."""

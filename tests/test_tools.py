@@ -67,3 +67,37 @@ def test_allow_tests_conformance(t2_rows, t2_index):
     # and it actually excludes something
     full = oracle_search(t2_rows, ["keywordAlpha"])
     assert len(expected) < len(full)
+
+
+def test_output_formatters(t2_index):
+    """S4: json/xml/terminal renderers over document- and block-granularity
+    result tables (search_output.rs:570-1160 field layout)."""
+    import json as _json
+    import xml.etree.ElementTree as ET
+
+    from probe_ray.output import format_results
+    from probe_ray.search import Engine
+
+    eng = Engine(t2_index)
+    doc_tbl = eng.search(["keywordAlpha"], max_results=3)
+    blk_tbl = eng.search_blocks(["keywordAlpha"], max_results=3)
+
+    for tbl in (doc_tbl, blk_tbl):
+        j = _json.loads(format_results(tbl, "json"))
+        assert j["summary"]["count"] == tbl.num_rows
+        assert len(j["results"]) == tbl.num_rows
+        for r in j["results"]:
+            assert "file" in r and len(r["lines"]) == 2
+
+        x = format_results(tbl, "xml")
+        root = ET.fromstring(x)  # well-formed
+        assert root.tag == "probe_results"
+        assert len(root.findall("result")) == tbl.num_rows
+
+        t = format_results(tbl, "terminal")
+        assert t.count(":") >= tbl.num_rows  # one file:span header per hit
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        format_results(doc_tbl, "yaml")
