@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": T.quality_score,
         "lang_distribution": T.lang_distribution,
         "grep_count": T.grep_count,
+        "structural_matches": T.structural_matches,
         "source_stats": T.source_stats,
         "pricing_summary": T.pricing_summary,
         "top_customers_by_orders": T.top_customers_by_orders,
@@ -242,6 +243,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(regexp_extract_all(text, 'ba[a-z]+')) AS n_matches
             FROM documents
             WHERE len(regexp_extract_all(text, 'ba[a-z]+')) > 0
+        """,
+        "structural_matches": r"""
+            SELECT doc_id,
+                   unnest(regexp_extract_all(text, 'spark\s+([A-Za-z_][A-Za-z0-9_]*)', 1)) AS w
+            FROM documents
+            ORDER BY doc_id, w
         """,
         "doc_stats": f"""
             SELECT doc_id,

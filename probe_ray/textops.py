@@ -1147,6 +1147,40 @@ def media_features(sf_dir: str) -> rd.Dataset:
     )
 
 
+def structural_matches(sf_dir: str, pattern: str = "spark $W") -> pa.Table:
+    """ast-grep-style structural query over documents (probe query,
+    src/query.rs — tools.structural_query regex-translation fallback).
+    Output (doc_id, w): each match's $W binding. SQL-checkable because the
+    pattern translation is a deterministic regex both engines share."""
+    from probe_ray.tools import structural_query
+
+    def to_corpus(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": pa.array(["d"] * batch.num_rows, pa.string()),
+                "path": pa.array(
+                    [str(i) for i in batch.column("doc_id").to_pylist()],
+                    pa.string(),
+                ),
+                "content": batch.column("text"),
+            }
+        )
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        to_corpus, batch_format="pyarrow"
+    )
+    tbl = structural_query(ds, pattern)
+    doc_ids = [int(p) for p in tbl.column("path").to_pylist()]
+    ws = [
+        next((c.split("=", 1)[1] for c in caps if c.startswith("W=")), "")
+        for caps in tbl.column("captures").to_pylist()
+    ]
+    out = pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()), "w": pa.array(ws, pa.string())}
+    )
+    return out.sort_by([("doc_id", "ascending"), ("w", "ascending")])
+
+
 def grep_count(sf_dir: str, pattern: str = "ba[a-z]+") -> rd.Dataset:
     """Regex grep over documents (probe's grep subcommand, src/grep.rs,
     re-expressed): per-doc match count for a fixed pattern."""

@@ -151,3 +151,126 @@ def symbols(docs: rd.Dataset) -> rd.Dataset:
         )
 
     return docs.map_batches(scan, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Structural pattern query (probe query / ast-grep fallback — M13)
+# ---------------------------------------------------------------------------
+
+_METAVAR_MULTI = re.compile(r"\$\$\$(?:[A-Z_][A-Z0-9_]*)?")
+_METAVAR_SINGLE = re.compile(r"\$([A-Z_][A-Z0-9_]*)")
+
+
+def compile_structural_pattern(pattern: str) -> re.Pattern:
+    """Translate an ast-grep-style pattern (src/query.rs:32-46;
+    `probe query 'fn $NAME($$$)'`) into a regex:
+
+    - ``$$$`` / ``$$$ARGS``  -> non-greedy any-text (incl. newlines),
+    - ``$NAME``              -> a named identifier capture,
+    - literal text escaped; runs of whitespace match flexibly (ast-grep is
+      whitespace-insensitive between tokens).
+
+    DOCUMENTED FALLBACK: the reference matches against the tree-sitter AST
+    (structural equality); this translation matches the same programs
+    textually and is the swap point for a real ast-grep when grammars are
+    available. Repeated ``$NAME`` occurrences are enforced equal via
+    backreferences, mirroring ast-grep metavariable unification.
+    """
+    out: list[str] = []
+    seen_names: set[str] = set()
+    i = 0
+    while i < len(pattern):
+        m = _METAVAR_MULTI.match(pattern, i)
+        if m:
+            out.append(r"[\s\S]*?")
+            i = m.end()
+            continue
+        m = _METAVAR_SINGLE.match(pattern, i)
+        if m:
+            name = m.group(1)
+            if name in seen_names:
+                out.append(f"(?P={name})")  # unification: same text
+            else:
+                out.append(f"(?P<{name}>[A-Za-z_][A-Za-z0-9_]*)")
+                seen_names.add(name)
+            i = m.end()
+            continue
+        ch = pattern[i]
+        if ch.isspace():
+            while i < len(pattern) and pattern[i].isspace():
+                i += 1
+            out.append(r"\s+")
+            continue
+        out.append(re.escape(ch))
+        i += 1
+    rx = re.compile("".join(out))
+    if rx.match(""):  # degenerate all-metavariable pattern
+        raise ValueError(
+            "structural pattern must contain literal text besides "
+            "metavariables (got a pattern matching the empty string)"
+        )
+    return rx
+
+
+def structural_query(docs: rd.Dataset, pattern: str, *,
+                     language: str | None = None,
+                     max_results: int | None = None) -> pa.Table:
+    """probe query fallback: match a structural pattern over the corpus,
+    returning (repo, path, line_start, line_end, matched_text, captures)
+    like query.rs AstMatch (byte offsets mapped to lines). Distributed scan
+    via map_batches; the per-batch function is a compiled-regex finditer."""
+    rx = compile_structural_pattern(pattern)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        out = {"repo": [], "path": [], "line_start": [], "line_end": [],
+               "matched_text": [], "captures": []}
+        langs = (
+            batch.column("lang").to_pylist()
+            if "lang" in batch.schema.names else [None] * batch.num_rows
+        )
+        for repo, path, lang, content in zip(
+            batch.column("repo").to_pylist(),
+            batch.column("path").to_pylist(),
+            langs,
+            batch.column("content").to_pylist(),
+        ):
+            if language is not None and lang != language:
+                continue
+            for m in rx.finditer(content):
+                line_start = content.count("\n", 0, m.start()) + 1
+                line_end = content.count("\n", 0, m.end()) + 1
+                caps = sorted(
+                    f"{k}={v}" for k, v in (m.groupdict() or {}).items()
+                    if v is not None
+                )
+                out["repo"].append(repo)
+                out["path"].append(path)
+                out["line_start"].append(line_start)
+                out["line_end"].append(line_end)
+                out["matched_text"].append(m.group(0))
+                out["captures"].append(caps)
+        return pa.table(
+            {
+                "repo": pa.array(out["repo"], pa.string()),
+                "path": pa.array(out["path"], pa.string()),
+                "line_start": pa.array(out["line_start"], pa.int32()),
+                "line_end": pa.array(out["line_end"], pa.int32()),
+                "matched_text": pa.array(out["matched_text"], pa.string()),
+                "captures": pa.array(out["captures"], pa.list_(pa.string())),
+            }
+        )
+
+    ds = docs.map_batches(scan, batch_format="pyarrow")
+    ds = ds.sort(["repo", "path", "line_start"])
+    if max_results is not None:
+        ds = ds.limit(max_results)
+    batches = [b for b in ds.iter_batches(batch_format="pyarrow") if b.num_rows]
+    if batches:
+        return pa.concat_tables(batches)
+    return pa.table(
+        {"repo": pa.array([], pa.string()), "path": pa.array([], pa.string()),
+         "line_start": pa.array([], pa.int32()),
+         "line_end": pa.array([], pa.int32()),
+         "matched_text": pa.array([], pa.string()),
+         "captures": pa.array([], pa.list_(pa.string()))}
+    )

@@ -101,3 +101,50 @@ def test_output_formatters(t2_index):
 
     with _pytest.raises(ValueError):
         format_results(doc_tbl, "yaml")
+
+
+def test_structural_query_patterns():
+    """M13 fallback: ast-grep-style patterns via regex translation
+    (query.rs:32-46 surface; documented textual-matching deviation)."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    from probe_ray.tools import compile_structural_pattern, structural_query
+
+    rx = compile_structural_pattern("fn $NAME($$$)")
+    m = rx.search("pub fn migrate_all(a: u32, b: &str) {")
+    assert m and m.group("NAME") == "migrate_all"
+
+    # metavariable unification: repeated $X must bind the same text
+    rx2 = compile_structural_pattern("$X == $X")
+    assert rx2.search("if a == a {")
+    assert not rx2.search("if a == b {")
+
+    docs = rd.from_arrow(pa.table({
+        "repo": ["r"] * 3,
+        "path": ["a.rs", "b.rs", "c.py"],
+        "lang": ["rust", "rust", "python"],
+        "content": [
+            "fn alpha(x: u32) {}\nfn beta() {}",
+            "struct S;\nfn gamma(a, b) { body }",
+            "def delta():\n    pass",
+        ],
+    }))
+    tbl = structural_query(docs, "fn $NAME($$$)")
+    names = sorted(
+        c.split("=", 1)[1]
+        for caps in tbl.column("captures").to_pylist()
+        for c in caps
+    )
+    assert names == ["alpha", "beta", "gamma"]
+    assert tbl.column("path").to_pylist() == ["a.rs", "a.rs", "b.rs"]
+
+    # language filter + max_results
+    t2 = structural_query(docs, "def $F($$$):", language="python")
+    assert t2.num_rows == 1 and "F=delta" in t2.column("captures").to_pylist()[0]
+    t3 = structural_query(docs, "fn $NAME($$$)", max_results=2)
+    assert t3.num_rows == 2
+
+    # no match -> typed empty table
+    t4 = structural_query(docs, "impl $T for $U")
+    assert t4.num_rows == 0 and t4.schema.names[0] == "repo"
