@@ -46,6 +46,8 @@ def main(argv=None):
     b.add_argument("corpus")
     b.add_argument("index_dir")
     b.add_argument("--shards", type=int, default=16)
+    b.add_argument("--ngram-index", action="store_true",
+                   help="build the content 3-gram substring index")
     b.add_argument("--overwrite", action="store_true")
 
     s = sub.add_parser("search")
@@ -61,8 +63,23 @@ def main(argv=None):
     s.add_argument("--allow-tests", action="store_true",
                    help="include test files (matches the reference flag)")
     s.add_argument("--session", default=None)
-    s.add_argument("--mode", choices=["compat", "global"], default="compat")
-    s.add_argument("--json", action="store_true")
+    s.add_argument("--mode", choices=["compat", "global", "blocks"],
+                   default="blocks",
+                   help="blocks = ranked code blocks (the reference's "
+                        "output unit, default); compat = whole-file; "
+                        "global = corpus-stats top-k")
+    s.add_argument("--no-merge", action="store_true",
+                   help="skip adjacent-block merging (blocks mode)")
+    s.add_argument("--format", choices=["terminal", "json", "xml"],
+                   default="terminal")
+    s.add_argument("--json", action="store_true",
+                   help="shorthand for --format json (raw rows)")
+
+    q = sub.add_parser("query", help="ast-grep-style structural pattern")
+    q.add_argument("corpus")
+    q.add_argument("pattern")
+    q.add_argument("--language", default=None)
+    q.add_argument("--max-results", type=int, default=None)
 
     g = sub.add_parser("grep")
     g.add_argument("corpus")
@@ -86,36 +103,59 @@ def main(argv=None):
 
             paths = build_index(
                 args.corpus, args.index_dir, n_shards=args.shards,
-                overwrite=args.overwrite,
+                ngram_index=args.ngram_index, overwrite=args.overwrite,
             )
             print(json.dumps(paths.stats()))
         elif args.cmd == "search":
             from probe_ray.search import Engine
 
             eng = Engine(args.index_dir)
-            result = eng.search(
-                args.query,
+            common = dict(
                 exact=args.exact,
                 max_results=args.max_results,
                 max_bytes=args.max_bytes,
                 max_tokens=args.max_tokens,
                 language=args.language,
                 include_filenames=not args.exclude_filenames,
-                files_only=args.files_only,
                 # CLI mirrors the reference default (tests EXCLUDED unless
                 # --allow-tests); the library default is include-all
                 allow_tests=args.allow_tests,
                 session=args.session,
-                mode=args.mode,
             )
+            if args.mode == "blocks" and not args.files_only:
+                result = eng.search_blocks(
+                    args.query, no_merge=args.no_merge, **common
+                )
+            else:
+                result = eng.search(
+                    args.query, files_only=args.files_only,
+                    mode="compat" if args.mode == "blocks" else args.mode,
+                    **common,
+                )
             if args.json:
                 print(json.dumps(result.to_pylist()))
             else:
-                for r in result.to_pylist():
-                    rank = r["rank"] if r["rank"] is not None else "-"
-                    print(f"{rank}\t{r['score']:.4f}\t{r['repo']}/{r['path']}\t"
-                          f"{','.join(r['matched_terms'])}")
-                print(f"# {json.dumps(eng.last_metrics)}", file=sys.stderr)
+                from probe_ray.output import format_results
+
+                print(format_results(result, args.format))
+        elif args.cmd == "query":
+            import ray.data as rd
+
+            from probe_ray.tools import structural_query
+
+            ds = rd.read_parquet(args.corpus)
+            try:
+                tbl = structural_query(
+                    ds, args.pattern, language=args.language,
+                    max_results=args.max_results,
+                )
+            except ValueError as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                return 2
+            for r in tbl.to_pylist():
+                caps = " ".join(r["captures"])
+                print(f"{r['repo']}/{r['path']}:{r['line_start']}-"
+                      f"{r['line_end']}\t{caps}\t{r['matched_text'][:80]!r}")
         elif args.cmd == "grep":
             import ray.data as rd
 

@@ -297,3 +297,95 @@ def test_fuzz_block_identity(seed, t2_rows, t2_index):
             continue  # universal parse — out of block-mode scope
         got = engine.search_blocks([q])
         _assert_blocks_equal(got, expected, f"seed={seed} q={q!r}")
+
+
+# ---------------------------------------------------------------------------
+# Cases ported from src/search/file_processing_tests.rs (fallback path —
+# the reference's own tests drive process_file_with_results with explicit
+# term_matches, exactly our extract_fallback_blocks surface)
+# ---------------------------------------------------------------------------
+
+def _plan(q):
+    from probe_ray import queryparse as qp
+
+    plan, _ = qp.plan_query([q], False)
+    return plan
+
+
+def test_fp_ported_single_line():
+    """file_processing_tests.rs:78-120: one matched line -> a context block
+    spanning it."""
+    from probe_ray.blocks import extract_fallback_blocks
+
+    lines = ["line 1", "line 2", "line 3", "line 4", "line 5", ""]
+    plan = _plan("line")
+    tm = {plan.term_indices["line"]: {3}}
+    blocks = extract_fallback_blocks(
+        lines, "test.txt", tm, plan, frozenset(), allow_tests=False
+    )
+    assert blocks
+    b = blocks[0]
+    assert b["start"] <= 3 <= b["end"]
+    assert "line 3" in b["code"]
+
+
+def test_fp_ported_high_coverage():
+    """file_processing_tests.rs:122-229: matches on most lines still yield
+    (merged) results covering them."""
+    from probe_ray.blocks import extract_fallback_blocks
+
+    lines = ["line 1", "line 2", "line 3", "line 4", "line 5", ""]
+    plan = _plan("line")
+    tm = {plan.term_indices["line"]: {1, 2, 3, 4}}
+    blocks = extract_fallback_blocks(
+        lines, "test.txt", tm, plan, frozenset(), allow_tests=False
+    )
+    assert blocks
+    covered = set()
+    for b in blocks:
+        covered.update(range(b["start"], b["end"] + 1))
+    assert {1, 2, 3, 4} <= covered
+
+
+def test_fp_ported_multi_term_blocks():
+    """file_processing_tests.rs:231-321 semantics on an unsupported
+    extension: per-term matched lines produce fallback blocks whose
+    matched_keywords reflect the terms matching inside each span."""
+    from probe_ray.blocks import extract_fallback_blocks
+
+    content = (
+        "\nfunction alphafn() {\n  console.log('A');\n}\n\n"
+        "function betafn() {\n  console.log('B');\n}\n\n"
+        "function gammafn() {\n  console.log('C');\n}\n"
+    )
+    lines = content.split("\n")
+    plan = _plan("alphafn OR betafn OR gammafn")
+    ti = plan.term_indices
+    tm = {ti["alphafn"]: {2}, ti["betafn"]: {6}, ti["gammafn"]: {10}}
+    blocks = extract_fallback_blocks(
+        lines, "test.js", tm, plan, frozenset(), allow_tests=True
+    )
+    assert blocks
+    kws = {kw for b in blocks for kw in b["matched_keywords"]}
+    assert {"alphafn", "betafn", "gammafn"} <= kws
+    for b in blocks:
+        for ln in tm[ti["alphafn"]]:
+            if b["start"] <= ln <= b["end"]:
+                assert "alphafn" in b["matched_keywords"]
+
+
+def test_fp_ported_long_lines_ignored():
+    """file_processing_tests.rs:415-470: >500-char lines are blanked, so
+    no block code contains them (oracle pipeline applies the blanking)."""
+    from probe_ray.oracle import load_docs, oracle_search_blocks
+
+    normal = "This is a normal line with reasonable length."
+    long_line = "x" * 600
+    docs = load_docs(
+        [dict(repo="r", path="mixed.txt", commit="c", lang="txt",
+              content=f"{normal}\n{long_line}\n{normal}")]
+    )
+    hits = oracle_search_blocks(docs, ["normal"])
+    assert hits
+    for h in hits:
+        assert long_line not in h.code
