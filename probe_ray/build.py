@@ -381,6 +381,10 @@ class IndexPaths:
         return os.path.join(self.root, "ngrams")
 
     @property
+    def doc_lens_path(self) -> str:
+        return os.path.join(self.root, "doc_lens.npy")
+
+    @property
     def stats_path(self) -> str:
         return os.path.join(self.root, "stats.json")
 
@@ -625,6 +629,23 @@ def build_index(
     n_docs = len_ds.count()
     sum_dl = len_ds.sum("doc_len") if n_docs else 0
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
+
+    # dense doc_id -> doc_len attribute file, MEMORY-MAPPED at query time:
+    # the scoring path's doc-length lookups page in on demand instead of
+    # pinning 4 B/doc of driver heap (the "doc-attribute store" a cluster
+    # deployment would put on shared storage; 4 B x n_docs, written once)
+    if not os.path.exists(tmp.doc_lens_path):
+        id_len = rd.read_parquet(
+            tmp.docs_dir, columns=["doc_id", "doc_len"]
+        ).to_arrow_refs()
+        arr = np.zeros(max(n_docs, 1), dtype=np.int32)
+        for r in id_len:
+            t = ray.get(r)
+            if t.num_rows:
+                arr[t.column("doc_id").to_numpy()] = t.column(
+                    "doc_len"
+                ).to_numpy()
+        np.save(tmp.doc_lens_path, arr)
 
     tok_ds = rd.read_parquet(
         tmp.docs_dir,

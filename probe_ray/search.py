@@ -249,13 +249,26 @@ class Engine:
 
     def _doc_len_array(self) -> np.ndarray:
         """Dense doc_id -> doc_len array (doc ids are dense by
-        construction). At cluster scale this is the piece a distributed
-        doc-attribute store provides; single-node it pins ~4 bytes/doc."""
+        construction). Served MEMORY-MAPPED from the build's attribute file
+        when present — pages in on demand, so the driver never pins
+        4 B x n_docs of heap (the doc-attribute store pattern a cluster
+        deployment puts on shared storage). Falls back to an in-memory
+        array built from the docs table for pre-attribute-file indexes."""
         if getattr(self, "_dl_arr", None) is None:
-            tbl = pq.read_table(self.paths.docs_dir, columns=["doc_id", "doc_len"])
-            arr = np.zeros(self._stats["n_docs"], dtype=np.float64)
-            arr[tbl.column("doc_id").to_numpy()] = tbl.column("doc_len").to_numpy()
-            self._dl_arr = arr
+            import os
+
+            p = self.paths.doc_lens_path
+            if os.path.exists(p):
+                self._dl_arr = np.load(p, mmap_mode="r")
+            else:
+                tbl = pq.read_table(
+                    self.paths.docs_dir, columns=["doc_id", "doc_len"]
+                )
+                arr = np.zeros(self._stats["n_docs"], dtype=np.float64)
+                arr[tbl.column("doc_id").to_numpy()] = tbl.column(
+                    "doc_len"
+                ).to_numpy()
+                self._dl_arr = arr
         return self._dl_arr
 
     def _maxscore_topk(self, kw_terms: list[str], k: int,
