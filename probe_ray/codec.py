@@ -168,6 +168,48 @@ def decode_postings(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
     return doc_ids, tfs
 
 
+def decode_postings_selective(
+    blob: bytes, skip: bytes, want: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode ONLY the 128-entry blocks that can contain ids in ``want``
+    (sorted), using the skip pairs (last_doc_id, gap_byte_offset). The
+    delta chain restarts cleanly at block boundaries because block b's
+    first gap is a delta from block b-1's last id — which the skip stores.
+
+    Returns (doc_ids, tfs) for the selected blocks (a superset of the
+    wanted ids actually present). This is the skip-pointer read path of
+    MaxScore's probe phase: for k accumulated candidates at most k blocks
+    decode instead of the whole (possibly corpus-sized) posting list.
+    """
+    if not blob or want.size == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint8)
+    glen = int.from_bytes(blob[:8], "little")
+    sk = np.frombuffer(skip, dtype=np.uint64).reshape(-1, 2)
+    last_ids = sk[:, 0]
+    offs = sk[:, 1]
+    nb = last_ids.size
+    # block index per wanted id: first block whose last_id >= id
+    bidx = np.searchsorted(last_ids, np.asarray(want, dtype=np.uint64))
+    bsel = np.unique(bidx[bidx < nb])
+    if bsel.size == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.uint8)
+    ids_parts, tf_parts = [], []
+    tf_base = 8 + glen
+    for b in bsel:
+        start = 8 + int(offs[b])
+        end = 8 + (int(offs[b + 1]) if b + 1 < nb else glen)
+        gaps = _varint_decode_fast(blob[start:end])
+        base = last_ids[b - 1] if b > 0 else np.uint64(0)
+        ids = base + np.cumsum(gaps, dtype=np.uint64)
+        tfs = np.frombuffer(
+            blob[tf_base + int(b) * BLOCK : tf_base + int(b) * BLOCK + ids.size],
+            dtype=np.uint8,
+        )
+        ids_parts.append(ids)
+        tf_parts.append(tfs)
+    return np.concatenate(ids_parts), np.concatenate(tf_parts)
+
+
 def merge_encoded(blobs: list[bytes]) -> tuple[bytes, bytes, bytes]:
     """Merge several doc-id-sorted sub-blobs of the SAME term (salted shuffle
     second stage, SURVEY.md §7.1 step 6). Sub-lists are disjoint by

@@ -220,6 +220,53 @@ class Engine:
             out[t] = (ids[order], tfs[order])       # salted/split blobs
         return out
 
+    def _probe_postings(
+        self, term: str, want: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Skip-pointer probe: decode only the posting BLOCKS that can hold
+        ids in ``want`` (sorted), via the stored per-128-entry skip pairs —
+        the Block-Max read path of MaxScore's update-only phase. Returns
+        (ids, tfs) covering a superset of the wanted ids present."""
+        if not term or want.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.uint8)
+        n_shards = self._stats["n_shards"]
+        from probe_ray.build import _term_shard
+
+        tbl = pq.ParquetDataset(
+            self.paths.segments_dir,
+            filters=[("shard", "in", [_term_shard(term, n_shards)]),
+                     ("term", "in", [term])],
+        ).read(columns=["salt", "blob", "skip"])
+        rows = sorted(
+            zip(
+                tbl.column("salt").to_pylist(),
+                tbl.column("blob").to_pylist(),
+                tbl.column("skip").to_pylist(),
+            )
+        )
+        want_u = np.asarray(np.sort(want), dtype=np.uint64)
+        ids_parts, tf_parts = [], []
+        blocks_total = 0
+        blocks_read = 0
+        for _, blob, skip in rows:
+            blocks_total += max(1, len(skip) // 16)
+            ids, tfs = codec.decode_postings_selective(blob, skip, want_u)
+            blocks_read += (ids.size + codec.BLOCK - 1) // codec.BLOCK
+            if ids.size:
+                ids_parts.append(ids)
+                tf_parts.append(tfs)
+        if not hasattr(self, "_probe_block_stats"):
+            self._probe_block_stats = []
+        self._probe_block_stats.append(
+            dict(term=term, read=blocks_read, total=blocks_total)
+        )
+        if not ids_parts:
+            return np.empty(0, np.int64), np.empty(0, np.uint8)
+        ids = np.concatenate(ids_parts).astype(np.int64)
+        tfs = np.concatenate(tf_parts)
+        order = np.argsort(ids, kind="stable")
+        return ids[order], tfs[order]
+
     def _docs_ds(self, columns: list[str]) -> rd.Dataset:
         return rd.read_parquet(self.paths.docs_dir, columns=columns)
 
@@ -312,7 +359,21 @@ class Engine:
                 theta = np.partition(acc_sc, -k)[-k]
                 if remaining_ub <= theta:
                     update_only = True
-            ids_u, tfb = self._read_postings([t]).get(t, (None, None))
+                    # accumulator pruning: a doc whose current score plus
+                    # the remaining upper bound cannot reach theta can never
+                    # enter the top-k — drop it so the skip-pointer probe
+                    # touches only viable candidates' blocks (>= keeps
+                    # exact ties, which can still win on doc-id order)
+                    keep = acc_sc + remaining_ub >= theta
+                    if not keep.all():
+                        acc_ids = acc_ids[keep]
+                        acc_sc = acc_sc[keep]
+            if update_only:
+                # skip-pointer probe: decode ONLY the blocks containing
+                # accumulated candidates (true Block-Max read path)
+                ids_u, tfb = self._probe_postings(t, acc_ids)
+            else:
+                ids_u, tfb = self._read_postings([t]).get(t, (None, None))
             if ids_u is None:
                 continue
             ids_t = ids_u.astype(np.int64)
@@ -322,7 +383,7 @@ class Engine:
             if ids_t.size == 0:
                 continue
             if update_only:
-                # probe only at accumulated candidates (block-skip analogue)
+                # probe only at accumulated candidates
                 pos = np.searchsorted(ids_t, acc_ids)
                 pos_c = np.minimum(pos, ids_t.size - 1)
                 hit = ids_t[pos_c] == acc_ids
@@ -656,10 +717,12 @@ class Engine:
 
         t0 = _time.time()
         if mode == "global":
+            self._probe_block_stats = []
             result = self._search_global(ctx, queries, max_results)
             self.last_metrics = dict(
                 mode="global", results=result.num_rows,
                 wall_sec=round(_time.time() - t0, 4),
+                probe_blocks=self._probe_block_stats,
             )
             return result
         result = self._search_compat(

@@ -86,3 +86,38 @@ def test_stemmer_total_and_idempotent_on_short(word):
 def test_tokenize_never_crashes(text):
     tokens = tokenize(text)
     assert isinstance(tokens, list)
+
+
+def test_decode_postings_selective_matches_full():
+    """Skip-pointer selective decode returns exactly the blocks containing
+    wanted ids, with values identical to the full decode (block-boundary
+    cases: 1, 127, 128, 129, 1000 postings; salted-style sublists)."""
+    import numpy as np
+
+    from probe_ray import codec
+
+    rng = np.random.default_rng(11)
+    for n in (1, 2, 127, 128, 129, 300, 1000):
+        ids = np.unique(rng.integers(0, n * 37, size=n).astype(np.uint64))
+        tfs = rng.integers(1, 16, size=ids.size).astype(np.uint8)
+        blob, skip, _ = codec.encode_postings(ids, tfs)
+        full_ids, full_tfs = codec.decode_postings(blob)
+        assert np.array_equal(full_ids, ids)
+        # wanted: a few present ids + a few absent
+        want = np.unique(
+            np.concatenate(
+                [ids[:: max(1, ids.size // 7)].astype(np.int64),
+                 np.array([0, int(ids.max()) + 5], dtype=np.int64)]
+            )
+        )
+        sel_ids, sel_tfs = codec.decode_postings_selective(blob, skip, want)
+        # every wanted id that exists must be present with the right tf
+        tf_by_id = dict(zip(full_ids.tolist(), full_tfs.tolist()))
+        sel_map = dict(zip(sel_ids.tolist(), sel_tfs.tolist()))
+        for w in want.tolist():
+            if w in tf_by_id:
+                assert sel_map[w] == tf_by_id[w], (n, w)
+        # selected ids are a SUBSET of the full list (no corruption)
+        assert set(sel_ids.tolist()) <= set(full_ids.tolist())
+        # and the selection reads fewer (or equal) blocks than the total
+        assert sel_ids.size <= full_ids.size
