@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers_by_orders": T.top_customers_by_orders,
         # --- streaming-shaped windows over events (SQL-checked) ---
         "events_tumbling_hourly": T.events_tumbling_hourly,
+        "events_sliding_hourly": T.events_sliding_hourly,
         "events_sessionize": T.events_sessionize,
         # --- boolean retrieval + BM25 over documents (SQL-checked) ---
         "search_and": T.search_and,
@@ -211,6 +212,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT AS value_sum_micros
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+            ORDER BY event_type, window_start
+        """,
+        "events_sliding_hourly": """
+            WITH w AS (
+              SELECT event_type, value,
+                     unnest([
+                       make_timestamp((floor(epoch(ts) / 1800))::BIGINT * 1800 * 1000000),
+                       make_timestamp(((floor(epoch(ts) / 1800))::BIGINT * 1800 - 1800) * 1000000)
+                     ]) AS window_start
+              FROM events
+            )
+            SELECT event_type, window_start, count(*) AS n_events,
+                   sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT AS value_sum_micros
+            FROM w GROUP BY event_type, window_start
             ORDER BY event_type, window_start
         """,
         "events_sessionize": """

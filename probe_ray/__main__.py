@@ -70,7 +70,7 @@ def main(argv=None):
                         "global = corpus-stats top-k")
     s.add_argument("--no-merge", action="store_true",
                    help="skip adjacent-block merging (blocks mode)")
-    s.add_argument("--format", choices=["terminal", "json", "xml"],
+    s.add_argument("--format", choices=["terminal", "json", "xml", "outline"],
                    default="terminal")
     s.add_argument("--json", action="store_true",
                    help="shorthand for --format json (raw rows)")
@@ -90,7 +90,9 @@ def main(argv=None):
     e.add_argument("repo")
     e.add_argument("path")
     e.add_argument("--line", type=int, default=None)
-    e.add_argument("--context", type=int, default=0)
+    e.add_argument("--context", type=int, default=None,
+                   help="explicit ±N line slice; default extracts the "
+                        "fallback context block around --line")
 
     y = sub.add_parser("symbols")
     y.add_argument("corpus")

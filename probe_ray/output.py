@@ -97,7 +97,40 @@ def format_terminal(table: pa.Table) -> str:
     return "\n\n".join(parts)
 
 
-FORMATS = {"json": format_json, "xml": format_xml, "terminal": format_terminal}
+def format_outline(table: pa.Table) -> str:
+    """Outline view (search_output.rs:2659-2830): results grouped per file
+    (file order), sorted by start line within a file; a `File:` header once
+    per file, then each block's span with its matched lines highlighted as
+    `line_no: text` (first line of the block when no matched lines)."""
+    from collections import defaultdict
+
+    by_file: dict[str, list[dict]] = defaultdict(list)
+    for r in _rows(table):
+        by_file[_file_key(r)].append(r)
+    out: list[str] = []
+    for file_key in sorted(by_file):
+        blocks = sorted(by_file[file_key], key=lambda r: r["start_line"])
+        if out:
+            out.append("")
+        out.append("---")
+        out.append(f"File: {file_key}")
+        for r in blocks:
+            lines = r["code"].split("\n") if r["code"] else []
+            matched = r.get("matched_lines") or []
+            out.append(f"{r['start_line']}-{r['end_line']} [{r['node_type']}]")
+            shown = matched if matched else ([0] if lines else [])
+            for off in shown:
+                if 0 <= off < len(lines):
+                    out.append(f"  {r['start_line'] + off}: {lines[off]}")
+    return "\n".join(out)
+
+
+FORMATS = {
+    "json": format_json,
+    "xml": format_xml,
+    "terminal": format_terminal,
+    "outline": format_outline,
+}
 
 
 def format_results(table: pa.Table, fmt: str = "terminal") -> str:

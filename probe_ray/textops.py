@@ -1253,6 +1253,62 @@ def events_tumbling_hourly(sf_dir: str) -> pa.Table:
     )
 
 
+def events_sliding_hourly(sf_dir: str, hop_minutes: int = 30) -> pa.Table:
+    """SLIDING (hopping) 1-hour windows with a 30-min hop per event_type:
+    each event replicates into the width/hop windows containing it, then the
+    same partial-aggregate + groupby shuffle as the tumbling op. Fixed-point
+    micros keep distributed sums exact (hash-match the SQL oracle)."""
+    hop_us = hop_minutes * 60 * 1_000_000
+    width_us = 3_600 * 1_000_000
+    n_windows = width_us // hop_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        micros = np.rint(batch.column("value").to_numpy() * 1e6).astype(np.int64)
+        et = batch.column("event_type").to_pylist()
+        base = (ts // hop_us) * hop_us
+        frames = []
+        for k in range(n_windows):
+            start = base - k * hop_us
+            frames.append(
+                pd.DataFrame(
+                    {"event_type": et, "window_start": start,
+                     "n": 1, "value_micros": micros}
+                )
+            )
+        df = pd.concat(frames, ignore_index=True)
+        agg = df.groupby(["event_type", "window_start"], as_index=False).agg(
+            n=("n", "sum"), value_micros=("value_micros", "sum")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(agg["event_type"], pa.string()),
+                "window_start": pa.array(agg["window_start"], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "n": pa.array(agg["n"], pa.int64()),
+                "value_micros": pa.array(agg["value_micros"], pa.int64()),
+            }
+        )
+
+    agg = (
+        _events(sf_dir, ["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            rd.aggregate.Sum("n", alias_name="n_events"),
+            rd.aggregate.Sum("value_micros", alias_name="value_sum_micros"),
+        )
+    )
+    df = agg.to_pandas().sort_values(["event_type", "window_start"]).reset_index(
+        drop=True
+    )
+    return pa.Table.from_pandas(
+        df[["event_type", "window_start", "n_events", "value_sum_micros"]],
+        preserve_index=False,
+    )
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     """Session windows per user (new session when the gap to the previous
     event exceeds ``gap_minutes``): (user_id, session_id, n_events,

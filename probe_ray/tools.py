@@ -91,10 +91,13 @@ def grep(docs: rd.Dataset, pattern: str, *, ignore_case: bool = True,
 
 
 def extract(docs: rd.Dataset, repo: str, path: str, line: int | None = None,
-            context: int = 0) -> dict | None:
-    """probe extract file.rs:42 (src/extract/processor.rs:27-96) at document
-    granularity: point lookup by (repo, path), optional line slice with
-    ±context. A filter + take(1) — no shuffle."""
+            context: int | None = None) -> dict | None:
+    """probe extract file.rs:42 (src/extract/processor.rs:27-96): point
+    lookup by (repo, path); with ``line`` and no explicit ``context``, the
+    extracted unit is the FALLBACK CONTEXT BLOCK around that line (±5-line
+    window — the reference extracts the enclosing AST block; unsupported
+    languages fall back to the same windows the search path uses). An
+    explicit ``context`` gives a plain ±context line slice instead."""
     rows = docs.filter(
         lambda r: r["repo"] == repo and r["path"] == path
     ).take(1)
@@ -106,8 +109,17 @@ def extract(docs: rd.Dataset, repo: str, path: str, line: int | None = None,
         return dict(repo=repo, path=path, start_line=1,
                     end_line=content.count("\n") + 1, code=content)
     lines = content.split("\n")
-    lo = max(1, line - context)
-    hi = min(len(lines), line + context)
+    if context is None:
+        from probe_ray.blocks import fallback_windows
+
+        windows = fallback_windows({line}, len(lines))
+        if windows:
+            _, lo, hi = windows[0]
+        else:
+            lo = hi = min(max(1, line), len(lines))
+    else:
+        lo = max(1, line - context)
+        hi = min(len(lines), line + context)
     return dict(repo=repo, path=path, start_line=lo, end_line=hi,
                 code="\n".join(lines[lo - 1: hi]))
 

@@ -148,3 +148,35 @@ def test_structural_query_patterns():
     # no match -> typed empty table
     t4 = structural_query(docs, "impl $T for $U")
     assert t4.num_rows == 0 and t4.schema.names[0] == "repo"
+
+
+def test_extract_block_default(corpus_ds):
+    """extract with --line and no explicit context returns the fallback
+    context block (±5-line merged window), like the reference's AST-block
+    extraction on unsupported languages."""
+    from probe_ray.tools import extract
+
+    row = corpus_ds.take(1)[0]
+    n_lines = row["content"].count("\n") + 1
+    mid = max(1, n_lines // 2)
+    out = extract(corpus_ds, row["repo"], row["path"], line=mid)
+    assert out is not None
+    assert out["start_line"] <= mid <= out["end_line"]
+    # spans the ±5 window (clamped)
+    assert out["start_line"] == max(1, mid - 5)
+    assert out["end_line"] == min(n_lines, mid + 5)
+
+
+def test_outline_format(t2_index):
+    from probe_ray.output import format_results
+    from probe_ray.search import Engine
+
+    tbl = Engine(t2_index).search_blocks(["keywordAlpha"], max_results=6)
+    o = format_results(tbl, "outline")
+    assert o.startswith("---")
+    assert "File: " in o
+    # per-file grouping: a file header appears once even with several blocks
+    import re
+
+    headers = re.findall(r"^File: (.+)$", o, re.M)
+    assert len(headers) == len(set(headers))
