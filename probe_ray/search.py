@@ -884,14 +884,35 @@ class Engine:
             mask = np.isin(local_tbl.column("doc_id").to_numpy(), cand_ids)
             feats = extract(local_tbl.filter(pa.array(mask)))
         else:
-            refs = (
+            feats_ds = (
                 self._fetch_candidates(cand_ids, cols)
                 .map_batches(extract, batch_format="pyarrow")
-                .to_arrow_refs()
+                .materialize()
             )
+            n_feats = feats_ds.count()
+            if n_feats == 0:
+                return _BLOCK_SCHEMA.empty_table()
+            if (
+                n_feats > self.LOCAL_BLOCK_FEATS_MAX
+                and not (exact or ast_all_exact or ranking_ast is None)
+            ):
+                # 100x-scale finish: block feats NEVER concatenate on the
+                # driver — distributed stats reduce + per-block top-k +
+                # histogram-located flagged rows (the compat path's scheme
+                # at block granularity)
+                return self._finish_blocks_distributed(
+                    feats_ds, queries, ranking_ast, ranking_terms,
+                    max_results, max_bytes, max_tokens,
+                    no_merge=no_merge, merge_threshold=merge_threshold,
+                    session=session,
+                )
             # zero-row blocks pass through map_batches with the upstream
             # schema — drop before concat
-            tables = [t for t in (ray.get(r) for r in refs) if t.num_rows > 0]
+            tables = [
+                t
+                for t in (ray.get(r) for r in feats_ds.to_arrow_refs())
+                if t.num_rows > 0
+            ]
             feats = (
                 pa.concat_tables(tables) if tables else _BLOCK_FEATS_SCHEMA.empty_table()
             )
@@ -947,6 +968,19 @@ class Engine:
             )
             flagged_rows.sort(key=lambda r: (r["file"], r["start"]))
             rows = ranked_rows + flagged_rows
+
+        return self._assemble_block_results(
+            rows, queries, max_results, max_bytes, max_tokens,
+            no_merge=no_merge, merge_threshold=merge_threshold, session=session,
+        )
+
+    def _assemble_block_results(
+        self, rows, queries, max_results, max_bytes, max_tokens,
+        *, no_merge, merge_threshold, session,
+    ) -> pa.Table:
+        """Shared block finish: limits over code bytes -> code attach ->
+        contained dedup -> adjacent merge -> session record -> table."""
+        from probe_ray import blocks as blk
 
         # limits over block code bytes (search_limiter.rs:22-226)
         if max_results is not None or max_bytes is not None or max_tokens is not None:
@@ -1008,6 +1042,216 @@ class Engine:
                 ),
                 "code": pa.array([r["code"] for r in rows], pa.string()),
             }
+        )
+
+    # beyond this many block-feat rows the ranking finish goes distributed
+    # (stats reduce + per-block top-k); below it the driver concat is faster
+    LOCAL_BLOCK_FEATS_MAX = 200_000
+    _KEY_SHIFT = 21  # cand_key = doc_id << 21 | start (files are <= 1 MiB
+    #                  so line numbers stay well under 2^21)
+
+    def _finish_blocks_distributed(
+        self, feats_ds: rd.Dataset, queries, ranking_ast, ranking_terms,
+        max_results, max_bytes, max_tokens, *, no_merge, merge_threshold,
+        session,
+    ) -> pa.Table:
+        """Block-granularity analogue of _finish_ranked_distributed: the
+        feats Dataset never concatenates driver-side. Canonical candidate
+        order is (doc_id, start) == ascending cand_key."""
+        from probe_ray import blocks as blk
+
+        HB = self._HIST_BUCKETS
+        SHIFT = self._KEY_SHIFT
+        key_max = max((self._stats["n_docs"] + 1) << SHIFT, 1)
+        rt = list(ranking_terms)
+        n_queries = len(queries)
+
+        def keys_of(tbl: pa.Table) -> np.ndarray:
+            ids = tbl.column("doc_id").to_numpy().astype(np.int64)
+            starts = tbl.column("start").to_numpy().astype(np.int64)
+            return (ids << SHIFT) + starts
+
+        def partials(tbl: pa.Table) -> pa.Table:
+            n = tbl.num_rows
+            if n == 0:
+                return pa.table(
+                    {"n": pa.array([], pa.int64()),
+                     "sum_dl": pa.array([], pa.int64()),
+                     "df": pa.array([], pa.list_(pa.int64())),
+                     "n_valid": pa.array([], pa.int64()),
+                     "hist": pa.array([], pa.list_(pa.int64()))}
+                )
+            if rt:
+                tfm = np.array(tbl.column("tf").to_pylist(), np.int64).reshape(n, -1)
+                df_vec = (tfm > 0).sum(axis=0)
+            else:
+                df_vec = np.zeros(0, dtype=np.int64)
+            _, _, valid = _score_feats_vectorized(
+                tbl, ranking_ast, rt, {t: 1.0 for t in rt}, 1.0, n_queries
+            )
+            hist = np.bincount(keys_of(tbl) * HB // key_max, minlength=HB)
+            return pa.table(
+                {
+                    "n": pa.array([n], pa.int64()),
+                    "sum_dl": pa.array(
+                        [int(tbl.column("dl").to_numpy().sum())], pa.int64()
+                    ),
+                    "df": pa.array([df_vec.tolist()], pa.list_(pa.int64())),
+                    "n_valid": pa.array([int(valid.sum())], pa.int64()),
+                    "hist": pa.array([hist.tolist()], pa.list_(pa.int64())),
+                }
+            )
+
+        parts = feats_ds.map_batches(partials, batch_format="pyarrow").take_all()
+        n_cand = sum(p["n"] for p in parts)
+        if n_cand == 0:
+            return _BLOCK_SCHEMA.empty_table()
+        avgdl = sum(p["sum_dl"] for p in parts) / n_cand
+        df_vec = (
+            np.sum([p["df"] for p in parts], axis=0)
+            if rt else np.zeros(0, dtype=np.int64)
+        )
+        k_valid = sum(p["n_valid"] for p in parts)
+        hist = np.sum([p["hist"] for p in parts], axis=0)
+        idfs = {t: idf(n_cand, int(df)) for t, df in zip(rt, df_vec) if df > 0}
+
+        out_cols = ["doc_id", "repo", "path", "start", "end", "node_type",
+                    "matched_keywords", "matched_lines", "n_code_bytes"]
+        part_schema = pa.schema(
+            list(_BLOCK_FEATS_SCHEMA.field(c) for c in out_cols)
+            + [pa.field("bm25", pa.float64()), pa.field("boosted", pa.float64())]
+        )
+        cap = max_results
+
+        def score_topk(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0:
+                return part_schema.empty_table()
+            bm25_a, boosted_a, valid_a = _score_feats_vectorized(
+                tbl, ranking_ast, rt, idfs, avgdl, n_queries
+            )
+            node = np.array(
+                [
+                    blk.node_type_boost(nt, s, e)
+                    for nt, s, e in zip(
+                        tbl.column("node_type").to_pylist(),
+                        tbl.column("start").to_pylist(),
+                        tbl.column("end").to_pylist(),
+                    )
+                ]
+            )
+            boosted_a = boosted_a * node
+            keys = keys_of(tbl)
+            vi = np.flatnonzero(valid_a)
+            if vi.size == 0:
+                return part_schema.empty_table()
+            order = vi[np.lexsort((keys[vi], -bm25_a[vi], -boosted_a[vi]))]
+            if cap is not None:
+                order = order[:cap]
+            sel = tbl.select(out_cols).take(pa.array(order))
+            sel = sel.append_column("bm25", pa.array(bm25_a[order], pa.float64()))
+            sel = sel.append_column(
+                "boosted", pa.array(boosted_a[order], pa.float64())
+            )
+            return sel.cast(part_schema)
+
+        part_tables = [
+            t
+            for t in (
+                ray.get(r)
+                for r in feats_ds.map_batches(
+                    score_topk, batch_format="pyarrow"
+                ).to_arrow_refs()
+            )
+            if t.num_rows > 0
+        ]
+        ranked_tbl = (
+            pa.concat_tables(part_tables) if part_tables
+            else part_schema.empty_table()
+        )
+        keys_m = keys_of(ranked_tbl) if ranked_tbl.num_rows else np.empty(0, np.int64)
+        bm_m = ranked_tbl.column("bm25").to_numpy()
+        bo_m = ranked_tbl.column("boosted").to_numpy()
+        order_m = np.lexsort((keys_m, -bm_m, -bo_m))
+        if max_results is not None:
+            order_m = order_m[:max_results]
+        merged = ranked_tbl.take(pa.array(order_m))
+        rows = [
+            dict(
+                doc_id=r["doc_id"], repo=r["repo"], path=r["path"],
+                file=f"{r['repo']}/{r['path']}", start=r["start"],
+                end=r["end"], node_type=r["node_type"], rank=i + 1,
+                score=float(r["boosted"]), bm25_score=float(r["bm25"]),
+                matched_keywords=list(r["matched_keywords"]),
+                matched_lines=list(r["matched_lines"]),
+                n_code_bytes=r["n_code_bytes"], but=None, total=None,
+            )
+            for i, r in enumerate(merged.to_pylist())
+        ]
+
+        need_flagged = (
+            None if max_results is None else max(0, max_results - len(rows))
+        )
+        if k_valid < n_cand and (need_flagged is None or need_flagged > 0):
+            if k_valid == 0:
+                d_star = 0
+            else:
+                cum = np.cumsum(hist)
+                b0 = int(np.searchsorted(cum, k_valid, side="right"))
+                prior = int(cum[b0 - 1]) if b0 > 0 else 0
+
+                def pick_bucket(tbl: pa.Table) -> pa.Table:
+                    keys = keys_of(tbl)
+                    mask = (keys * HB // key_max) == b0
+                    return pa.table({"k": pa.array(keys[mask], pa.int64())})
+
+                bucket_keys = np.sort(
+                    np.concatenate(
+                        [
+                            b.column("k").to_numpy()
+                            for b in feats_ds.map_batches(
+                                pick_bucket, batch_format="pyarrow"
+                            ).iter_batches(batch_format="pyarrow")
+                        ]
+                        or [np.empty(0, dtype=np.int64)]
+                    )
+                )
+                d_star = int(bucket_keys[k_valid - prior])
+
+            def add_keycol(tbl: pa.Table) -> pa.Table:
+                tbl = tbl.append_column(
+                    "cand_key", pa.array(keys_of(tbl), pa.int64())
+                )
+                return self._file_key_column(tbl)
+
+            flagged_ds = (
+                feats_ds.map_batches(add_keycol, batch_format="pyarrow")
+                .filter(expr=f"cand_key >= {d_star}")
+                .sort(["file_key", "start"])
+            )
+            n_flagged = 0
+            for batch in flagged_ds.iter_batches(batch_format="pyarrow"):
+                stop = False
+                for r in batch.to_pylist():
+                    if need_flagged is not None and n_flagged >= need_flagged:
+                        stop = True
+                        break
+                    n_flagged += 1
+                    rows.append(
+                        dict(
+                            doc_id=r["doc_id"], repo=r["repo"], path=r["path"],
+                            file=f"{r['repo']}/{r['path']}", start=r["start"],
+                            end=r["end"], node_type=r["node_type"], rank=None,
+                            score=0.0, bm25_score=0.0,
+                            matched_keywords=list(r["matched_keywords"]),
+                            matched_lines=list(r["matched_lines"]),
+                            n_code_bytes=r["n_code_bytes"], but=None, total=None,
+                        )
+                    )
+                if stop:
+                    break
+        return self._assemble_block_results(
+            rows, queries, max_results, max_bytes, max_tokens,
+            no_merge=no_merge, merge_threshold=merge_threshold, session=session,
         )
 
     def _file_lines_for(self, doc_ids: list[int]) -> dict[int, list[str]]:

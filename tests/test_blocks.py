@@ -389,3 +389,40 @@ def test_fp_ported_long_lines_ignored():
     assert hits
     for h in hits:
         assert long_line not in h.code
+
+
+@pytest.fixture()
+def distributed_feats_engine(t2_index, monkeypatch):
+    """Forces BOTH distributed extraction and the distributed block-ranking
+    finish (stats reduce + per-block top-k + histogram flagged rows)."""
+    monkeypatch.setattr(Engine, "LOCAL_DOCS_MAX", 0)
+    monkeypatch.setattr(Engine, "LOCAL_CAND_MAX", 0)
+    monkeypatch.setattr(Engine, "LOCAL_BLOCK_CAND_MAX", 0)
+    monkeypatch.setattr(Engine, "LOCAL_BLOCK_FEATS_MAX", 0)
+    return Engine(t2_index)
+
+
+_DIST_FEATS_SUBSET = [q for q in _BLOCK_SUITE if q[0] in (
+    "q01_single_term", "q02_or_chain", "q04_exclusion",
+    "q19_bm25_gradient", "q23_max_results",
+)]
+
+
+@pytest.mark.parametrize(
+    "qid,queries,opts", _DIST_FEATS_SUBSET, ids=[q[0] for q in _DIST_FEATS_SUBSET]
+)
+def test_distributed_block_ranking_identity(
+    qid, queries, opts, t2_rows, distributed_feats_engine
+):
+    expected = oracle_search_blocks(load_docs(t2_rows), queries, **opts)
+    got = distributed_feats_engine.search_blocks(queries, **opts)
+    _assert_blocks_equal(got, expected, qid)
+
+
+def test_distributed_block_ranking_no_limit(t2_rows, distributed_feats_engine):
+    """No-limit distributed block ranking (flagged path with
+    need_flagged=None) must equal the oracle end to end."""
+    q = ["keywordAlpha OR keywordBeta"]
+    expected = oracle_search_blocks(load_docs(t2_rows), q)
+    got = distributed_feats_engine.search_blocks(q)
+    _assert_blocks_equal(got, expected, "dist_no_limit")
