@@ -105,9 +105,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return run
 
-    def probe_search_blocks(query, **opts):
+    def probe_search_blocks(query, *, forced_distributed=False, **opts):
         def run(sf_dir):
-            tbl = _engine_for(sf_dir).search_blocks([query], **opts)
+            eng = _engine_for(sf_dir)
+            if forced_distributed:
+                # the 100x-scale branches: distributed extraction + the
+                # distributed ranking finish (no driver feats concat)
+                eng.LOCAL_DOCS_MAX = 0
+                eng.LOCAL_CAND_MAX = 0
+                eng.LOCAL_VECTOR_CAND_MAX = 0
+                eng.LOCAL_BLOCK_CAND_MAX = 0
+                eng.LOCAL_BLOCK_FEATS_MAX = 0
+            tbl = eng.search_blocks([query], **opts)
             # drop the code text for the correctness harness (hash stability
             # over narrow columns; the code column is exercised in pytest)
             return tbl.drop_columns(["code"])
@@ -168,6 +177,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "probe_search_blocks": probe_search_blocks("spark join"),
         "probe_search_blocks_topk": probe_search_blocks("spark OR vector",
                                                         max_results=25),
+        "probe_search_blocks_distributed": probe_search_blocks(
+            "spark OR vector", max_results=25, forced_distributed=True),
         "probe_search_global_topk": probe_search_global("spark join", max_results=50),
     }
 

@@ -339,14 +339,15 @@ def assign_doc_ids(ds: rd.Dataset) -> rd.Dataset:
 def sample_hot_terms(
     docs: rd.Dataset, threshold_frac: float = 0.05, sample_rows: int = 2000
 ) -> dict[str, int]:
-    """Estimate hot terms from a deterministic sample of the ALREADY
-    tokenized docs table (reads the tokens column — no re-tokenization):
-    terms present in more than ``threshold_frac`` of sampled docs get salted
-    in the shuffle."""
-    n = docs.count()
-    frac = min(1.0, sample_rows / max(n, 1))
+    """Estimate hot terms from a deterministic prefix sample of the ALREADY
+    tokenized docs table (reads the tokens columns of ``sample_rows`` rows
+    only — ``limit`` stops the read early, unlike a random_sample that
+    scans everything): terms present in more than ``threshold_frac`` of
+    sampled docs get salted in the shuffle. Hot terms ('fn'/'import'-class)
+    are corpus-wide by nature, so a prefix sample finds them; salting is a
+    layout choice and never affects results."""
     sample = (
-        docs.random_sample(frac, seed=42)
+        docs.limit(sample_rows)
         .map_batches(
             lambda b: b.select(["tokens", "shadow_tokens"]), batch_format="pyarrow"
         )
@@ -624,28 +625,25 @@ def build_index(
     if _fail_after == "docs":
         raise RuntimeError("injected failure after docs stage (test hook)")
 
-    # stats from the narrow doc_len projection
-    len_ds = rd.read_parquet(tmp.docs_dir, columns=["doc_len"])
-    n_docs = len_ds.count()
-    sum_dl = len_ds.sum("doc_len") if n_docs else 0
+    # ONE narrow (doc_id, doc_len) pass feeds BOTH the corpus stats and the
+    # dense doc-length attribute file (memory-mapped at query time: doc-len
+    # lookups page in on demand instead of pinning 4 B/doc of driver heap —
+    # the doc-attribute store a cluster deployment puts on shared storage)
+    id_len_refs = rd.read_parquet(
+        tmp.docs_dir, columns=["doc_id", "doc_len"]
+    ).to_arrow_refs()
+    id_len_tables = [t for t in (ray.get(r) for r in id_len_refs) if t.num_rows]
+    n_docs = sum(t.num_rows for t in id_len_tables)
+    sum_dl = int(
+        sum(int(t.column("doc_len").to_numpy().sum()) for t in id_len_tables)
+    )
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
-
-    # dense doc_id -> doc_len attribute file, MEMORY-MAPPED at query time:
-    # the scoring path's doc-length lookups page in on demand instead of
-    # pinning 4 B/doc of driver heap (the "doc-attribute store" a cluster
-    # deployment would put on shared storage; 4 B x n_docs, written once)
     if not os.path.exists(tmp.doc_lens_path):
-        id_len = rd.read_parquet(
-            tmp.docs_dir, columns=["doc_id", "doc_len"]
-        ).to_arrow_refs()
         arr = np.zeros(max(n_docs, 1), dtype=np.int32)
-        for r in id_len:
-            t = ray.get(r)
-            if t.num_rows:
-                arr[t.column("doc_id").to_numpy()] = t.column(
-                    "doc_len"
-                ).to_numpy()
+        for t in id_len_tables:
+            arr[t.column("doc_id").to_numpy()] = t.column("doc_len").to_numpy()
         np.save(tmp.doc_lens_path, arr)
+    del id_len_tables
 
     tok_ds = rd.read_parquet(
         tmp.docs_dir,
@@ -703,18 +701,29 @@ def build_index(
     # log()-style metrics on max partition size) + per-shard layout
     metrics: dict = {}
     try:
-        seg_meta = rd.read_parquet(
-            tmp.segments_dir, columns=["term", "shard", "df"]
-        )
-        shard_rows = seg_meta.groupby("shard").count().to_pandas()
-        df_col = seg_meta.map_batches(
-            lambda b: b.select(["df"]), batch_format="pyarrow"
-        )
+        # ONE narrow pass over (shard, df) computes every skew metric —
+        # no groupby shuffle, no second max() job
+        seg_refs = rd.read_parquet(
+            tmp.segments_dir, columns=["shard", "df"]
+        ).to_arrow_refs()
+        n_terms = 0
+        max_df = 0
+        shard_counts = np.zeros(n_shards, dtype=np.int64)
+        for r in seg_refs:
+            t = ray.get(r)
+            if not t.num_rows:
+                continue
+            n_terms += t.num_rows
+            max_df = max(max_df, int(t.column("df").to_numpy().max()))
+            shard_counts += np.bincount(
+                t.column("shard").to_numpy().astype(np.int64),
+                minlength=n_shards,
+            )
         metrics = dict(
-            n_terms=int(seg_meta.count()),
-            max_shard_rows=int(shard_rows["count()"].max()) if len(shard_rows) else 0,
-            min_shard_rows=int(shard_rows["count()"].min()) if len(shard_rows) else 0,
-            max_df=int(df_col.max("df")) if n_docs else 0,
+            n_terms=n_terms,
+            max_shard_rows=int(shard_counts.max()) if n_terms else 0,
+            min_shard_rows=int(shard_counts.min()) if n_terms else 0,
+            max_df=max_df,
             n_hot_terms=len(hot),
         )
     except Exception:  # metrics are best-effort observability
