@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": T.bm25_topk,
         # --- deduplication ---
         "exact_dedup": T.exact_dedup,                  # SQL-checked
+        "corpus_clean": T.corpus_clean,                # SQL-checked
         "near_dup_word_jaccard": T.near_dup_word_jaccard,  # SQL-checked
         "doc_fingerprint": T.doc_fingerprint,          # SQL-checked
         "minhash_lsh_dedup": T.minhash_lsh_dedup,      # rows-only (sketch)
@@ -365,6 +366,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS text_hash, min(doc_id) AS keeper_doc_id,
                    count(*) AS dup_count
             FROM documents GROUP BY md5(text)
+        """,
+        "corpus_clean": f"""
+            WITH q AS (
+              SELECT doc_id, {SIMPLE_TOKENS_SQL} AS toks, text FROM documents
+            ),
+            gated AS (
+              SELECT doc_id, text FROM q
+              WHERE len(toks) >= 20
+                AND (len(toks) = 0 OR
+                     len(list_filter(toks, x -> x IN ('the','a','of','and','to')))::DOUBLE / len(toks) <= 0.10)
+            ),
+            keepers AS (
+              SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            )
+            SELECT g.doc_id FROM gated g JOIN keepers k ON k.doc_id = g.doc_id
+            ORDER BY g.doc_id
         """,
         "near_dup_word_jaccard": f"""
             WITH t AS (SELECT doc_id, list_distinct({toks}) AS s FROM documents)

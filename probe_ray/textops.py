@@ -1078,6 +1078,152 @@ def embedding_cosine_window_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Flagship training-data cleaning pipeline (quality -> exact dedup ->
+# near-dup removal -> RESUMABLE partitioned parquet output)
+# ---------------------------------------------------------------------------
+
+# quality gate: docs shorter than this (simple tokens) or with a stop-word
+# ratio above the cap are dropped
+CLEAN_MIN_TOKENS = 20
+CLEAN_MAX_STOPWORD_RATIO = 0.10
+
+
+def _clean_survivor_ids(sf_dir: str, near_dup: bool) -> np.ndarray:
+    """doc_ids surviving quality + exact-dedup (+ optional minhash near-dup
+    removal: every cluster member except the min). The returned id set is
+    narrow (8 B/doc worst case) — the broadcast side of the writer's
+    semi-join."""
+    q = quality_score(sf_dir)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        keep = (
+            (batch.column("n_tokens").to_numpy() >= CLEAN_MIN_TOKENS)
+            & (batch.column("stopword_ratio").to_numpy() <= CLEAN_MAX_STOPWORD_RATIO)
+        )
+        return pa.table({"doc_id": batch.column("doc_id").filter(pa.array(keep))})
+
+    quality_ids = np.concatenate(
+        [
+            b.column("doc_id").to_numpy()
+            for b in q.map_batches(gate, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
+        or [np.empty(0, dtype=np.int64)]
+    )
+    keepers = np.concatenate(
+        [
+            b.column("keeper_doc_id").to_numpy()
+            for b in exact_dedup(sf_dir).iter_batches(batch_format="pyarrow")
+        ]
+        or [np.empty(0, dtype=np.int64)]
+    )
+    survivors = np.intersect1d(quality_ids, keepers)
+    if near_dup:
+        clusters = minhash_lsh_dedup(sf_dir)
+        drop = []
+        import pandas as _pd
+
+        cdf = clusters.to_pandas()
+        for _, grp in cdf.groupby("cluster_id"):
+            ids = sorted(grp["doc_id"])
+            drop.extend(ids[1:])  # keep the min member per cluster
+        if drop:
+            survivors = np.setdiff1d(survivors, np.array(drop, dtype=np.int64))
+    return survivors
+
+
+def corpus_clean(sf_dir: str) -> rd.Dataset:
+    """SQL-checkable cleaning core: docs passing the quality gate AND being
+    their exact-dup group's keeper. Output (doc_id) sorted. (The full
+    pipeline adds minhash near-dup removal — not SQL-expressible — and the
+    resumable partitioned writer: corpus_clean_pipeline.)"""
+    ids = _clean_survivor_ids(sf_dir, near_dup=False)
+    return rd.from_arrow(
+        pa.table({"doc_id": pa.array(np.sort(ids), pa.int64())})
+    )
+
+
+#: observability for the most recent corpus_clean_pipeline call
+LAST_CLEAN_METRICS: dict = {}
+
+
+def corpus_clean_pipeline(
+    sf_dir: str, out_dir: str, n_parts: int = 8, near_dup: bool = True
+) -> dict:
+    """The 100-TB-shaped cleaning pipeline with RESUMABLE PARTITIONED
+    OUTPUT: survivors (quality + exact dedup + minhash near-dup) are
+    written as one parquet directory PER doc-id range partition, with a
+    ledger marking completed partitions — a rerun (after a crash or
+    partial failure) skips finished partitions and writes only the missing
+    ones. Partition reads are doc-id-range parquet predicates (row-group
+    pruned); writes are write-temp-then-rename atomic.
+    """
+    import json
+    import os
+    import shutil
+
+    import pyarrow.dataset as pads
+
+    os.makedirs(out_dir, exist_ok=True)
+    ledger_path = os.path.join(out_dir, "_ledger.json")
+    ledger: dict = {}
+    if os.path.exists(ledger_path):
+        with open(ledger_path) as f:
+            ledger = json.load(f)
+
+    survivors = _clean_survivor_ids(sf_dir, near_dup=near_dup)
+    total_docs = int(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+    )
+    bound = max(total_docs, int(survivors.max()) + 1 if survivors.size else 1)
+    part_size = -(-bound // n_parts)
+    surv_ref = ray.put(survivors)
+
+    written = skipped = 0
+    rows_out = 0
+    for part in range(n_parts):
+        key = str(part)
+        part_dir = os.path.join(out_dir, f"part={part}")
+        if ledger.get(key) == "done" and os.path.exists(part_dir):
+            skipped += 1
+            continue
+        lo, hi = part * part_size, (part + 1) * part_size
+
+        def keep_part(batch: pa.Table) -> pa.Table:
+            want = ray.get(surv_ref)
+            ids = batch.column("doc_id").to_numpy()
+            mask = np.isin(ids, want)
+            return batch.filter(pa.array(mask))
+
+        part_ds = rd.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            filter=(pads.field("doc_id") >= lo) & (pads.field("doc_id") < hi),
+        ).map_batches(keep_part, batch_format="pyarrow")
+        tmp_dir = part_dir + ".part"
+        if os.path.exists(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        part_ds.write_parquet(tmp_dir)
+        if os.path.exists(part_dir):
+            shutil.rmtree(part_dir)
+        os.rename(tmp_dir, part_dir)
+        rows_out += int(
+            rd.read_parquet(part_dir, columns=["doc_id"]).count()
+        )
+        ledger[key] = "done"
+        with open(ledger_path, "w") as f:
+            json.dump(ledger, f)
+        written += 1
+
+    LAST_CLEAN_METRICS.clear()
+    LAST_CLEAN_METRICS.update(
+        partitions_written=written, partitions_skipped=skipped,
+        survivors=int(survivors.size), rows_written=rows_out,
+    )
+    return dict(LAST_CLEAN_METRICS)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing (binary columns; decode stubbed — no media libs here)
 # ---------------------------------------------------------------------------
 

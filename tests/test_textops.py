@@ -111,3 +111,50 @@ def test_winnowing_deterministic():
     b = T.winnowing_fingerprints(SF).to_pandas()
     assert a.equals(b)
     assert (a["n_fingerprints"] > 0).all()
+
+
+def test_corpus_clean_pipeline_resumable(tmp_path):
+    """The flagship cleaning pipeline writes partitioned parquet with a
+    ledger; a rerun skips finished partitions, and after deleting one
+    partition (+ its ledger entry) ONLY that partition is rewritten —
+    output row count identical (the brief's resumable-output contract)."""
+    import json
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from probe_ray import textops as T
+
+    out = str(tmp_path / "cleaned")
+    m1 = T.corpus_clean_pipeline(SF, out, n_parts=4)
+    assert m1["partitions_written"] == 4 and m1["partitions_skipped"] == 0
+    n1 = rd.read_parquet(
+        out, columns=["doc_id"], file_extensions=["parquet"]
+    ).count()
+    assert n1 == m1["survivors"] > 0
+
+    # full rerun: everything skips
+    m2 = T.corpus_clean_pipeline(SF, out, n_parts=4)
+    assert m2["partitions_written"] == 0 and m2["partitions_skipped"] == 4
+
+    # crash simulation: lose partition 2 + its ledger entry
+    shutil.rmtree(os.path.join(out, "part=2"))
+    ledger_path = os.path.join(out, "_ledger.json")
+    with open(ledger_path) as f:
+        ledger = json.load(f)
+    del ledger["2"]
+    with open(ledger_path, "w") as f:
+        json.dump(ledger, f)
+    mtimes_before = {
+        k: os.path.getmtime(os.path.join(out, f"part={k}")) for k in (0, 1, 3)
+    }
+    m3 = T.corpus_clean_pipeline(SF, out, n_parts=4)
+    assert m3["partitions_written"] == 1 and m3["partitions_skipped"] == 3
+    # untouched partitions were not rewritten
+    for k, mt in mtimes_before.items():
+        assert os.path.getmtime(os.path.join(out, f"part={k}")) == mt
+    n2 = rd.read_parquet(
+        out, columns=["doc_id"], file_extensions=["parquet"]
+    ).count()
+    assert n2 == n1
