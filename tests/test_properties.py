@@ -121,3 +121,55 @@ def test_decode_postings_selective_matches_full():
         assert set(sel_ids.tolist()) <= set(full_ids.tolist())
         # and the selection reads fewer (or equal) blocks than the total
         assert sel_ids.size <= full_ids.size
+
+
+def test_fallback_windows_properties():
+    """Invariants of the fallback window merger for random inputs:
+    windows sorted, non-overlapping after merge, every matched line inside
+    exactly one window, spans clamped to the file."""
+    import random
+
+    from probe_ray.blocks import fallback_windows
+
+    rng = random.Random(5)
+    for _ in range(200):
+        n_lines = rng.randint(1, 120)
+        matched = {
+            rng.randint(1, n_lines) for _ in range(rng.randint(1, 12))
+        }
+        ws = fallback_windows(matched, n_lines)
+        assert ws == sorted(ws, key=lambda w: w[1])
+        prev_end = 0
+        covered = set()
+        for lines, start, end in ws:
+            assert 1 <= start <= end <= n_lines
+            assert start > prev_end  # merged windows never overlap
+            prev_end = end
+            for l in lines:
+                assert start <= l <= end
+            covered.update(lines)
+        assert covered == {l for l in matched if l <= n_lines}
+
+
+def test_line_term_matches_matches_naive_property():
+    import random
+
+    from probe_ray.blocks import line_term_matches
+
+    rng = random.Random(9)
+    alphabet = "abcx _()"
+    for _ in range(150):
+        lines = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 20)))
+                 for _ in range(rng.randint(1, 10))]
+        pats = {
+            i: ["".join(rng.choice("abc") for _ in range(rng.randint(1, 3)))]
+            for i in range(rng.randint(1, 4))
+        }
+        fast = line_term_matches(lines, pats)
+        low = [l.lower() for l in lines]
+        slow = {}
+        for idx, needles in pats.items():
+            hit = {n + 1 for n, ll in enumerate(low) if any(p in ll for p in needles)}
+            if hit:
+                slow[idx] = hit
+        assert fast == slow
