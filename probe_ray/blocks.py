@@ -30,6 +30,14 @@ parallel loop over early-ranked files, so its results-vector order (which
 feeds BM25 tie-breaks and the positional-overwrite quirk) is scheduling-
 dependent. This implementation defines the canonical candidate order
 (doc_id asc, block start asc); ties are deterministic.
+
+Reference quirk faithfully reproduced: the AST's Term keywords are the
+PROCESSED (tokenized, stemmed) query terms (elastic_query.rs:790-808), and
+the generated line patterns are those stemmed strings — so a query word
+whose stem alters the suffix ("solitary" -> "solitari", "apply" ->
+"appli") cannot substring-match its own original inflection at line level.
+Document-mode search still finds such docs via stemmed token membership in
+the index; block mode, like probe's scan, does not.
 """
 
 from __future__ import annotations

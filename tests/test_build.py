@@ -141,3 +141,37 @@ def test_mid_build_resume(ray_session, tmp_path):
     # and the resumed index equals a from-scratch one
     ref = build_index(corpus, str(tmp_path / "idx2"))
     assert paths.stats()["sum_dl"] == ref.stats()["sum_dl"]
+
+
+def test_single_doc_and_tiny_corpus(ray_session, tmp_path):
+    """Degenerate corpora: one doc, and a doc with one line — build,
+    search (all modes), and block search all behave."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from probe_ray.build import build_index
+    from probe_ray.search import Engine
+
+    corpus = rd.from_arrow(pa.table({
+        "repo": ["r"], "path": ["only.txt"], "commit": ["c"],
+        "lang": ["txt"], "content": ["solitary marker line"],
+    }))
+    paths = build_index(corpus, str(tmp_path / "one"), ngram_index=True)
+    eng = Engine(paths)
+    # NOTE: a stem-ALTERING query word ("solitary" -> "solitari") would find
+    # the doc in document mode (stemmed token membership) but NOT in block
+    # mode: the reference's line patterns are the STEMMED keywords, which
+    # cannot substring-match the original inflection — a real probe quirk
+    # (elastic_query.rs:801 custom_tokenize; query.rs:494 collect_patterns).
+    # "marker" is stem-neutral, so both modes agree.
+    assert eng.search(["marker"]).num_rows == 1
+    assert eng.search(["marker"], mode="global", max_results=5).num_rows == 1
+    blk = eng.search_blocks(["marker"])
+    assert blk.num_rows == 1
+    r = blk.to_pylist()[0]
+    assert (r["start_line"], r["end_line"]) == (1, 1)
+    assert r["code"] == "solitary marker line"
+    # query for something absent
+    assert eng.search(["nonexistentzzz"]).num_rows == 0
+    assert eng.search_blocks(["nonexistentzzz"]).num_rows == 0
