@@ -666,13 +666,21 @@ class Engine:
             )
         if ids.size <= self.FETCH_FILTER_MAX_IDS:
             # predicate applied DURING the Arrow scan (row-group pruning +
-            # no Python mask stage) — 2-7x faster than scan+mask
+            # no Python mask stage) — 2-7x faster than scan+mask. Ray's
+            # read-task sizing underestimates the post-filter work and
+            # coalesces to a handful of tasks, starving the downstream
+            # Python-heavy stages — force one read task per CPU.
             import pyarrow.dataset as pads
 
+            try:
+                n_cpus = int(ray.cluster_resources().get("CPU", 8))
+            except Exception:
+                n_cpus = 8
             return rd.read_parquet(
                 self.paths.docs_dir,
                 columns=columns,
                 filter=pads.field("doc_id").isin([int(i) for i in ids]),
+                override_num_blocks=max(16, n_cpus),
             )
         ids_ref = ray.put(ids)
 
@@ -961,12 +969,42 @@ class Engine:
                 )
             ]
             k = len(order)
-            ranked_rows = _block_rows(feats, order=order, bm25=bm25_arr,
-                                      boosted=boosted_arr)
-            flagged_rows = _block_rows(
-                feats, order=np.arange(k, n), bm25=None, boosted=None
+            # limits only ever admit the first max_iter rows (ranked then
+            # flagged) — materialize dict rows for just that prefix
+            limited = (
+                max_results is not None or max_bytes is not None
+                or max_tokens is not None
             )
-            flagged_rows.sort(key=lambda r: (r["file"], r["start"]))
+            max_iter = (
+                min(max_results if max_results is not None else 1000, n)
+                if limited else None
+            )
+            order_out = order if max_iter is None else order[:max_iter]
+            ranked_rows = _block_rows(feats, order=order_out, bm25=bm25_arr,
+                                      boosted=boosted_arr)
+            flagged_idx = np.arange(k, n)
+            if flagged_idx.size:
+                repos_f = feats.column("repo").take(
+                    pa.array(flagged_idx)
+                ).to_pylist()
+                paths_f = feats.column("path").take(
+                    pa.array(flagged_idx)
+                ).to_pylist()
+                starts_f = feats.column("start").take(
+                    pa.array(flagged_idx)
+                ).to_pylist()
+                fkeys = [
+                    (f"{r}/{p}", s) for r, p, s in zip(repos_f, paths_f, starts_f)
+                ]
+                forder = sorted(range(len(fkeys)), key=fkeys.__getitem__)
+                if max_iter is not None:
+                    need = max(0, max_iter - len(ranked_rows))
+                    forder = forder[:need]
+                flagged_rows = _block_rows(
+                    feats, order=flagged_idx[forder], bm25=None, boosted=None
+                )
+            else:
+                flagged_rows = []
             rows = ranked_rows + flagged_rows
 
         return self._assemble_block_results(
