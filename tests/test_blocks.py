@@ -280,7 +280,7 @@ def test_distributed_block_identity(qid, queries, opts, t2_rows, distributed_eng
     _assert_blocks_equal(got, expected, qid)
 
 
-@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("seed", range(10))
 def test_fuzz_block_identity(seed, t2_rows, t2_index):
     import random
 
