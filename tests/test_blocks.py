@@ -426,3 +426,21 @@ def test_distributed_block_ranking_no_limit(t2_rows, distributed_feats_engine):
     expected = oracle_search_blocks(load_docs(t2_rows), q)
     got = distributed_feats_engine.search_blocks(q)
     _assert_blocks_equal(got, expected, "dist_no_limit")
+
+
+@pytest.mark.parametrize("qid,queries,opts", [
+    ("t1_single", ["keywordAlpha"], {}),
+    ("t1_quoted", ['"cleanupScopeMappings"'], {}),
+    ("t1_or_limited", ["keywordAlpha OR keywordBeta"], {"max_results": 10}),
+])
+def test_block_identity_without_ngram_index(qid, queries, opts, t1_index):
+    """Block search on an index built WITHOUT the ngram index: candidate
+    generation falls back to term-dictionary expansion + static prefilter —
+    must still be rank-identical to the oracle."""
+    from probe_ray.corpus import generate_rows
+
+    engine = Engine(t1_index)
+    assert not engine._has_ngrams()
+    expected = oracle_search_blocks(load_docs(generate_rows("t1")), queries, **opts)
+    got = engine.search_blocks(queries, **opts)
+    _assert_blocks_equal(got, expected, qid)
