@@ -113,9 +113,13 @@ def line_term_matches(
     joined-text matching is exactly per-line matching."""
     if not lines or not patterns:
         return {}
-    lowered = "\n".join(lines).lower()
+    # Lowercase PER LINE before joining: Unicode lowercasing can change
+    # string length ('İ' U+0130 lowers to 2 chars), so offsets computed from
+    # the original lines would drift against a whole-text .lower().
+    low_lines = [l.lower() for l in lines]
+    lowered = "\n".join(low_lines)
     starts = [0]
-    for l in lines:
+    for l in low_lines:
         starts.append(starts[-1] + len(l) + 1)
     import bisect
 

@@ -52,12 +52,17 @@ def format_json(table: pa.Table) -> str:
         }
         for r in rows
     ]
+    from probe_ray.oracle import estimate_tokens
+
+    # surrogatepass matches the n_code_bytes semantics used throughout the
+    # block path (lone surrogates in scraped content must not raise).
+    byte_lens = [len(r["code"].encode("utf-8", "surrogatepass")) for r in rows]
     wrapper = {
         "results": results,
         "summary": {
             "count": len(results),
-            "total_bytes": sum(len(r["code"].encode()) for r in rows),
-            "total_tokens": sum(len(r["code"].encode()) // 4 for r in rows),
+            "total_bytes": sum(byte_lens),
+            "total_tokens": sum(estimate_tokens(b) for b in byte_lens),
         },
     }
     return json.dumps(wrapper, indent=2)

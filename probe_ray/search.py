@@ -1101,6 +1101,10 @@ class Engine:
         HB = self._HIST_BUCKETS
         SHIFT = self._KEY_SHIFT
         key_max = max((self._stats["n_docs"] + 1) << SHIFT, 1)
+        # Divide-before-multiply: key can reach n_docs<<21, so `key * HB`
+        # would wrap int64 past ~2^30 docs. Bucket by floor-div of a
+        # ceil-width instead (clamped defensively).
+        bucket_w = max(1, -(-key_max // HB))
         rt = list(ranking_terms)
         n_queries = len(queries)
 
@@ -1127,7 +1131,9 @@ class Engine:
             _, _, valid = _score_feats_vectorized(
                 tbl, ranking_ast, rt, {t: 1.0 for t in rt}, 1.0, n_queries
             )
-            hist = np.bincount(keys_of(tbl) * HB // key_max, minlength=HB)
+            hist = np.bincount(
+                np.minimum(keys_of(tbl) // bucket_w, HB - 1), minlength=HB
+            )
             return pa.table(
                 {
                     "n": pa.array([n], pa.int64()),
@@ -1239,7 +1245,7 @@ class Engine:
 
                 def pick_bucket(tbl: pa.Table) -> pa.Table:
                     keys = keys_of(tbl)
-                    mask = (keys * HB // key_max) == b0
+                    mask = np.minimum(keys // bucket_w, HB - 1) == b0
                     return pa.table({"k": pa.array(keys[mask], pa.int64())})
 
                 bucket_keys = np.sort(
@@ -1671,6 +1677,9 @@ class Engine:
     ) -> pa.Table:
         HB = self._HIST_BUCKETS
         n_docs_total = max(self._stats["n_docs"], 1)
+        # Divide-before-multiply (overflow-proof bucketing; see the block
+        # path's bucket_w note).
+        bucket_w = max(1, -(-n_docs_total // HB))
         rt = list(ranking_terms)
         n_queries = len(queries)
 
@@ -1697,7 +1706,8 @@ class Engine:
             )
             ids = tbl.column("doc_id").to_numpy()
             hist = np.bincount(
-                (ids.astype(np.int64) * HB // n_docs_total), minlength=HB
+                np.minimum(ids.astype(np.int64) // bucket_w, HB - 1),
+                minlength=HB,
             )
             return pa.table(
                 {
@@ -1818,7 +1828,7 @@ class Engine:
                 # fetching ONLY the ids in histogram bucket b0
                 def pick_bucket(tbl: pa.Table) -> pa.Table:
                     ids = tbl.column("doc_id").to_numpy().astype(np.int64)
-                    mask = (ids * HB // n_docs_total) == b0
+                    mask = np.minimum(ids // bucket_w, HB - 1) == b0
                     return pa.table(
                         {"doc_id": pa.array(ids[mask], pa.int64())}
                     )

@@ -451,56 +451,62 @@ def minhash_lsh_dedup(
         sig_batch, batch_format="pyarrow"
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group["doc_id"].unique())
-        dropped = max(0, len(ids) - _LSH_BUCKET_CAP)
-        ids = ids[:_LSH_BUCKET_CAP]
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
-                 "dropped": pd.Series([], dtype="int64")}
-            )
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        d = [dropped] + [0] * (len(a) - 1)  # per-bucket drop count, once
-        return pd.DataFrame({"a": a, "b": b, "dropped": d})
-
-    pairs_ds = (
-        bands_ds.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    # ---- bucket membership (capped) ----
+    # One row per (qualifying bucket, member doc). Buckets with <2 members
+    # vanish here; oversized buckets keep their _LSH_BUCKET_CAP smallest ids
+    # (deterministic) and carry the drop count once per bucket.
+    _member_schema = pa.schema(
+        [("key", pa.int64()), ("bucket", pa.string()), ("dropped", pa.int64())]
     )
-    # dedupe (a, b) across bands DISTRIBUTED (groupby, not driver pandas);
-    # the summed drop counter rides along for observability
-    uniq = pairs_ds.groupby(["a", "b"]).aggregate(
-        rd.aggregate.Sum("dropped", alias_name="dropped")
-    ).materialize()
-    dropped_total = int(uniq.sum("dropped") or 0)
+
+    def bucket_members(group: pa.Table) -> pa.Table:
+        ids = np.unique(group.column("doc_id").to_numpy())
+        dropped = max(0, ids.size - _LSH_BUCKET_CAP)
+        ids = ids[:_LSH_BUCKET_CAP]
+        if ids.size < 2:
+            return _member_schema.empty_table()
+        bucket = (
+            f"{group.column('band')[0].as_py()}:"
+            f"{group.column('band_hash')[0].as_py()}"
+        )
+        d = np.zeros(ids.size, dtype=np.int64)
+        d[0] = dropped
+        return pa.table(
+            {
+                "key": pa.array(ids, pa.int64()),
+                "bucket": pa.array([bucket] * ids.size, pa.string()),
+                "dropped": pa.array(d, pa.int64()),
+            }
+        )
+
+    members_ds = (
+        bands_ds.groupby(["band", "band_hash"])
+        .map_groups(bucket_members, batch_format="pyarrow")
+        .materialize()  # narrow (int64 + short string) — safe to reuse
+    )
+    dropped_total = int(members_ds.sum("dropped") or 0)
     LAST_MINHASH_METRICS.clear()
     LAST_MINHASH_METRICS.update(bucket_cap=_LSH_BUCKET_CAP,
                                 dropped_ids=dropped_total)
     if dropped_total:
         print(f"[minhash_lsh_dedup] bucket cap {_LSH_BUCKET_CAP} dropped "
               f"{dropped_total} ids from oversized buckets")
-    uniq = uniq.map_batches(
-        lambda b: b.select(["a", "b"]), batch_format="pyarrow"
-    )
-    if uniq.count() == 0:
+    if members_ds.count() == 0:
         return pa.table(
             {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
         )
 
-    # ---- distributed verification ----
-    # candidate doc ids (narrow int64 semi-join mask, broadcast once)
+    # ---- distributed BUCKET-LEVEL verification ----
+    # Shingle hashes are computed once per candidate doc (narrow int64
+    # semi-join mask broadcast to prune the scan), attached once per bucket
+    # MEMBERSHIP via a union+groupby(doc_id), and the pairwise Jaccard runs
+    # vectorized per bucket (<= _LSH_BUCKET_CAP members -> one membership
+    # matrix matmul) instead of one Ray group per candidate pair.
     cand_ids = np.unique(
         np.concatenate(
             [
-                np.concatenate(
-                    [b.column("a").to_numpy(), b.column("b").to_numpy()]
-                )
-                for b in uniq.iter_batches(batch_format="pyarrow")
+                b.column("key").to_numpy()
+                for b in members_ds.iter_batches(batch_format="pyarrow")
             ]
         )
     )
@@ -517,8 +523,7 @@ def minhash_lsh_dedup(
         return pa.table(
             {
                 "key": sub.column("doc_id"),
-                "a": pa.array([-1] * sub.num_rows, pa.int64()),
-                "b": pa.array([-1] * sub.num_rows, pa.int64()),
+                "bucket": pa.array([""] * sub.num_rows, pa.string()),
                 "sh": pa.array(sh, pa.list_(pa.int64())),
             }
         )
@@ -527,66 +532,83 @@ def minhash_lsh_dedup(
         shingle_rows, batch_format="pyarrow"
     )
 
-    def side_rows(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy()
-        b = batch.column("b").to_numpy()
-        key = np.concatenate([a, b])
-        aa = np.concatenate([a, a])
-        bb = np.concatenate([b, b])
+    def member_rows(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "key": pa.array(key, pa.int64()),
-                "a": pa.array(aa, pa.int64()),
-                "b": pa.array(bb, pa.int64()),
-                "sh": pa.array([None] * len(key), pa.list_(pa.int64())),
+                "key": batch.column("key"),
+                "bucket": batch.column("bucket"),
+                "sh": pa.array([None] * batch.num_rows, pa.list_(pa.int64())),
             }
         )
 
-    sides_ds = uniq.map_batches(side_rows, batch_format="pyarrow")
+    sides_ds = members_ds.map_batches(member_rows, batch_format="pyarrow")
 
     _attach_schema = pa.schema(
-        [("a", pa.int64()), ("b", pa.int64()), ("sh", pa.list_(pa.int64()))]
+        [("bucket", pa.string()), ("doc_id", pa.int64()), ("sh", pa.list_(pa.int64()))]
     )
     _edge_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 
     def attach(group: pa.Table) -> pa.Table:
-        a = group.column("a").to_numpy()
-        doc_idx = np.flatnonzero(a < 0)
-        side_idx = np.flatnonzero(a >= 0)
-        if doc_idx.size == 0 or side_idx.size == 0:
+        buckets = group.column("bucket").to_pylist()
+        doc_idx = [i for i, b in enumerate(buckets) if b == ""]
+        mem_idx = [i for i, b in enumerate(buckets) if b != ""]
+        if not doc_idx or not mem_idx:
             return _attach_schema.empty_table()
         sh = group.column("sh")[doc_idx[0]].as_py()
+        did = group.column("key")[0].as_py()
         return pa.table(
             {
-                "a": pa.array(a[side_idx], pa.int64()),
-                "b": pa.array(group.column("b").to_numpy()[side_idx], pa.int64()),
-                "sh": pa.array([sh] * side_idx.size, pa.list_(pa.int64())),
+                "bucket": pa.array([buckets[i] for i in mem_idx], pa.string()),
+                "doc_id": pa.array([did] * len(mem_idx), pa.int64()),
+                "sh": pa.array([sh] * len(mem_idx), pa.list_(pa.int64())),
             }
         )
 
-    def verify_pair(group: pa.Table) -> pa.Table:
-        if group.num_rows != 2:
+    def bucket_verify(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n < 2:
             return _edge_schema.empty_table()
-        s0 = np.asarray(group.column("sh")[0].as_py(), dtype=np.int64)
-        s1 = np.asarray(group.column("sh")[1].as_py(), dtype=np.int64)
-        inter = np.intersect1d(s0, s1, assume_unique=True).size
-        union = s0.size + s1.size - inter
-        if union and inter / union >= threshold:
-            return pa.table(
-                {
-                    "a": pa.array([group.column("a")[0].as_py()], pa.int64()),
-                    "b": pa.array([group.column("b")[0].as_py()], pa.int64()),
-                }
-            )
-        return _edge_schema.empty_table()
+        ids = group.column("doc_id").to_numpy()
+        order = np.argsort(ids)  # ascending -> emitted edges have a < b
+        ids = ids[order]
+        sh_col = group.column("sh")
+        arrs = [
+            np.asarray(sh_col[int(i)].as_py() or [], dtype=np.int64)
+            for i in order
+        ]
+        nz = [a for a in arrs if a.size]
+        if not nz:
+            return _edge_schema.empty_table()
+        # membership matrix over the bucket's hash union: intersection sizes
+        # for ALL pairs in one matmul (bucket is capped, so n <= 64)
+        univ = np.unique(np.concatenate(nz))
+        M = np.zeros((n, univ.size), dtype=np.float64)
+        for i, a in enumerate(arrs):
+            if a.size:
+                M[i, np.searchsorted(univ, a)] = 1.0
+        inter = M @ M.T
+        sizes = M.sum(axis=1)
+        iu, ju = np.triu_indices(n, k=1)
+        union = sizes[iu] + sizes[ju] - inter[iu, ju]
+        ok = (union > 0) & (inter[iu, ju] / np.maximum(union, 1.0) >= threshold)
+        return pa.table(
+            {
+                "a": pa.array(ids[iu[ok]], pa.int64()),
+                "b": pa.array(ids[ju[ok]], pa.int64()),
+            }
+        )
 
     edges_tbl = (
         shingles_ds.union(sides_ds)
         .groupby("key")
         .map_groups(attach, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_verify, batch_format="pyarrow")
+        # a pair can verify in several buckets: distributed dedup, then only
+        # the unique verified EDGES reach the driver (small)
         .groupby(["a", "b"])
-        .map_groups(verify_pair, batch_format="pyarrow")
-        .to_pandas()  # verified EDGES only (small)
+        .aggregate(rd.aggregate.Count(alias_name="n_buckets"))
+        .to_pandas()
     )
     edges = list(zip(edges_tbl["a"].astype(int), edges_tbl["b"].astype(int)))
 
@@ -1088,11 +1110,12 @@ CLEAN_MIN_TOKENS = 20
 CLEAN_MAX_STOPWORD_RATIO = 0.10
 
 
-def _clean_survivor_ids(sf_dir: str, near_dup: bool) -> np.ndarray:
+def _survivors_ds(sf_dir: str, near_dup: bool) -> rd.Dataset:
     """doc_ids surviving quality + exact-dedup (+ optional minhash near-dup
-    removal: every cluster member except the min). The returned id set is
-    narrow (8 B/doc worst case) — the broadcast side of the writer's
-    semi-join."""
+    removal: every cluster member except the min), as DATASET ops: a tagged
+    union + ONE groupby(doc_id) sum — no O(corpus) driver arrays. A doc
+    survives iff src-sum == 3 (quality tag 1 + keeper tag 2, and no near-dup
+    drop tag -4)."""
     q = quality_score(sf_dir)
 
     def gate(batch: pa.Table) -> pa.Table:
@@ -1100,37 +1123,44 @@ def _clean_survivor_ids(sf_dir: str, near_dup: bool) -> np.ndarray:
             (batch.column("n_tokens").to_numpy() >= CLEAN_MIN_TOKENS)
             & (batch.column("stopword_ratio").to_numpy() <= CLEAN_MAX_STOPWORD_RATIO)
         )
-        return pa.table({"doc_id": batch.column("doc_id").filter(pa.array(keep))})
+        ids = batch.column("doc_id").filter(pa.array(keep))
+        return pa.table(
+            {"doc_id": ids, "src": pa.array([1] * len(ids), pa.int64())}
+        )
 
-    quality_ids = np.concatenate(
-        [
-            b.column("doc_id").to_numpy()
-            for b in q.map_batches(gate, batch_format="pyarrow").iter_batches(
-                batch_format="pyarrow"
-            )
-        ]
-        or [np.empty(0, dtype=np.int64)]
+    def keeper_rows(batch: pa.Table) -> pa.Table:
+        # keeper ids are distinct by construction (hash groups partition docs)
+        ids = batch.column("keeper_doc_id")
+        return pa.table(
+            {"doc_id": ids, "src": pa.array([2] * len(ids), pa.int64())}
+        )
+
+    tagged = q.map_batches(gate, batch_format="pyarrow").union(
+        exact_dedup(sf_dir).map_batches(keeper_rows, batch_format="pyarrow")
     )
-    keepers = np.concatenate(
-        [
-            b.column("keeper_doc_id").to_numpy()
-            for b in exact_dedup(sf_dir).iter_batches(batch_format="pyarrow")
-        ]
-        or [np.empty(0, dtype=np.int64)]
-    )
-    survivors = np.intersect1d(quality_ids, keepers)
     if near_dup:
         clusters = minhash_lsh_dedup(sf_dir)
-        drop = []
-        import pandas as _pd
-
-        cdf = clusters.to_pandas()
-        for _, grp in cdf.groupby("cluster_id"):
-            ids = sorted(grp["doc_id"])
-            drop.extend(ids[1:])  # keep the min member per cluster
-        if drop:
-            survivors = np.setdiff1d(survivors, np.array(drop, dtype=np.int64))
-    return survivors
+        # cluster_id == min member by construction: drop every other member
+        ids = clusters.column("doc_id").to_numpy()
+        cids = clusters.column("cluster_id").to_numpy()
+        drops = ids[ids != cids]
+        if drops.size:
+            tagged = tagged.union(
+                rd.from_arrow(
+                    pa.table(
+                        {
+                            "doc_id": pa.array(drops, pa.int64()),
+                            "src": pa.array([-4] * drops.size, pa.int64()),
+                        }
+                    )
+                )
+            )
+    surv = tagged.groupby("doc_id").aggregate(
+        rd.aggregate.Sum("src", alias_name="srcsum")
+    )
+    return surv.filter(expr="srcsum == 3").map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+    )
 
 
 def corpus_clean(sf_dir: str) -> rd.Dataset:
@@ -1138,10 +1168,7 @@ def corpus_clean(sf_dir: str) -> rd.Dataset:
     their exact-dup group's keeper. Output (doc_id) sorted. (The full
     pipeline adds minhash near-dup removal — not SQL-expressible — and the
     resumable partitioned writer: corpus_clean_pipeline.)"""
-    ids = _clean_survivor_ids(sf_dir, near_dup=False)
-    return rd.from_arrow(
-        pa.table({"doc_id": pa.array(np.sort(ids), pa.int64())})
-    )
+    return _survivors_ds(sf_dir, near_dup=False).sort("doc_id")
 
 
 #: observability for the most recent corpus_clean_pipeline call
@@ -1165,6 +1192,8 @@ def corpus_clean_pipeline(
 
     import pyarrow.dataset as pads
 
+    import pyarrow.parquet as _pq
+
     os.makedirs(out_dir, exist_ok=True)
     ledger_path = os.path.join(out_dir, "_ledger.json")
     ledger: dict = {}
@@ -1172,13 +1201,35 @@ def corpus_clean_pipeline(
         with open(ledger_path) as f:
             ledger = json.load(f)
 
-    survivors = _clean_survivor_ids(sf_dir, near_dup=near_dup)
-    total_docs = int(
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+    # Survivor ids: computed with Dataset ops and persisted as a SORTED
+    # parquet side table (sibling dir so it never mixes with the output
+    # partitions). Each output partition then reads ONLY its doc-id range of
+    # the side table — the driver never holds the full survivor array.
+    side_dir = out_dir.rstrip("/") + ".survivors"
+    side_tmp = side_dir + ".part"
+    for d in (side_tmp,):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    surv_ds = _survivors_ds(sf_dir, near_dup=near_dup).sort("doc_id")
+    surv_ds.write_parquet(side_tmp)
+    if not os.path.exists(side_tmp):  # empty dataset writes nothing
+        os.makedirs(side_tmp)
+        _pq.write_table(
+            pa.table({"doc_id": pa.array([], pa.int64())}),
+            os.path.join(side_tmp, "empty.parquet"),
+        )
+    if os.path.exists(side_dir):
+        shutil.rmtree(side_dir)
+    os.rename(side_tmp, side_dir)
+    n_survivors = int(
+        rd.read_parquet(side_dir, file_extensions=["parquet"]).count()
     )
-    bound = max(total_docs, int(survivors.max()) + 1 if survivors.size else 1)
+
+    doc_path = f"{sf_dir}/documents.parquet"
+    docs_schema = pads.dataset(doc_path).schema
+    max_id = _pq.read_table(doc_path, columns=["doc_id"]).column("doc_id")
+    bound = max(int(pc.max(max_id).as_py() or 0) + 1, 1)
     part_size = -(-bound // n_parts)
-    surv_ref = ray.put(survivors)
 
     written = skipped = 0
     rows_out = 0
@@ -1189,6 +1240,13 @@ def corpus_clean_pipeline(
             skipped += 1
             continue
         lo, hi = part * part_size, (part + 1) * part_size
+        # this partition's survivor slice (bounded by part_size, row-group
+        # pruned by the sorted side table's doc_id stats)
+        part_surv = _pq.read_table(
+            side_dir,
+            filters=[("doc_id", ">=", lo), ("doc_id", "<", hi)],
+        ).column("doc_id").to_numpy()
+        surv_ref = ray.put(part_surv)
 
         def keep_part(batch: pa.Table) -> pa.Table:
             want = ray.get(surv_ref)
@@ -1197,18 +1255,28 @@ def corpus_clean_pipeline(
             return batch.filter(pa.array(mask))
 
         part_ds = rd.read_parquet(
-            f"{sf_dir}/documents.parquet",
+            doc_path,
             filter=(pads.field("doc_id") >= lo) & (pads.field("doc_id") < hi),
         ).map_batches(keep_part, batch_format="pyarrow")
         tmp_dir = part_dir + ".part"
         if os.path.exists(tmp_dir):
             shutil.rmtree(tmp_dir)
         part_ds.write_parquet(tmp_dir)
+        if not os.path.exists(tmp_dir):
+            # Ray writes nothing for an empty dataset: write an explicit
+            # empty parquet file so the rename (and later reads) succeed —
+            # an empty partition is a VALID completed partition.
+            os.makedirs(tmp_dir)
+            _pq.write_table(
+                docs_schema.empty_table(), os.path.join(tmp_dir, "empty.parquet")
+            )
         if os.path.exists(part_dir):
             shutil.rmtree(part_dir)
         os.rename(tmp_dir, part_dir)
         rows_out += int(
-            rd.read_parquet(part_dir, columns=["doc_id"]).count()
+            rd.read_parquet(
+                part_dir, columns=["doc_id"], file_extensions=["parquet"]
+            ).count()
         )
         ledger[key] = "done"
         with open(ledger_path, "w") as f:
@@ -1218,7 +1286,7 @@ def corpus_clean_pipeline(
     LAST_CLEAN_METRICS.clear()
     LAST_CLEAN_METRICS.update(
         partitions_written=written, partitions_skipped=skipped,
-        survivors=int(survivors.size), rows_written=rows_out,
+        survivors=n_survivors, rows_written=rows_out,
     )
     return dict(LAST_CLEAN_METRICS)
 

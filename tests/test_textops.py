@@ -113,6 +113,35 @@ def test_winnowing_deterministic():
     assert (a["n_fingerprints"] > 0).all()
 
 
+def test_corpus_clean_pipeline_empty_partitions(tmp_path):
+    """A doc-id range partition where the quality gate drops every row must
+    still produce a completed (empty) partition — write_parquet of an empty
+    dataset creates no directory, and the rename used to crash, breaking the
+    resume contract on small/filtered corpora."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from probe_ray import textops as T
+
+    src = pq.read_table(f"{SF}/documents.parquet")
+    tiny_dir = tmp_path / "tiny"
+    tiny_dir.mkdir()
+    # 6 docs, ids 0..5 — with n_parts=8 at least two partitions are empty
+    pq.write_table(src.slice(0, 6), str(tiny_dir / "documents.parquet"))
+
+    out = str(tmp_path / "cleaned_tiny")
+    m1 = T.corpus_clean_pipeline(str(tiny_dir), out, n_parts=8, near_dup=False)
+    assert m1["partitions_written"] == 8
+    n = rd.read_parquet(
+        out, columns=["doc_id"], file_extensions=["parquet"]
+    ).count()
+    assert n == m1["survivors"] == m1["rows_written"]
+    # resume is a clean full skip
+    m2 = T.corpus_clean_pipeline(str(tiny_dir), out, n_parts=8, near_dup=False)
+    assert m2["partitions_written"] == 0 and m2["partitions_skipped"] == 8
+
+
 def test_corpus_clean_pipeline_resumable(tmp_path):
     """The flagship cleaning pipeline writes partitioned parquet with a
     ledger; a rerun skips finished partitions, and after deleting one
