@@ -390,6 +390,11 @@ def _minhash_sig(shingles: set[str], n_hashes: int = 64) -> np.ndarray:
 #: the drop is logged via ``LAST_MINHASH_METRICS``.
 _LSH_BUCKET_CAP = 64
 
+#: coarse partition count for the (band, band_hash) bucket-resolution
+#: shuffle: bounds the Ray group count (and per-group dispatch overhead)
+#: regardless of how many distinct buckets exist
+_LSH_COARSE = 1024
+
 #: observability for the most recent minhash_lsh_dedup call
 LAST_MINHASH_METRICS: dict = {}
 
@@ -413,17 +418,20 @@ def minhash_lsh_dedup(
     sf_dir: str, n_hashes: int = 64, bands: int = 16, threshold: float = 0.5
 ) -> pa.Table:
     """MinHash + LSH near-duplicate clustering:
-    shingle -> minhash -> band -> groupby(band, band_hash) -> candidate
-    pairs (bucket-size-capped) -> DISTRIBUTED Jaccard verification ->
-    min-label clusters. Output (doc_id, cluster_id) for docs in
-    non-singleton clusters.
+    shingle -> minhash -> band -> groupby(band, band_hash) -> capped bucket
+    membership -> per-BUCKET vectorized Jaccard verification -> min-label
+    clusters. Output (doc_id, cluster_id) for docs in non-singleton
+    clusters.
 
-    Scale notes: banding keys the shuffle; per-bucket pair generation is
+    Scale notes: banding keys the shuffle (coarse-partitioned so per-group
+    dispatch overhead is bounded, not O(buckets)); bucket membership is
     capped at ``_LSH_BUCKET_CAP`` ids (degenerate buckets cannot explode
-    quadratically; drops are counted in LAST_MINHASH_METRICS); pair
-    verification runs as two groupby shuffles over candidate-scale data
-    (attach each side's shingle hashes, then compare per pair) — only the
-    verified EDGE list reaches the driver for union-find.
+    quadratically; drops are counted in LAST_MINHASH_METRICS); verification
+    attaches each member's shingle hashes once per bucket membership and
+    computes ALL pairwise Jaccards in one membership-matrix matmul per
+    bucket. Driver state is bounded by the qualifying-bucket membership
+    list (narrow, <= bands x candidate docs) + the verified edge list —
+    never the corpus.
     """
     rows_per_band = n_hashes // bands
 
@@ -451,118 +459,120 @@ def minhash_lsh_dedup(
         sig_batch, batch_format="pyarrow"
     )
 
-    # ---- bucket membership (capped) ----
-    # One row per (qualifying bucket, member doc). Buckets with <2 members
+    # ---- bucket membership (capped), COARSE-partitioned ----
+    # Hashing (band, band_hash) into a bounded number of partitions keeps the
+    # shuffle's group count at _LSH_COARSE instead of O(buckets) — the
+    # singleton-dominated bucket space is resolved VECTORIZED (pandas
+    # groupby/transform) inside each partition. Buckets with <2 members
     # vanish here; oversized buckets keep their _LSH_BUCKET_CAP smallest ids
     # (deterministic) and carry the drop count once per bucket.
-    _member_schema = pa.schema(
-        [("key", pa.int64()), ("bucket", pa.string()), ("dropped", pa.int64())]
-    )
+    def add_pg(batch: pa.Table) -> pa.Table:
+        bh = batch.column("band_hash").to_pylist()
+        bd = batch.column("band").to_numpy()
+        # band_hash is md5-derived hex: its low bits are already uniform
+        pg = np.array(
+            [int(h[-4:], 16) for h in bh], dtype=np.int64
+        ) ^ (bd.astype(np.int64) << 16)
+        return batch.append_column("pg", pa.array(pg % _LSH_COARSE, pa.int64()))
 
-    def bucket_members(group: pa.Table) -> pa.Table:
-        ids = np.unique(group.column("doc_id").to_numpy())
-        dropped = max(0, ids.size - _LSH_BUCKET_CAP)
-        ids = ids[:_LSH_BUCKET_CAP]
-        if ids.size < 2:
-            return _member_schema.empty_table()
-        bucket = (
-            f"{group.column('band')[0].as_py()}:"
-            f"{group.column('band_hash')[0].as_py()}"
+    def coarse_members(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["band", "band_hash", "doc_id"]).sort_values(
+            ["band", "band_hash", "doc_id"]
         )
-        d = np.zeros(ids.size, dtype=np.int64)
-        d[0] = dropped
-        return pa.table(
+        by = g.groupby(["band", "band_hash"], sort=False)
+        sizes = by["doc_id"].transform("size").to_numpy()
+        g = g[sizes >= 2]
+        if not len(g):
+            return pd.DataFrame(
+                {"key": pd.Series([], dtype="int64"),
+                 "bucket": pd.Series([], dtype="object"),
+                 "dropped": pd.Series([], dtype="int64")}
+            )
+        by = g.groupby(["band", "band_hash"], sort=False)
+        pos = by.cumcount().to_numpy()
+        sizes = by["doc_id"].transform("size").to_numpy()
+        keepmask = pos < _LSH_BUCKET_CAP
+        keep = g[keepmask]
+        dropped = np.where(
+            pos[keepmask] == 0,
+            np.maximum(sizes[keepmask] - _LSH_BUCKET_CAP, 0),
+            0,
+        )
+        bucket = keep["band"].astype(str) + ":" + keep["band_hash"]
+        return pd.DataFrame(
             {
-                "key": pa.array(ids, pa.int64()),
-                "bucket": pa.array([bucket] * ids.size, pa.string()),
-                "dropped": pa.array(d, pa.int64()),
+                "key": keep["doc_id"].to_numpy(),
+                "bucket": bucket.to_numpy(),
+                "dropped": dropped,
             }
         )
 
-    members_ds = (
-        bands_ds.groupby(["band", "band_hash"])
-        .map_groups(bucket_members, batch_format="pyarrow")
-        .materialize()  # narrow (int64 + short string) — safe to reuse
+    members_tbl = pa.concat_tables(
+        [
+            t
+            for t in (
+                b
+                for b in bands_ds.map_batches(add_pg, batch_format="pyarrow")
+                .groupby("pg")
+                .map_groups(coarse_members, batch_format="pandas")
+                .iter_batches(batch_format="pyarrow")
+            )
+            if t.num_rows > 0
+        ]
+        or [pa.schema([("key", pa.int64()), ("bucket", pa.string()),
+                       ("dropped", pa.int64())]).empty_table()]
     )
-    dropped_total = int(members_ds.sum("dropped") or 0)
+    dropped_total = int(pc.sum(members_tbl.column("dropped")).as_py() or 0)
     LAST_MINHASH_METRICS.clear()
     LAST_MINHASH_METRICS.update(bucket_cap=_LSH_BUCKET_CAP,
                                 dropped_ids=dropped_total)
     if dropped_total:
         print(f"[minhash_lsh_dedup] bucket cap {_LSH_BUCKET_CAP} dropped "
               f"{dropped_total} ids from oversized buckets")
-    if members_ds.count() == 0:
+    if members_tbl.num_rows == 0:
         return pa.table(
             {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
         )
 
     # ---- distributed BUCKET-LEVEL verification ----
-    # Shingle hashes are computed once per candidate doc (narrow int64
-    # semi-join mask broadcast to prune the scan), attached once per bucket
-    # MEMBERSHIP via a union+groupby(doc_id), and the pairwise Jaccard runs
-    # vectorized per bucket (<= _LSH_BUCKET_CAP members -> one membership
-    # matrix matmul) instead of one Ray group per candidate pair.
-    cand_ids = np.unique(
-        np.concatenate(
-            [
-                b.column("key").to_numpy()
-                for b in members_ds.iter_batches(batch_format="pyarrow")
-            ]
-        )
-    )
-    ids_ref = ray.put(cand_ids)
+    # The qualifying-bucket membership list is NARROW (<= bands x candidate
+    # docs) — broadcast it as a doc_id -> buckets map so shingle hashes are
+    # computed once per candidate doc and emitted DIRECTLY keyed by bucket
+    # (one shuffle). Pairwise Jaccard then runs vectorized per bucket
+    # (<= _LSH_BUCKET_CAP members -> one membership-matrix matmul) instead
+    # of one Ray group per candidate pair.
+    mkeys = members_tbl.column("key").to_numpy()
+    mbuckets = members_tbl.column("bucket").to_pylist()
+    doc_buckets: dict[int, list[str]] = {}
+    for did, bk in zip(mkeys, mbuckets):
+        doc_buckets.setdefault(int(did), []).append(bk)
+    map_ref = ray.put(doc_buckets)
 
     def shingle_rows(batch: pa.Table) -> pa.Table:
-        want = ray.get(ids_ref)
-        mask = np.isin(batch.column("doc_id").to_numpy(), want)
-        sub = batch.filter(pa.array(mask))
-        sh = [
-            _shingle_hashes(simple_tokens(t)).astype(np.int64).tolist()
-            for t in sub.column("text").to_pylist()
-        ]
+        dmap = ray.get(map_ref)
+        out_bucket: list[str] = []
+        out_doc: list[int] = []
+        out_sh: list[list[int]] = []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            bks = dmap.get(did)
+            if not bks:
+                continue
+            sh = _shingle_hashes(simple_tokens(text)).astype(np.int64).tolist()
+            for bk in bks:
+                out_bucket.append(bk)
+                out_doc.append(did)
+                out_sh.append(sh)
         return pa.table(
             {
-                "key": sub.column("doc_id"),
-                "bucket": pa.array([""] * sub.num_rows, pa.string()),
-                "sh": pa.array(sh, pa.list_(pa.int64())),
+                "bucket": pa.array(out_bucket, pa.string()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "sh": pa.array(out_sh, pa.list_(pa.int64())),
             }
         )
 
-    shingles_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        shingle_rows, batch_format="pyarrow"
-    )
-
-    def member_rows(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "key": batch.column("key"),
-                "bucket": batch.column("bucket"),
-                "sh": pa.array([None] * batch.num_rows, pa.list_(pa.int64())),
-            }
-        )
-
-    sides_ds = members_ds.map_batches(member_rows, batch_format="pyarrow")
-
-    _attach_schema = pa.schema(
-        [("bucket", pa.string()), ("doc_id", pa.int64()), ("sh", pa.list_(pa.int64()))]
-    )
     _edge_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
-
-    def attach(group: pa.Table) -> pa.Table:
-        buckets = group.column("bucket").to_pylist()
-        doc_idx = [i for i, b in enumerate(buckets) if b == ""]
-        mem_idx = [i for i, b in enumerate(buckets) if b != ""]
-        if not doc_idx or not mem_idx:
-            return _attach_schema.empty_table()
-        sh = group.column("sh")[doc_idx[0]].as_py()
-        did = group.column("key")[0].as_py()
-        return pa.table(
-            {
-                "bucket": pa.array([buckets[i] for i in mem_idx], pa.string()),
-                "doc_id": pa.array([did] * len(mem_idx), pa.int64()),
-                "sh": pa.array([sh] * len(mem_idx), pa.list_(pa.int64())),
-            }
-        )
 
     def bucket_verify(group: pa.Table) -> pa.Table:
         n = group.num_rows
@@ -598,19 +608,28 @@ def minhash_lsh_dedup(
             }
         )
 
-    edges_tbl = (
-        shingles_ds.union(sides_ds)
-        .groupby("key")
-        .map_groups(attach, batch_format="pyarrow")
+    # only verified EDGES reach the driver (tiny); a pair verifying in
+    # several buckets dedups via np.unique on the composite key
+    edge_parts = [
+        b
+        for b in _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(shingle_rows, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_verify, batch_format="pyarrow")
-        # a pair can verify in several buckets: distributed dedup, then only
-        # the unique verified EDGES reach the driver (small)
-        .groupby(["a", "b"])
-        .aggregate(rd.aggregate.Count(alias_name="n_buckets"))
-        .to_pandas()
-    )
-    edges = list(zip(edges_tbl["a"].astype(int), edges_tbl["b"].astype(int)))
+        .iter_batches(batch_format="pyarrow")
+        if b.num_rows > 0
+    ]
+    if edge_parts:
+        et = pa.concat_tables(edge_parts)
+        epairs = np.unique(
+            np.stack(
+                [et.column("a").to_numpy(), et.column("b").to_numpy()], axis=1
+            ),
+            axis=0,
+        )
+        edges = [(int(a), int(b)) for a, b in epairs]
+    else:
+        edges = []
 
     # min-label propagation (union-find on the small verified edge list)
     parent: dict[int, int] = {}

@@ -67,6 +67,32 @@ def test_minhash_approximates_jaccard():
     assert isinstance(exact_set, set)
 
 
+def test_minhash_hot_bucket_capped(tmp_path):
+    """A degenerate bucket (80 identical docs) must stay bounded: only the
+    _LSH_BUCKET_CAP smallest ids cluster, the rest are counted as drops."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from probe_ray import textops as T
+
+    n = 80
+    text = "the quick brown fox jumps over the lazy dog " * 5
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)) + [1000, 1001], pa.int64()),
+            "text": pa.array([text] * n + ["alpha beta gamma", "delta epsilon"]),
+        }
+    )
+    d = tmp_path / "hot"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    out = T.minhash_lsh_dedup(str(d)).to_pandas()
+    assert T.LAST_MINHASH_METRICS["dropped_ids"] > 0
+    # exactly one cluster: the cap's 64 smallest ids, labeled by the min
+    assert set(out["cluster_id"]) == {0}
+    assert sorted(out["doc_id"]) == list(range(T._LSH_BUCKET_CAP))
+
+
 def test_simhash_close_for_duplicate_text():
     from probe_ray import textops as T
 
