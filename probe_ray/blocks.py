@@ -427,6 +427,36 @@ def node_type_boost(node_type: str, start: int, end: int) -> float:
     return 1.0
 
 
+def node_type_boost_vec(node_types, starts, ends):
+    """Vectorized node_type_boost: the base boost is resolved once per
+    DISTINCT node type (few), then the multi-line comment rule overrides
+    row-wise — identical fall-through order to the scalar version."""
+    import numpy as np
+    import pandas as pd
+
+    codes, uniques = pd.factorize(np.asarray(node_types, dtype=object))
+    base = np.array(
+        [
+            _NODE_BOOSTS.get(u)
+            if _NODE_BOOSTS.get(u) is not None
+            else (0.7 if ("test" in u or "Test" in u) else 1.0)
+            for u in uniques
+        ],
+        dtype=np.float64,
+    )
+    out = base[codes]
+    comment_codes = [
+        i for i, u in enumerate(uniques) if u in ("doc_comment", "block_comment")
+    ]
+    if comment_codes:
+        mask = np.isin(codes, comment_codes) & (
+            np.asarray(ends, dtype=np.int64) - np.asarray(starts, dtype=np.int64)
+            > 3
+        )
+        out[mask] = 1.2
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Contained-block dedup (block_merging.rs:17-118)
 # ---------------------------------------------------------------------------

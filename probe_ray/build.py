@@ -51,7 +51,7 @@ from probe_ray import codec
 from probe_ray import tokenizer as tok
 from probe_ray.oracle import MAX_FILE_SIZE
 
-DOCS_SCHEMA_VERSION = 2
+DOCS_SCHEMA_VERSION = 3
 
 
 # ---------------------------------------------------------------------------
@@ -91,10 +91,15 @@ def guard_batch(batch: pa.Table) -> pa.Table:
 
 def tokenize_batch(batch: pa.Table) -> pa.Table:
     """The hot map: content+path -> dedup token vector (ranking.rs:56-61).
-    Emits tokens (list<string>), n_content_tokens, doc_len."""
+    Emits tokens (list<string>), n_content_tokens, doc_len, plus the static
+    is_test flag (test_detection.rs is a pure (path, content) function —
+    computed ONCE here so allow_tests=False queries never re-run the content
+    regex over candidates)."""
+    from probe_ray.tools import is_test_file
+
     contents = batch.column("content").to_pylist()
     paths = batch.column("path").to_pylist()
-    tokens_out, n_content, doc_lens, shadows_out = [], [], [], []
+    tokens_out, n_content, doc_lens, shadows_out, is_test = [], [], [], [], []
     for content, path in zip(contents, paths):
         ct, sh = tok.tokenize_with_shadows(content)
         pt = tok.tokenize(path)
@@ -102,6 +107,7 @@ def tokenize_batch(batch: pa.Table) -> pa.Table:
         n_content.append(len(ct))
         doc_lens.append(len(ct) + len(pt))
         shadows_out.append(sh)
+        is_test.append(is_test_file(path, content))
     out = batch.append_column("tokens", pa.array(tokens_out, pa.list_(pa.string())))
     # shadow forms (stop words / unstemmed originals): indexed as tf=0
     # postings so substring retrieval via term-dictionary expansion is
@@ -117,6 +123,7 @@ def tokenize_batch(batch: pa.Table) -> pa.Table:
         "path_tokens",
         pa.array([t[n:] for t, n in zip(tokens_out, n_content)], pa.list_(pa.string())),
     )
+    out = out.append_column("is_test", pa.array(is_test, pa.bool_()))
     return out
 
 
@@ -251,6 +258,34 @@ def make_segment_merger(n_shards: int):
 
 def _term_shard(term: str, n_shards: int) -> int:
     return int.from_bytes(hashlib.md5(term.encode()).digest()[:4], "little") % n_shards
+
+
+def _compact_shard_dir(root: str, sort_keys: list[str]) -> None:
+    """Segment-merge finish: rewrite each hive shard partition as ONE
+    key-sorted parquet file (small row groups keep min/max stat pruning
+    effective). The per-partition write above leaves one file per (write
+    task x shard) — hundreds of tiny fragments whose footer walks dominate
+    per-query term-probe latency. One Ray task per shard."""
+    import pyarrow.parquet as _pq
+
+    shard_dirs = sorted(d for d in os.listdir(root) if d.startswith("shard="))
+
+    @ray.remote
+    def compact(d: str) -> int:
+        p = os.path.join(root, d)
+        files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+        if len(files) <= 1:
+            return 0
+        tbl = _pq.read_table(p)
+        tbl = tbl.sort_by([(k, "ascending") for k in sort_keys])
+        tmp_f = os.path.join(p, "_compact.tmp")
+        _pq.write_table(tbl, tmp_f, row_group_size=2048)
+        for f in files:
+            os.remove(os.path.join(p, f))
+        os.rename(tmp_f, os.path.join(p, "segment-0.parquet"))
+        return tbl.num_rows
+
+    ray.get([compact.remote(d) for d in shard_dirs])
 
 
 # ---------------------------------------------------------------------------
@@ -668,11 +703,12 @@ def build_index(
         )
         if os.path.exists(tmp.segments_dir):
             shutil.rmtree(tmp.segments_dir)
+        def write_segments(p):
+            segments.write_parquet(p, partition_cols=["shard"])
+            _compact_shard_dir(p, ["term", "salt"])
+
         with timed("segments"):
-            staged_write(
-                lambda p: segments.write_parquet(p, partition_cols=["shard"]),
-                tmp.segments_dir,
-            )
+            staged_write(write_segments, tmp.segments_dir)
         mark("segments")
 
     # optional content n-gram index: same partial-encode -> (gram, salt)
@@ -690,11 +726,12 @@ def build_index(
         )
         if os.path.exists(tmp.ngrams_dir):
             shutil.rmtree(tmp.ngrams_dir)
+        def write_ngrams(p):
+            ngrams.write_parquet(p, partition_cols=["shard"])
+            _compact_shard_dir(p, ["gram", "salt"])
+
         with timed("ngrams"):
-            staged_write(
-                lambda p: ngrams.write_parquet(p, partition_cols=["shard"]),
-                tmp.ngrams_dir,
-            )
+            staged_write(write_ngrams, tmp.ngrams_dir)
         mark("ngrams")
 
     # build metrics: skew / partition-size evidence (SURVEY.md §5 "Skew":

@@ -144,10 +144,7 @@ class Engine:
         # metadata-first: read per-gram df only, probe the RAREST grams per
         # needle (any subset intersection stays a superset of true matches;
         # common grams add read+intersect cost without narrowing)
-        meta = pq.ParquetDataset(
-            self.paths.ngrams_dir,
-            filters=[("shard", "in", shards), ("gram", "in", sorted(wanted))],
-        ).read(columns=["gram", "df"])
+        meta = self._ngram_read(shards, sorted(wanted), ["gram", "df"])
         df_by_gram: dict[str, int] = {}
         for g, d in zip(meta.column("gram").to_pylist(), meta.column("df").to_pylist()):
             df_by_gram[g] = df_by_gram.get(g, 0) + int(d)
@@ -165,10 +162,7 @@ class Engine:
         if not probe:
             return out
         shards_f = sorted({_term_shard(g, n_shards) for g in fetch})
-        tbl = pq.ParquetDataset(
-            self.paths.ngrams_dir,
-            filters=[("shard", "in", shards_f), ("gram", "in", sorted(fetch))],
-        ).read(columns=["gram", "blob"])
+        tbl = self._ngram_read(shards_f, sorted(fetch), ["gram", "blob"])
         by_gram: dict[str, list[np.ndarray]] = {}
         for g, b in zip(tbl.column("gram").to_pylist(), tbl.column("blob").to_pylist()):
             ids, _ = codec.decode_postings(b)
@@ -186,6 +180,41 @@ class Engine:
 
     # -- segment access -----------------------------------------------------
 
+    def _ngram_read(self, shards: list[int], grams: list[str], columns: list[str]) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        if getattr(self, "_ngram_ds_handle", None) is None:
+            self._ngram_ds_handle = pads.dataset(
+                self.paths.ngrams_dir, partitioning="hive"
+            )
+        return self._ngram_ds_handle.to_table(
+            columns=columns,
+            filter=pads.field("shard").isin(shards)
+            & pads.field("gram").isin(grams),
+        )
+
+    def _seg_handle(self):
+        """Cached pyarrow dataset handle over the hive-partitioned segments
+        dir: per-query reads reuse the discovered fragments instead of
+        re-walking the directory + footers on every probe (the dominant cost
+        of warm global-mode queries)."""
+        if getattr(self, "_seg_ds_handle", None) is None:
+            import pyarrow.dataset as pads
+
+            self._seg_ds_handle = pads.dataset(
+                self.paths.segments_dir, partitioning="hive"
+            )
+        return self._seg_ds_handle
+
+    def _seg_read(self, shards: list[int], terms: list[str], columns: list[str]) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        return self._seg_handle().to_table(
+            columns=columns,
+            filter=pads.field("shard").isin(shards)
+            & pads.field("term").isin(terms),
+        )
+
     def _read_postings(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray]]:
         """Read + decode postings for the given terms. Pruned at the read:
         shard partition filter + parquet predicate pushdown on term."""
@@ -195,11 +224,7 @@ class Engine:
         from probe_ray.build import _term_shard
 
         shards = sorted({_term_shard(t, n_shards) for t in terms})
-        dataset = pq.ParquetDataset(
-            self.paths.segments_dir,
-            filters=[("shard", "in", shards), ("term", "in", terms)],
-        )
-        table = dataset.read(columns=["term", "salt", "blob"])
+        table = self._seg_read(shards, terms, ["term", "salt", "blob"])
         out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         term_col = table.column("term").to_pylist()
         salt_col = table.column("salt").to_pylist()
@@ -232,11 +257,9 @@ class Engine:
         n_shards = self._stats["n_shards"]
         from probe_ray.build import _term_shard
 
-        tbl = pq.ParquetDataset(
-            self.paths.segments_dir,
-            filters=[("shard", "in", [_term_shard(term, n_shards)]),
-                     ("term", "in", [term])],
-        ).read(columns=["salt", "blob", "skip"])
+        tbl = self._seg_read(
+            [_term_shard(term, n_shards)], [term], ["salt", "blob", "skip"]
+        )
         rows = sorted(
             zip(
                 tbl.column("salt").to_pylist(),
@@ -280,10 +303,7 @@ class Engine:
         from probe_ray.build import _term_shard
 
         shards = sorted({_term_shard(t, n_shards) for t in terms})
-        tbl = pq.ParquetDataset(
-            self.paths.segments_dir,
-            filters=[("shard", "in", shards), ("term", "in", terms)],
-        ).read(columns=["term", "df", "block_max"])
+        tbl = self._seg_read(shards, terms, ["term", "df", "block_max"])
         out: dict[str, tuple[int, int]] = {}
         for t, df, bm in zip(
             tbl.column("term").to_pylist(),
@@ -425,6 +445,17 @@ class Engine:
     # fan out beyond a small candidate count even with a pinned docs table
     LOCAL_BLOCK_CAND_MAX = 2048
 
+    def _has_is_test(self) -> bool:
+        """Docs built at schema version >= 3 carry the static is_test flag
+        (computed once at build; saves the per-query content regex)."""
+        if getattr(self, "_is_test_avail", None) is None:
+            import pyarrow.dataset as pads
+
+            self._is_test_avail = (
+                "is_test" in pads.dataset(self.paths.docs_dir).schema.names
+            )
+        return self._is_test_avail
+
     def _local_docs_table(self) -> pa.Table | None:
         if self._stats["n_docs"] > self.LOCAL_DOCS_MAX:
             return None
@@ -432,7 +463,8 @@ class Engine:
             tbl = pq.read_table(
                 self.paths.docs_dir,
                 columns=["doc_id", "repo", "path", "lang", "content", "tokens",
-                         "n_content_tokens", "path_tokens", "doc_len"],
+                         "n_content_tokens", "path_tokens", "doc_len"]
+                + (["is_test"] if self._has_is_test() else []),
             ).sort_by("doc_id")
             # per-engine precomputations shared by every query: lowered
             # content (injection substring checks) and byte sizes (limits)
@@ -879,7 +911,9 @@ class Engine:
             allow_tests=allow_tests, exact=exact, seen=seen,
         )
 
-        cols = ["doc_id", "repo", "path", "content"]
+        cols = ["doc_id", "repo", "path", "content"] + (
+            ["is_test"] if self._has_is_test() else []
+        )
         # block extraction is a Python-heavy per-doc stage (line matching +
         # window tokenization) — unlike the vectorized doc verifier it pays
         # to fan out even when the docs table fits driver-side
@@ -935,9 +969,8 @@ class Engine:
             rows = _block_rows(feats, order=None)
             rows.sort(key=lambda r: (r["file"], r["start"]))
         else:
-            tf_lists = feats.column("tf").to_pylist()
             if ranking_terms:
-                arr = np.array(tf_lists, dtype=np.int64).reshape(n, -1)
+                arr = _tf_matrix(feats.column("tf"), n, dtype=np.int64)
                 df_vec = (arr > 0).sum(axis=0)
             else:
                 df_vec = np.zeros(0, dtype=np.int64)
@@ -951,15 +984,10 @@ class Engine:
             bm25_arr, boosted_arr, valid_arr = _score_feats_vectorized(
                 feats, ranking_ast, ranking_terms, idfs, avgdl, len(queries)
             )
-            node_boosts = np.array(
-                [
-                    blk.node_type_boost(nt, s, e)
-                    for nt, s, e in zip(
-                        feats.column("node_type").to_pylist(),
-                        feats.column("start").to_pylist(),
-                        feats.column("end").to_pylist(),
-                    )
-                ]
+            node_boosts = blk.node_type_boost_vec(
+                feats.column("node_type").to_pylist(),
+                feats.column("start").to_numpy(),
+                feats.column("end").to_numpy(),
             )
             boosted_arr = boosted_arr * node_boosts
             valid_idx = np.flatnonzero(valid_arr)
@@ -1124,7 +1152,7 @@ class Engine:
                      "hist": pa.array([], pa.list_(pa.int64()))}
                 )
             if rt:
-                tfm = np.array(tbl.column("tf").to_pylist(), np.int64).reshape(n, -1)
+                tfm = _tf_matrix(tbl.column("tf"), n, dtype=np.int64)
                 df_vec = (tfm > 0).sum(axis=0)
             else:
                 df_vec = np.zeros(0, dtype=np.int64)
@@ -1173,15 +1201,10 @@ class Engine:
             bm25_a, boosted_a, valid_a = _score_feats_vectorized(
                 tbl, ranking_ast, rt, idfs, avgdl, n_queries
             )
-            node = np.array(
-                [
-                    blk.node_type_boost(nt, s, e)
-                    for nt, s, e in zip(
-                        tbl.column("node_type").to_pylist(),
-                        tbl.column("start").to_pylist(),
-                        tbl.column("end").to_pylist(),
-                    )
-                ]
+            node = blk.node_type_boost_vec(
+                tbl.column("node_type").to_pylist(),
+                tbl.column("start").to_numpy(),
+                tbl.column("end").to_numpy(),
             )
             boosted_a = boosted_a * node
             keys = keys_of(tbl)
@@ -1465,7 +1488,7 @@ class Engine:
         cand_ds = None
         cols = ["doc_id", "repo", "path", "lang", "content", "doc_len"] + (
             [] if use_vector else ["tokens", "n_content_tokens"]
-        )
+        ) + (["is_test"] if not allow_tests and self._has_is_test() else [])
         postings: dict = {}
         if plan.is_universal:
             if use_vector:
@@ -1548,9 +1571,8 @@ class Engine:
 
         # candidate-set statistics: N, avgdl, df per ranking term
         # (J6/A3 in SURVEY.md §3; candidate-set semantics per §7.4)
-        tf_lists = feats_tbl.column("tf").to_pylist()
         if ranking_terms:
-            arr = np.array(tf_lists, dtype=np.int64).reshape(n, -1)
+            arr = _tf_matrix(feats_tbl.column("tf"), n, dtype=np.int64)
             df_vec = (arr > 0).sum(axis=0)
         else:
             df_vec = np.zeros(0, dtype=np.int64)
@@ -1695,7 +1717,7 @@ class Engine:
                      "hist": pa.array([], pa.list_(pa.int64()))}
                 )
             if rt:
-                tfm = np.array(tbl.column("tf").to_pylist(), np.int64).reshape(n, -1)
+                tfm = _tf_matrix(tbl.column("tf"), n, dtype=np.int64)
                 df_vec = (tfm > 0).sum(axis=0)
             else:
                 df_vec = np.zeros(0, dtype=np.int64)
@@ -2128,6 +2150,11 @@ def _make_block_extractor(ctx, patterns, fname_matches, ranking_terms, lang_exts
         repos = batch.column("repo").to_pylist()
         paths = batch.column("path").to_pylist()
         contents = batch.column("content").to_pylist()
+        test_flags = (
+            batch.column("is_test").to_pylist()
+            if not allow_tests and "is_test" in batch.schema.names
+            else None
+        )
         ids_np = np.asarray(ids, dtype=np.int64)
         fname_mask = {
             t: np.isin(ids_np, arr) for t, arr in fnames.items()
@@ -2138,7 +2165,11 @@ def _make_block_extractor(ctx, patterns, fname_matches, ranking_terms, lang_exts
         for row_i, (did, repo, path, content) in enumerate(
             zip(ids, repos, paths, contents)
         ):
-            if not allow_tests and is_test_file(path, content):
+            if not allow_tests and (
+                test_flags[row_i]
+                if test_flags is not None
+                else is_test_file(path, content)
+            ):
                 continue
             if lang_exts is not None:
                 ext = path.rsplit(".", 1)[-1].lower() if "." in path else None
@@ -2212,32 +2243,44 @@ def _make_block_extractor(ctx, patterns, fname_matches, ranking_terms, lang_exts
 def _block_rows(feats: pa.Table, order, bm25=None, boosted=None) -> list[dict]:
     """Materialize block feat rows as result dicts. ``order=None`` takes all
     rows unranked; an index array takes those rows, ranked sequentially when
-    ``boosted`` is given, else flagged (rank None)."""
-    ids = feats.column("doc_id").to_pylist()
-    repos = feats.column("repo").to_pylist()
-    paths = feats.column("path").to_pylist()
-    starts = feats.column("start").to_pylist()
-    ends = feats.column("end").to_pylist()
-    node_types = feats.column("node_type").to_pylist()
-    kws = feats.column("matched_keywords").to_pylist()
-    mls = feats.column("matched_lines").to_pylist()
-    nbytes = feats.column("n_code_bytes").to_pylist()
+    ``boosted`` is given, else flagged (rank None).
+
+    The selected rows are sliced out with ``take`` BEFORE any Python
+    conversion — limits usually admit ~max_results rows out of thousands of
+    feats, and converting whole list columns to_pylist dominated warm block
+    latency."""
+    ranked = boosted is not None
     if order is None:
-        order = range(feats.num_rows)
+        sel = feats
+        n_sel = feats.num_rows
+    else:
+        order = np.asarray(order, dtype=np.int64)
+        sel = feats.take(pa.array(order))
+        n_sel = order.size
+        if ranked:
+            bm25 = bm25[order]
+            boosted = boosted[order]
+    ids = sel.column("doc_id").to_pylist()
+    repos = sel.column("repo").to_pylist()
+    paths = sel.column("path").to_pylist()
+    starts = sel.column("start").to_pylist()
+    ends = sel.column("end").to_pylist()
+    node_types = sel.column("node_type").to_pylist()
+    kws = sel.column("matched_keywords").to_pylist()
+    mls = sel.column("matched_lines").to_pylist()
+    nbytes = sel.column("n_code_bytes").to_pylist()
     rows = []
-    for pos, i in enumerate(order):
-        i = int(i)
-        ranked = boosted is not None
+    for pos in range(n_sel):
         rows.append(
             dict(
-                doc_id=ids[i], repo=repos[i], path=paths[i],
-                file=f"{repos[i]}/{paths[i]}",
-                start=starts[i], end=ends[i], node_type=node_types[i],
+                doc_id=ids[pos], repo=repos[pos], path=paths[pos],
+                file=f"{repos[pos]}/{paths[pos]}",
+                start=starts[pos], end=ends[pos], node_type=node_types[pos],
                 rank=(pos + 1) if ranked else None,
-                score=float(boosted[i]) if ranked else 0.0,
-                bm25_score=float(bm25[i]) if ranked else 0.0,
-                matched_keywords=list(kws[i]), matched_lines=list(mls[i]),
-                n_code_bytes=nbytes[i], but=None, total=None,
+                score=float(boosted[pos]) if ranked else 0.0,
+                bm25_score=float(bm25[pos]) if ranked else 0.0,
+                matched_keywords=list(kws[pos]), matched_lines=list(mls[pos]),
+                n_code_bytes=nbytes[pos], but=None, total=None,
             )
         )
     return rows
@@ -2519,13 +2562,22 @@ def _make_verifier(ctx, lang_exts, fname_matches, ranking_terms,
         paths = batch.column("path").to_pylist()
         contents = batch.column("content").to_pylist()
         tokens_col = batch.column("tokens").to_pylist()
-        for did, repo, path, content, tokens in zip(
+        test_flags = (
+            batch.column("is_test").to_pylist()
+            if not allow_tests and "is_test" in batch.schema.names
+            else None
+        )
+        for row_i, (did, repo, path, content, tokens) in enumerate(zip(
             ids, repos, paths, contents, tokens_col
-        ):
+        )):
             if not allow_tests:
                 from probe_ray.tools import is_test_file
 
-                if is_test_file(path, content):
+                if (
+                    test_flags[row_i]
+                    if test_flags is not None
+                    else is_test_file(path, content)
+                ):
                     continue  # --allow-tests off: test files excluded
                     # (file_list_cache.rs allow_tests semantics)
             if lang_exts is not None:
@@ -2626,6 +2678,16 @@ def _make_verifier(ctx, lang_exts, fname_matches, ranking_terms,
     return verify
 
 
+def _tf_matrix(col, n: int, dtype=np.float64) -> np.ndarray:
+    """Fixed-width list<int> column -> (n, w) matrix via the Arrow values
+    buffer — no Python-object round trip (every tf list has len(ranking
+    terms) by construction)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(n, -1).astype(dtype)
+
+
 def _score_feats_vectorized(feats_tbl, ranking_ast, ranking_terms, idfs, avgdl,
                             n_queries):
     """Vectorized boolean BM25 over the feats table. Mirrors
@@ -2633,9 +2695,8 @@ def _score_feats_vectorized(feats_tbl, ranking_ast, ranking_terms, idfs, avgdl,
     expression structure (term order, left-to-right sums) matches the scalar
     oracle exactly, so doubles are bit-identical."""
     n = feats_tbl.num_rows
-    tf_lists = feats_tbl.column("tf").to_pylist()
     tf_mat = (
-        np.array(tf_lists, dtype=np.float64).reshape(n, -1)
+        _tf_matrix(feats_tbl.column("tf"), n)
         if ranking_terms
         else np.zeros((n, 0))
     )

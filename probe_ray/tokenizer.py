@@ -266,30 +266,49 @@ def _should_skip_compound_processing(word: str) -> bool:
     return False
 
 
+# per-worker memo: raw whitespace word -> its alnum-run split. Code corpora
+# repeat identifiers heavily, so the per-char split loop is paid once per
+# DISTINCT word instead of once per occurrence (hot in both index build and
+# block extraction).
+_WORD_SPLIT_CACHE: dict[str, tuple[str, ...]] = {}
+_WORD_SPLIT_CACHE_MAX = 500_000
+
+
+def _split_word_runs(word: str) -> tuple[str, ...]:
+    if word.isalnum():  # fast path: most code words have no separator
+        return (word,)
+    parts: list[str] = []
+    current: list[str] = []
+    for c in word:
+        if c.isalnum():
+            current.append(c)
+        elif current:
+            parts.append("".join(current))
+            current = []
+    if current:
+        parts.append("".join(current))
+    return tuple(parts)
+
+
 def _split_words(text: str) -> tuple[list[str], set[str]]:
     """Whitespace split then non-alphanumeric split; a leading '-' marks the
     word's tokens negated (tokenization.rs:2741-2780)."""
     tokens: list[str] = []
     negated: set[str] = set()
+    cache = _WORD_SPLIT_CACHE
     for word in text.split():
         is_negated = word.startswith("-")
         if is_negated:
             word = word[1:]
-        current: list[str] = []
-        for c in word:
-            if c.isalnum():
-                current.append(c)
-            elif current:
-                tok = "".join(current)
-                if is_negated:
-                    negated.add(tok.lower())
-                tokens.append(tok)
-                current = []
-        if current:
-            tok = "".join(current)
-            if is_negated:
+        runs = cache.get(word)
+        if runs is None:
+            runs = _split_word_runs(word)
+            if len(cache) < _WORD_SPLIT_CACHE_MAX:
+                cache[word] = runs
+        tokens.extend(runs)
+        if is_negated:
+            for tok in runs:
                 negated.add(tok.lower())
-            tokens.append(tok)
     return tokens, negated
 
 
