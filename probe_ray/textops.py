@@ -1025,30 +1025,33 @@ def embedding_cosine_dedup(
             }
         )
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("vec_id").head(_LSH_BUCKET_CAP)
-        ids = g["vec_id"].tolist()
-        if len(ids) < 2:
-            return pd.DataFrame({"vec_id_a": pd.Series([], dtype="int64"),
-                                 "vec_id_b": pd.Series([], dtype="int64")})
-        mat = np.array(g["embedding"].tolist(), dtype=np.float64)
+    _pair_schema = pa.schema([("vec_id_a", pa.int64()), ("vec_id_b", pa.int64())])
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids_all = group.column("vec_id").to_numpy()
+        order = np.argsort(ids_all, kind="stable")[:_LSH_BUCKET_CAP]
+        if order.size < 2:
+            return _pair_schema.empty_table()
+        sel = group.take(pa.array(order))
+        ids = sel.column("vec_id").to_numpy().astype(np.int64)
+        # zero-copy Arrow values-buffer flatten (no per-row Python lists)
+        mat = _emb_matrix(sel.column("embedding"))
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         unit = mat / np.where(norms > 0, norms, 1.0)
         sims = unit @ unit.T
-        iu, ju = np.triu_indices(len(ids), k=1)
+        iu, ju = np.triu_indices(ids.size, k=1)
         hit = sims[iu, ju] >= threshold
-        ida = np.asarray(ids, dtype=np.int64)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "vec_id_a": pd.Series(ida[iu[hit]], dtype="int64"),
-                "vec_id_b": pd.Series(ida[ju[hit]], dtype="int64"),
+                "vec_id_a": pa.array(ids[iu[hit]], pa.int64()),
+                "vec_id_b": pa.array(ids[ju[hit]], pa.int64()),
             }
         )
 
     pairs = (
         emb.map_batches(sig, batch_format="pyarrow")
         .groupby(["table", "bucket"])
-        .map_groups(verify, batch_format="pandas")
+        .map_groups(verify, batch_format="pyarrow")
     )
     # dedupe across tables DISTRIBUTED, then sort inside Ray
     return (
@@ -1088,24 +1091,26 @@ def embedding_cosine_window_pairs(
             }
         )
 
-    def pair_group(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("vec_id")
-        ids = np.asarray(g["vec_id"], dtype=np.int64)
-        bnum = int(g["bucket"].iloc[0])
-        mat = np.array(g["embedding"].tolist(), dtype=np.float64)
+    def pair_group(group: pa.Table) -> pa.Table:
+        order = np.argsort(group.column("vec_id").to_numpy(), kind="stable")
+        sel = group.take(pa.array(order))
+        ids = sel.column("vec_id").to_numpy().astype(np.int64)
+        bnum = int(sel.column("bucket")[0].as_py())
+        # zero-copy Arrow values-buffer flatten (no per-row Python lists)
+        mat = _emb_matrix(sel.column("embedding"))
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         unit = mat / np.where(norms > 0, norms, 1.0)
         sims = unit @ unit.T
-        iu, ju = np.triu_indices(len(ids), k=1)
+        iu, ju = np.triu_indices(ids.size, k=1)
         ok = (
             (ids[ju] - ids[iu] <= window)
             & (ids[ju] // bucket == bnum)  # emit each pair from ONE bucket
             & (sims[iu, ju] >= threshold)
         )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "vec_id_a": pd.Series(ids[iu[ok]], dtype="int64"),
-                "vec_id_b": pd.Series(ids[ju[ok]], dtype="int64"),
+                "vec_id_a": pa.array(ids[iu[ok]], pa.int64()),
+                "vec_id_b": pa.array(ids[ju[ok]], pa.int64()),
             }
         )
 
@@ -1113,7 +1118,7 @@ def embedding_cosine_window_pairs(
         rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         .map_batches(to_buckets, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(pair_group, batch_format="pandas")
+        .map_groups(pair_group, batch_format="pyarrow")
         .sort(["vec_id_a", "vec_id_b"])
     )
 
@@ -1445,6 +1450,16 @@ def _events(sf_dir: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
+def _pa_group_sum(tbl: pa.Table, keys: list[str], cols: list[str]) -> pa.Table:
+    """Arrow-native batch-local partial aggregate: sum ``cols`` grouped by
+    ``keys``, keeping the input column names — no pandas round trip inside
+    the map stage (integer sums, so results are exact)."""
+    agg = tbl.group_by(keys).aggregate([(c, "sum") for c in cols])
+    return agg.select(keys + [f"{c}_sum" for c in cols]).rename_columns(
+        keys + cols
+    )
+
+
 def events_tumbling_hourly(sf_dir: str) -> pa.Table:
     """Tumbling 1-hour windows per event_type: count + sum(value).
     Pre-aggregated per batch before the groupby shuffle."""
@@ -1465,11 +1480,9 @@ def events_tumbling_hourly(sf_dir: str) -> pa.Table:
                 "value_micros": pa.array(micros, pa.int64()),
             }
         )
-        df = tbl.to_pandas()
-        agg = df.groupby(["event_type", "window_start"], as_index=False).agg(
-            n=("n", "sum"), value_micros=("value_micros", "sum")
+        return _pa_group_sum(
+            tbl, ["event_type", "window_start"], ["n", "value_micros"]
         )
-        return pa.Table.from_pandas(agg, preserve_index=False)
 
     agg = (
         _events(sf_dir, ["ts", "event_type", "value"])
@@ -1498,30 +1511,30 @@ def events_sliding_hourly(sf_dir: str, hop_minutes: int = 30) -> pa.Table:
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
         micros = np.rint(batch.column("value").to_numpy() * 1e6).astype(np.int64)
-        et = batch.column("event_type").to_pylist()
+        et_col = batch.column("event_type")
+        ones = pa.array(np.ones(batch.num_rows, dtype=np.int64), pa.int64())
+        micros_arr = pa.array(micros, pa.int64())
         base = (ts // hop_us) * hop_us
-        frames = []
-        for k in range(n_windows):
-            start = base - k * hop_us
-            frames.append(
-                pd.DataFrame(
-                    {"event_type": et, "window_start": start,
-                     "n": 1, "value_micros": micros}
-                )
+        parts = [
+            pa.table(
+                {
+                    "event_type": et_col,
+                    "window_start": pa.array(base - k * hop_us, pa.int64()),
+                    "n": ones,
+                    "value_micros": micros_arr,
+                }
             )
-        df = pd.concat(frames, ignore_index=True)
-        agg = df.groupby(["event_type", "window_start"], as_index=False).agg(
-            n=("n", "sum"), value_micros=("value_micros", "sum")
+            for k in range(n_windows)
+        ]
+        agg = _pa_group_sum(
+            pa.concat_tables(parts),
+            ["event_type", "window_start"],
+            ["n", "value_micros"],
         )
-        return pa.table(
-            {
-                "event_type": pa.array(agg["event_type"], pa.string()),
-                "window_start": pa.array(agg["window_start"], pa.int64()).cast(
-                    pa.timestamp("us")
-                ),
-                "n": pa.array(agg["n"], pa.int64()),
-                "value_micros": pa.array(agg["value_micros"], pa.int64()),
-            }
+        return agg.set_column(
+            agg.schema.get_field_index("window_start"),
+            "window_start",
+            agg.column("window_start").cast(pa.timestamp("us")),
         )
 
     agg = (
@@ -1617,7 +1630,7 @@ def pricing_summary(sf_dir: str) -> pa.Table:
     def partial(batch: pa.Table) -> pa.Table:
         qty = np.rint(batch.column("l_quantity").to_numpy() * 100).astype(np.int64)
         price = np.rint(batch.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
-        df = pa.table(
+        tbl = pa.table(
             {
                 "l_returnflag": batch.column("l_returnflag"),
                 "l_linestatus": batch.column("l_linestatus"),
@@ -1625,9 +1638,12 @@ def pricing_summary(sf_dir: str) -> pa.Table:
                 "price_cents": pa.array(price, pa.int64()),
                 "n": pa.array([1] * batch.num_rows, pa.int64()),
             }
-        ).to_pandas()
-        agg = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        )
+        return _pa_group_sum(
+            tbl,
+            ["l_returnflag", "l_linestatus"],
+            ["qty_cents", "price_cents", "n"],
+        )
 
     agg = (
         rd.read_parquet(
@@ -1664,15 +1680,14 @@ def top_customers_by_orders(sf_dir: str, k: int = 25) -> pa.Table:
 
     def partial(batch: pa.Table) -> pa.Table:
         cents = np.rint(batch.column("o_totalprice").to_numpy() * 100).astype(np.int64)
-        df = pa.table(
+        tbl = pa.table(
             {
                 "o_custkey": batch.column("o_custkey"),
                 "total_cents": pa.array(cents, pa.int64()),
                 "n": pa.array([1] * batch.num_rows, pa.int64()),
             }
-        ).to_pandas()
-        agg = df.groupby("o_custkey", as_index=False).sum()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        )
+        return _pa_group_sum(tbl, ["o_custkey"], ["total_cents", "n"])
 
     agg = (
         rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
