@@ -27,6 +27,14 @@ SIMPLE_TOKENS_SQL = (
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 )
 
+# simple tokens of the GUARDED text (file_guard.rs: >500-char lines are
+# blanked before tokenization) — used by the probe_search set oracles
+_GUARD_TOKENS_SQL = (
+    "list_filter(string_split_regex(lower(array_to_string("
+    "list_filter(string_split(text, chr(10)), l -> len(l) <= 500), ' ')), "
+    "'[^a-z0-9]+'), x -> x <> '')"
+)
+
 
 # ---------------------------------------------------------------------------
 # documents -> probe corpus mapping + cached index per sf_dir
@@ -99,6 +107,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return run
 
+    def probe_search_ids(query, **opts):
+        """SQL-checkable projection of an engine search: the (repo, path)
+        RESULT SET. Scores/ranks are probe-tokenizer BM25 (verified
+        rank-identically vs the in-repo oracle in tests/); the SET itself is
+        ANSI-SQL-expressible on this table family (all-lowercase exact-form
+        vocabulary, so probe token admission == simple-token equality once
+        the file-guard line-blanking rule is encoded in the SQL)."""
+
+        def run(sf_dir):
+            import pyarrow as pa
+
+            tbl = _engine_for(sf_dir).search([query], **opts)
+            out = tbl.select(["repo", "path"])
+            return out.sort_by([("repo", "ascending"), ("path", "ascending")])
+
+        return run
+
     def probe_search_global(query, **opts):
         def run(sf_dir):
             return _engine_for(sf_dir).search([query], mode="global", **opts)
@@ -165,14 +190,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: b.select(["doc_id", "n_bytes", "sha256"]),
             batch_format="pyarrow",
         ),
-        # --- the probe-semantics engine itself (rows-only here; verified
-        #     rank-identically vs the oracle in tests/) ---
-        "probe_search_or": probe_search("spark OR vector"),
-        "probe_search_and": probe_search("spark AND join"),
-        "probe_search_required": probe_search("+spark window"),
-        "probe_search_exclusion": probe_search("spark -window"),
-        "probe_search_exact": probe_search('"batch"'),
-        "probe_search_files_only": probe_search("spark -window", files_only=True),
+        # --- the probe-semantics engine itself. The boolean/exact entries
+        #     return their (repo, path) RESULT SET, which IS SQL-checkable
+        #     (guard-aware oracles below); ranks/scores are verified
+        #     rank-identically vs the in-repo oracle in tests/. The
+        #     limited/blocks/global entries stay rows-only (ranked outputs).
+        "probe_search_or": probe_search_ids("spark OR vector"),
+        "probe_search_and": probe_search_ids("spark AND join"),
+        "probe_search_required": probe_search_ids("+spark window"),
+        "probe_search_exclusion": probe_search_ids("spark -window"),
+        "probe_search_exact": probe_search_ids('"batch"'),
+        "probe_search_files_only": probe_search_ids(
+            "spark -window", files_only=True
+        ),
         "probe_search_limited": probe_search("spark OR vector", max_results=20,
                                              max_bytes=200_000),
         "probe_search_blocks": probe_search_blocks("spark join"),
@@ -422,4 +452,36 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS sha256
             FROM documents
         """,
+        # --- probe-search result SETS (guard-aware: NUL / >1 MiB docs are
+        # dropped, >500-char lines are blanked before tokenization —
+        # file_guard.rs semantics; the all-lowercase exact-form vocabulary
+        # of this table family makes probe token admission equal to
+        # simple-token equality, with stemming the identity on these terms) ---
+        **{
+            name: f"""
+            WITH g AS (
+              SELECT doc_id, source,
+                     {_GUARD_TOKENS_SQL} AS toks
+              FROM documents
+              WHERE strpos(text, chr(0)) = 0
+                AND octet_length(encode(text)) <= 1048576
+            )
+            SELECT 'corpus/' || source AS repo,
+                   printf('docs/doc%07d.txt', doc_id) AS path
+            FROM g WHERE {where}
+            ORDER BY repo, path
+        """
+            for name, where in {
+                "probe_search_or": "list_contains(toks,'spark') OR list_contains(toks,'vector')",
+                "probe_search_and": "list_contains(toks,'spark') AND list_contains(toks,'join')",
+                # '+spark window': the required term alone defines the set
+                # (optional terms only shape the ranking)
+                "probe_search_required": "list_contains(toks,'spark')",
+                "probe_search_exclusion": "list_contains(toks,'spark') AND NOT list_contains(toks,'window')",
+                "probe_search_exact": "list_contains(toks,'batch')",
+                # files_only admits with negatives IGNORED
+                # (search_runner.rs:637-686 early-files semantics)
+                "probe_search_files_only": "list_contains(toks,'spark')",
+            }.items()
+        },
     }
