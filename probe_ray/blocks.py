@@ -67,11 +67,23 @@ def tokenize_and_stem(keyword: str) -> list[str]:
     return [stemmer.stem(keyword)]
 
 
+def universal_term_matches(lines: list[str]) -> dict[int, set[int]]:
+    """Universal-plan line matches: the reference's "." pattern is
+    regex-any-character, so every NON-EMPTY line matches term index 0
+    (query.rs:858-889; the needles elsewhere are literal substrings, hence
+    this special case)."""
+    hit = {i for i, l in enumerate(lines, 1) if l}
+    return {0: hit} if hit else {}
+
+
 def term_patterns(plan: qp.QueryPlan) -> dict[int, list[str]]:
     """Per term index, the lowercase literal needles whose case-insensitive
     substring presence in a line marks that line as matching the term.
     Mirrors collect_patterns (query.rs:460-564) + the compound pass
-    (query.rs:585-646)."""
+    (query.rs:585-646). Universal plans return no literal needles — their
+    "." pattern is regex-any-char, handled by universal_term_matches."""
+    if plan.is_universal:
+        return {}
     out: dict[int, set[str]] = {}
     exact_search = (not plan.is_universal) and qp.is_exact_search(plan.ast)
     for term in qp.walk_terms(plan.ast):

@@ -319,17 +319,13 @@ def oracle_search_blocks(
 
     Deviations (documented): candidate order is canonical (doc_id, start)
     — the reference's is rayon-scheduling-dependent; sessions stay at
-    document granularity (cache.rs stores block keys); universal queries
-    are out of scope here (document-mode search covers them).
+    document granularity (cache.rs stores block keys). Universal
+    (filter-only) plans match every non-empty line via the "." pattern
+    (search_runner.rs:402-411), producing near-whole-file merged windows.
     """
     from probe_ray import blocks as blk
 
     plan, filters = qp.plan_query(queries, exact)
-    if plan.is_universal:
-        raise NotImplementedError(
-            "universal (filter-only) queries return whole files; use the "
-            "document-granularity search"
-        )
     specials = plan.specials
     ast_all_exact = qp.is_exact_search(plan.ast)
     filenames_enabled = include_filenames and not exact and not ast_all_exact
@@ -359,6 +355,10 @@ def oracle_search_blocks(
             continue
         lines = doc.content.split("\n")
         term_map = blk.line_term_matches(lines, patterns)
+        if plan.is_universal:
+            # filter-only query: the "." pattern matches every non-empty
+            # line (search_runner.rs:402-411 universal plan)
+            term_map = blk.universal_term_matches(lines)
         if filenames_enabled:
             fn_terms = filename_match_terms(doc.path, term_indices, specials)
             if fn_terms:

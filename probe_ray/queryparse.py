@@ -685,8 +685,13 @@ def create_query_plan_from_ast(
 
 
 def create_universal_query_plan() -> QueryPlan:
-    """query.rs:858-889 — used when every query term was a filter."""
-    return QueryPlan(Term([], None, False, False, False), {}, set(), False, True)
+    """query.rs:858-889 — used when every query term was a filter. The
+    reference's universal plan carries the single keyword "." (the
+    match-any-character pattern) at term index 0; block extraction and the
+    substring-injection paths see it like any other plan term."""
+    return QueryPlan(
+        Term(["."], None, False, False, False), {".": 0}, set(), False, True
+    )
 
 
 def plan_query(

@@ -838,11 +838,6 @@ class Engine:
         if isinstance(queries, str):
             queries = [queries]
         plan, filters = qp.plan_query(queries, exact)
-        if plan.is_universal:
-            raise NotImplementedError(
-                "universal (filter-only) queries return whole files; use "
-                "search() for document granularity"
-            )
         specials = plan.specials
         ast_all_exact = qp.is_exact_search(plan.ast)
         ctx = _QueryContext(
@@ -869,7 +864,9 @@ class Engine:
         # substring expansion, filename matches) UNION the expansion over
         # the extra line-pattern needles (stems / compound parts, which
         # match as substrings at line level)
-        if exhaustive:
+        if exhaustive or plan.is_universal:
+            # universal (filter-only) plans match every doc: no index probe
+            # (search_runner.rs:402-411)
             cand_ids = np.arange(self._stats["n_docs"], dtype=np.int64)
         else:
             cand_ids, _ = self._candidate_ids(ctx, fname_matches)
@@ -2179,6 +2176,9 @@ def _make_block_extractor(ctx, patterns, fname_matches, ranking_terms, lang_exts
                 continue
             lines = content.split("\n")
             term_map = blk.line_term_matches(lines, pats)
+            if plan.is_universal:
+                # "." pattern: every non-empty line matches term 0
+                term_map = blk.universal_term_matches(lines)
             for t, mask in fname_mask.items():
                 if mask[row_i]:
                     term_map.setdefault(term_indices[t], set()).update(

@@ -14,10 +14,9 @@ from probe_ray.corpus import QUERY_SUITE, generate_rows
 from probe_ray.oracle import load_docs, oracle_search_blocks
 from probe_ray.search import Engine
 
-# files_only has no block-level analogue; universal (filter-only) queries —
-# including filename-autodetect ones — are documented out of scope for
-# block mode (they return whole files via document-mode search)
-_SKIP = {"q24_files_only", "q17_filename_autodetect"}
+# files_only has no block-level analogue; universal (filter-only) queries
+# run through the "." match-everything plan (search_runner.rs:402-411)
+_SKIP = {"q24_files_only"}
 _BLOCK_SUITE = [
     (qid, queries, opts)
     for qid, queries, opts in QUERY_SUITE
@@ -64,6 +63,51 @@ def test_block_no_merge_and_threshold(t2_rows, t2_index):
         expected = oracle_search_blocks(docs, ["keywordAlpha OR keywordBeta"], **opts)
         got = Engine(t2_index).search_blocks(["keywordAlpha OR keywordBeta"], **opts)
         _assert_blocks_equal(got, expected, f"opts={opts}")
+
+
+def test_block_universal_filter_only(t2_rows, t2_index, ray_session, tmp_path):
+    """A filter-only query takes the universal plan: every non-empty line
+    matches the '.' pattern, yielding near-whole-file merged windows
+    (search_runner.rs:402-411) — rank-identical engine vs oracle. On the
+    dot-less t2 fixture the reference's contains('.')-pre-filter drops every
+    context (faithful empty); a dotted fixture returns whole-file windows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from probe_ray.build import build_index
+
+    docs = load_docs(t2_rows)
+    for queries in (["ext:py"], ["ext:nosuch"]):
+        expected = oracle_search_blocks(docs, queries)
+        got = Engine(t2_index).search_blocks(queries)
+        _assert_blocks_equal(got, expected, f"universal {queries}")
+
+    # dotted-content fixture: blocks come back and stay rank-identical
+    rows = [
+        dict(
+            repo="r", path=f"src/mod{i}.py", commit="0" * 40, lang="python",
+            content=(
+                f"import os.path\n\nvalue = compute_{i}()\nprint(value.total)\n"
+                "\n\nfinal = value.summary()\n"
+            ),
+        )
+        for i in range(4)
+    ] + [
+        dict(repo="r", path="src/plain.md", commit="0" * 40, lang="md",
+             content="no dots here at all\n")
+    ]
+    corpus = tmp_path / "udots.parquet"
+    pq.write_table(
+        pa.table({k: [r[k] for r in rows] for k in rows[0]}), str(corpus)
+    )
+    paths = build_index(str(corpus), str(tmp_path / "uidx"))
+    for queries in (["ext:py"], ["ext:md"]):
+        expected = oracle_search_blocks(load_docs(rows), queries)
+        got = Engine(paths).search_blocks(queries)
+        _assert_blocks_equal(got, expected, f"universal dotted {queries}")
+    got = Engine(paths).search_blocks(["ext:py"])
+    assert got.num_rows > 0
+    assert set(got.column("path").to_pylist()) == {f"src/mod{i}.py" for i in range(4)}
 
 
 def test_block_exhaustive_matches_default_on_plain_terms(t2_rows, t2_index):
