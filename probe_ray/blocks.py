@@ -249,6 +249,23 @@ def fallback_windows(
     return merged
 
 
+def remove_cached_lines(
+    term_map: dict[int, set[int]], ranges: list[tuple[int, int]]
+) -> dict[int, set[int]]:
+    """cache.rs:418-505 (filter_matched_lines_with_cache): matched lines
+    covered by a previously returned block of the same file are removed
+    before extraction, so a repeat query in a session yields only NEW
+    blocks while untouched lines still produce theirs."""
+    if not ranges:
+        return term_map
+    out: dict[int, set[int]] = {}
+    for idx, lines in term_map.items():
+        kept = {l for l in lines if not any(s <= l <= e for s, e in ranges)}
+        if kept:
+            out[idx] = kept
+    return out
+
+
 def _is_test_context(context_code: str) -> bool:
     """file_processing.rs:726-753 (string-based test detection)."""
     if "#[test]" in context_code:

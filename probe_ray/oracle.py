@@ -291,6 +291,7 @@ def oracle_search_blocks(
     include_filenames: bool = True,
     allow_tests: bool = True,
     seen: set[str] | None = None,
+    seen_blocks: dict[str, list[tuple[int, int]]] | None = None,
     no_merge: bool = False,
     merge_threshold: int | None = None,
 ) -> list[BlockHit]:
@@ -371,10 +372,19 @@ def oracle_search_blocks(
             continue  # early file filter (ignore negatives)
         if seen and doc.file in seen:
             continue  # session anti-join at document granularity
+        cached_ranges = (seen_blocks or {}).get(doc.file, [])
+        if cached_ranges:
+            # block-granularity session: lines inside previously returned
+            # blocks are removed pre-extraction (cache.rs:418-505)
+            term_map = blk.remove_cached_lines(term_map, cached_ranges)
+            if not term_map:
+                continue
         for b in blk.extract_fallback_blocks(
             lines, doc.path, term_map, plan, specials,
             allow_tests=allow_tests, exact=exact,
         ):
+            if (b["start"], b["end"]) in cached_ranges:
+                continue  # exact-id post-filter (cache.rs:318-360)
             b["doc_id"] = doc.doc_id
             b["repo"] = doc.repo
             b["file"] = doc.file

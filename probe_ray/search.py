@@ -845,9 +845,14 @@ class Engine:
             filenames_enabled=include_filenames and not exact and not ast_all_exact,
             ast_all_exact=ast_all_exact, language=language,
         )
+        seen_blocks: dict[str, list[tuple[int, int]]] | None = None
         if session is not None:
             key = self._session_key(session, queries)
+            # block-granularity session (cache.rs:36-42): previously
+            # returned block spans per file; legacy file-level entries (doc
+            # searches / old sessions) still suppress whole files
             seen = (seen or set()) | self._session_seen(key)
+            seen_blocks = self._session_seen_blocks(key)
 
         patterns = blk.term_patterns(plan)
         all_needles = sorted({p for ps in patterns.values() for p in ps})
@@ -906,6 +911,7 @@ class Engine:
         extract = _make_block_extractor(
             ctx, patterns, fname_matches, ranking_terms, lang_exts,
             allow_tests=allow_tests, exact=exact, seen=seen,
+            seen_blocks=seen_blocks,
         )
 
         cols = ["doc_id", "repo", "path", "content"] + (
@@ -1080,9 +1086,12 @@ class Engine:
                 {r["file"]: file_lines[r["doc_id"]] for r in rows},
             )
         if session is not None:
-            self._session_add(
+            self._session_add_blocks(
                 self._session_key(session, queries),
-                {r["file"]: int(r["doc_id"]) for r in rows},
+                [
+                    (r["file"], int(r["start"]), int(r["end"]), int(r["doc_id"]))
+                    for r in rows
+                ],
             )
         return pa.table(
             {
@@ -1341,7 +1350,9 @@ class Engine:
             )
         }
 
-    # -- session cache (cache.rs at document granularity) -------------------
+    # -- session cache (cache.rs: block-granularity "file:start-end" keys
+    # for block searches; document granularity retained for doc-mode
+    # search(); both share the content-sha invalidation scheme) ------------
 
     def _session_key(self, session: str, queries: list[str]) -> str:
         import hashlib as _h
@@ -1419,10 +1430,84 @@ class Engine:
         ids = self._session_ids(key)
         ids.update(files)
         current = self._session_seen(key) | set(files)
-        ids = {fk: did for fk, did in ids.items() if fk in current}
+        blocks = self._session_blocks_raw(key)
+        ids = {
+            fk: did
+            for fk, did in ids.items()
+            if fk in current or fk in blocks
+        }
         shas = self._file_shas(ids)
         with open(self._session_path(key), "w") as f:
-            json.dump(dict(seen=sorted(current), sha=shas, ids=ids), f)
+            json.dump(
+                dict(seen=sorted(current), sha=shas, ids=ids,
+                     blocks={f: sorted(map(list, rs)) for f, rs in blocks.items()}),
+                f,
+            )
+
+    # -- block-granularity session entries (cache.rs:36-42: identifiers are
+    # "file:start-end" block spans; invalidation reuses the per-file
+    # content-sha scheme above) --
+
+    def _session_blocks_raw(self, key: str) -> dict[str, list[tuple[int, int]]]:
+        import json
+        import os
+
+        p = self._session_path(key)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            data = json.load(f)
+        if not isinstance(data, dict):
+            return {}
+        return {
+            f: [tuple(r) for r in rs]
+            for f, rs in data.get("blocks", {}).items()
+        }
+
+    def _session_seen_blocks(self, key: str) -> dict[str, list[tuple[int, int]]]:
+        """Previously returned block spans per file key, dropping every span
+        of a file whose content sha changed (cache.rs:197-240 semantics at
+        block granularity)."""
+        blocks = self._session_blocks_raw(key)
+        if not blocks:
+            return {}
+        ids = self._session_ids(key)
+        import json
+
+        with open(self._session_path(key)) as f:
+            data = json.load(f)
+        recorded = data.get("sha", {}) if isinstance(data, dict) else {}
+        tracked = {fk: ids[fk] for fk in blocks if fk in ids and fk in recorded}
+        current = self._file_shas(tracked)
+        return {
+            fk: rs
+            for fk, rs in blocks.items()
+            if fk not in tracked or current.get(fk) == recorded.get(fk)
+        }
+
+    def _session_add_blocks(
+        self, key: str, new_blocks: list[tuple[str, int, int, int]]
+    ) -> None:
+        """Record returned blocks as (file, start, end, doc_id); per-file
+        shas ride along for invalidation."""
+        import json
+
+        blocks = self._session_blocks_raw(key)
+        ids = self._session_ids(key)
+        for fk, s, e, did in new_blocks:
+            rs = blocks.setdefault(fk, [])
+            if (s, e) not in rs:
+                rs.append((s, e))
+            ids[fk] = did
+        seen = self._session_seen(key)
+        ids = {fk: did for fk, did in ids.items() if fk in seen or fk in blocks}
+        shas = self._file_shas(ids)
+        with open(self._session_path(key), "w") as f:
+            json.dump(
+                dict(seen=sorted(seen), sha=shas, ids=ids,
+                     blocks={f2: sorted(map(list, rs)) for f2, rs in blocks.items()}),
+                f,
+            )
 
     # -- compat mode --------------------------------------------------------
 
@@ -2122,7 +2207,7 @@ _BLOCK_FEATS_SCHEMA = pa.schema(
 
 
 def _make_block_extractor(ctx, patterns, fname_matches, ranking_terms, lang_exts,
-                          *, allow_tests, exact, seen):
+                          *, allow_tests, exact, seen, seen_blocks=None):
     """Per-batch closure: candidate docs -> block feature rows (no code
     text; narrow columns only). Line matching, window extraction and block
     stats are blocks.py pure functions — identical to the oracle's."""
@@ -2137,6 +2222,9 @@ def _make_block_extractor(ctx, patterns, fname_matches, ranking_terms, lang_exts
     pat_ref = ray.put(patterns)
     fname_ref = ray.put(fname_matches)  # term -> sorted doc_id array
     seen = seen or set()
+    seen_blocks = {
+        f: [tuple(r) for r in ranges] for f, ranges in (seen_blocks or {}).items()
+    }
     rt = list(ranking_terms)
     rt_set = frozenset(rt)
 
@@ -2190,10 +2278,19 @@ def _make_block_extractor(ctx, patterns, fname_matches, ranking_terms, lang_exts
                 continue
             if seen and f"{repo}/{path}" in seen:
                 continue
+            cached_ranges = seen_blocks.get(f"{repo}/{path}", [])
+            if cached_ranges:
+                # block-granularity session: drop lines inside previously
+                # returned blocks pre-extraction (cache.rs:418-505)
+                term_map = blk.remove_cached_lines(term_map, cached_ranges)
+                if not term_map:
+                    continue
             for b in blk.extract_fallback_blocks(
                 lines, path, term_map, plan, specials,
                 allow_tests=allow_tests, exact=exact,
             ):
+                if (b["start"], b["end"]) in cached_ranges:
+                    continue  # exact-id post-filter (cache.rs:318-360)
                 if rt:
                     cnt: dict[str, int] = {}
                     for tok_ in b["tokenized"]:

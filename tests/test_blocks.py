@@ -110,6 +110,78 @@ def test_block_universal_filter_only(t2_rows, t2_index, ray_session, tmp_path):
     assert set(got.column("path").to_pylist()) == {f"src/mod{i}.py" for i in range(4)}
 
 
+def test_block_session_granularity(t2_rows, t2_index):
+    """cache.rs:36-42: sessions store "file:start-end" BLOCK keys. A repeat
+    query suppresses previously returned blocks (not whole files), the
+    second page is rank-identical to the oracle primed with the first
+    page's spans, and sha invalidation re-admits a changed file's blocks."""
+    import json
+
+    engine = Engine(t2_index)
+    queries = ["keywordAlpha OR keywordBeta"]
+    first = engine.search_blocks(queries, max_results=3, session="bs1")
+    frows = first.to_pylist()
+    assert len(frows) == 3
+    first_ids = {
+        (f"{r['repo']}/{r['path']}", r["start_line"], r["end_line"])
+        for r in frows
+    }
+    second = engine.search_blocks(queries, session="bs1")
+    srows = second.to_pylist()
+    assert srows, "second page must return the remaining blocks"
+    second_ids = {
+        (f"{r['repo']}/{r['path']}", r["start_line"], r["end_line"])
+        for r in srows
+    }
+    assert not (first_ids & second_ids)
+    # engine's second page == oracle primed with the first page's spans
+    seen_blocks: dict[str, list[tuple[int, int]]] = {}
+    for f, s, e in first_ids:
+        seen_blocks.setdefault(f, []).append((s, e))
+    expected = oracle_search_blocks(
+        load_docs(t2_rows), queries, seen_blocks=seen_blocks
+    )
+    _assert_blocks_equal(second, expected, "block session page 2")
+
+    # sha invalidation: corrupt one first-page file's recorded hash -> its
+    # blocks become re-eligible on the next call
+    key = engine._session_key("bs1", queries)
+    victim = frows[0]
+    vfile = f"{victim['repo']}/{victim['path']}"
+    p = engine._session_path(key)
+    with open(p) as f:
+        data = json.load(f)
+    assert vfile in data["blocks"] and data["blocks"][vfile]
+    data["sha"][vfile] = "0" * 64
+    with open(p, "w") as f:
+        json.dump(data, f)
+    third = engine.search_blocks(queries, session="bs1").to_pylist()
+    third_files = {f"{r['repo']}/{r['path']}" for r in third}
+    assert vfile in third_files
+
+
+def test_block_session_partial_file(t2_rows):
+    """A cached block suppresses only ITS lines: other matched lines of the
+    same file still produce their blocks (cache.rs:418-505)."""
+    rows = [
+        dict(
+            repo="r", path="src/split.txt", commit="0" * 40, lang="text",
+            content=(
+                "keywordAlpha first window\n" + "\n" * 20
+                + "keywordAlpha second window\n"
+            ),
+        )
+    ]
+    docs = load_docs(rows)
+    base = oracle_search_blocks(docs, ["keywordAlpha"])
+    assert len(base) == 2
+    spans = sorted((h.start, h.end) for h in base)
+    got = oracle_search_blocks(
+        docs, ["keywordAlpha"], seen_blocks={"r/src/split.txt": [spans[0]]}
+    )
+    assert [(h.start, h.end) for h in got] == [spans[1]]
+
+
 def test_block_exhaustive_matches_default_on_plain_terms(t2_rows, t2_index):
     """exhaustive=True (full-scan candidates) must not change results for
     in-dictionary terms — the narrowing is complete there."""
