@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search over embeddings ---
         "knn_cosine": T.knn_cosine,                    # SQL-checked
         "knn_lsh": T.knn_lsh,                          # rows-only (approx)
+        "knn_ivf": T.knn_ivf,                          # rows-only (approx)
         "embedding_cosine_dedup": T.embedding_cosine_dedup,  # rows-only
         "embedding_cosine_window_pairs": T.embedding_cosine_window_pairs,  # SQL-checked
         # --- language id (heuristic; rows-only) ---

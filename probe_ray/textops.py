@@ -973,6 +973,145 @@ def knn_lsh(sf_dir: str, query_vec_id: int = 0, k: int = 10, n_planes: int = 6) 
     return pa.Table.from_pandas(top[["rank", "vec_id"]])
 
 
+#: observability for the most recent knn_ivf call
+LAST_KNN_IVF_METRICS: dict = {}
+
+
+def _ivf_store(
+    sf_dir: str, n_centroids: int = 16, seed: int = 42,
+    train_sample: int = 4096, iters: int = 8,
+) -> tuple[str, np.ndarray]:
+    """IVF index for cosine ANN (the coarse-quantizer scale path):
+    spherical k-means centroids trained on a deterministic id-prefix sample
+    (centroids are tiny — the ONLY driver-side state), every vector
+    assigned to its nearest centroid in one distributed map, and the
+    assignment table written centroid-SORTED so a query's nprobe inverted
+    lists are parquet predicate reads that prune row groups. Cached per
+    source file version under /tmp. Returns (store_dir, unit centroids)."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{src}:{st.st_size}:{int(st.st_mtime)}:ivf:{n_centroids}:{seed}:"
+        f"{train_sample}:{iters}".encode()
+    ).hexdigest()[:12]
+    out = f"/tmp/probe_ray_ivf_{tag}"
+    cent_path = os.path.join(out, "_centroids.npy")
+    if os.path.exists(os.path.join(out, "_DONE")):
+        return out, np.load(cent_path)
+
+    # --- train on a deterministic sample (vec_id prefix via predicate) ---
+    sample = _pq.read_table(
+        src, columns=["embedding"],
+        filters=[("vec_id", "<", train_sample)],
+    )
+    smat = _emb_matrix(sample.column("embedding"))
+    norms = np.linalg.norm(smat, axis=1, keepdims=True)
+    smat = smat / np.where(norms > 0, norms, 1.0)
+    k = min(n_centroids, smat.shape[0])
+    # deterministic init: evenly strided sample rows
+    cents = smat[:: max(1, smat.shape[0] // k)][:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(smat @ cents.T, axis=1)
+        for c in range(k):
+            members = smat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    cents_ref = ray.put(cents)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        cc = ray.get(cents_ref)
+        mat = _emb_matrix(batch.column("embedding"))
+        nn = np.linalg.norm(mat, axis=1, keepdims=True)
+        unit = mat / np.where(nn > 0, nn, 1.0)
+        a = np.argmax(unit @ cc.T, axis=1)
+        return pa.table(
+            {
+                "centroid": pa.array(a.astype(np.int32), pa.int32()),
+                "vec_id": batch.column("vec_id"),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    part = out + ".part"
+    if os.path.exists(part):
+        shutil.rmtree(part)
+    (
+        rd.read_parquet(src, columns=["vec_id", "embedding"])
+        .map_batches(assign_batch, batch_format="pyarrow")
+        .sort("centroid")
+        .write_parquet(part, min_rows_per_file=4096)
+    )
+    os.rename(part, out)
+    np.save(cent_path, cents)
+    with open(os.path.join(out, "_DONE"), "w") as f:
+        f.write("ok")
+    return out, cents
+
+
+def knn_ivf(
+    sf_dir: str, query_vec_id: int = 0, k: int = 10,
+    n_centroids: int = 16, nprobe: int = 4,
+) -> pa.Table:
+    """IVF approximate top-k over the embedding column: rank centroids by
+    cosine to the query, read ONLY the nprobe nearest inverted lists via a
+    parquet predicate on the centroid-sorted store (_ivf_store), rerank
+    candidates exactly. Deterministic seeded training; rows-only oracle
+    (approximate — the exact twin is knn_cosine). Scan fraction recorded in
+    LAST_KNN_IVF_METRICS."""
+    import pyarrow.dataset as pads
+
+    q = _query_vec(sf_dir, query_vec_id)
+    store, cents = _ivf_store(sf_dir, n_centroids)
+    qn = q / np.linalg.norm(q)
+    probe = np.argsort(-(cents @ qn))[:nprobe].astype(int).tolist()
+    qn_ref = ray.put(qn)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(qn_ref)
+        mat = _emb_matrix(batch.column("embedding"))
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ qv) / np.where(norms > 0, norms, 1.0)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "sim": pa.array(sims, pa.float64()),
+            }
+        )
+
+    cand = rd.read_parquet(
+        store,
+        columns=["centroid", "vec_id", "embedding"],
+        file_extensions=["parquet"],
+        filter=pads.field("centroid").isin(probe),
+    )
+    top = (
+        cand.map_batches(score, batch_format="pyarrow")
+        .filter(expr=f"vec_id != {int(query_vec_id)}")
+        .sort(["sim", "vec_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    n_cand = cand.count()
+    n_total = rd.read_parquet(
+        store, columns=["vec_id"], file_extensions=["parquet"]
+    ).count()
+    LAST_KNN_IVF_METRICS.clear()
+    LAST_KNN_IVF_METRICS.update(
+        candidates=int(n_cand), total=int(n_total), nprobe=nprobe,
+        scan_fraction=round(n_cand / max(n_total, 1), 4),
+    )
+    top["rank"] = range(1, len(top) + 1)
+    return pa.Table.from_pandas(top[["rank", "vec_id"]])
+
+
 def embedding_cosine_dedup(
     sf_dir: str,
     threshold: float = 0.35,

@@ -116,6 +116,22 @@ def test_knn_lsh_recall_vs_bruteforce():
     assert overlap >= 3, (exact, approx)
 
 
+def test_knn_ivf_recall_and_pruning():
+    """IVF with nprobe=4 of 16 centroids must recover most of the exact
+    top-10 while scanning only the probed inverted lists (the coarse-
+    quantizer recall/compute trade-off)."""
+    from probe_ray import textops as T
+
+    exact = T.knn_cosine(SF).to_pandas()["vec_id"].tolist()
+    approx = T.knn_ivf(SF).to_pandas()["vec_id"].tolist()
+    assert len(set(exact) & set(approx)) >= 6, (exact, approx)
+    m = T.LAST_KNN_IVF_METRICS
+    assert 0 < m["scan_fraction"] < 0.6  # pruning actually happened
+    # determinism: seeded training + cached store
+    again = T.knn_ivf(SF).to_pandas()["vec_id"].tolist()
+    assert again == approx
+
+
 def test_media_features_stub():
     from probe_ray import textops as T
 
