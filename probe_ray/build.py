@@ -260,6 +260,33 @@ def _term_shard(term: str, n_shards: int) -> int:
     return int.from_bytes(hashlib.md5(term.encode()).digest()[:4], "little") % n_shards
 
 
+def read_corpus(path: str) -> "rd.Dataset":
+    """Corpus source reader: the same (repo, path, commit, lang, content)
+    table in parquet (default), JSONL, or CSV — format picked from the file
+    extension. All three stream through Ray Data's native readers, so the
+    downstream build is format-agnostic."""
+    low = path.lower()
+    if low.endswith((".jsonl", ".json", ".ndjson")):
+        return rd.read_json(path)
+    if low.endswith(".csv"):
+        from pyarrow import csv as _pacsv
+
+        # code content embeds newlines: enable quoted-newline parsing; pin
+        # the corpus columns to string so inference can't turn an all-digit
+        # commit sha into int64
+        return rd.read_csv(
+            path,
+            parse_options=_pacsv.ParseOptions(newlines_in_values=True),
+            convert_options=_pacsv.ConvertOptions(
+                column_types={
+                    c: pa.string()
+                    for c in ("repo", "path", "commit", "lang", "content")
+                }
+            ),
+        )
+    return rd.read_parquet(path)
+
+
 def _compact_shard_dir(root: str, sort_keys: list[str]) -> None:
     """Segment-merge finish: rewrite each hive shard partition as ONE
     key-sorted parquet file (small row groups keep min/max stat pruning
@@ -636,7 +663,7 @@ def build_index(
         return cm()
 
     if "docs" not in done:
-        ds = rd.read_parquet(corpus) if isinstance(corpus, str) else corpus
+        ds = read_corpus(corpus) if isinstance(corpus, str) else corpus
         ds = ds.map_batches(guard_batch, batch_format="pyarrow", batch_size=batch_size)
         with timed("guard_ids"):  # guard + id-assignment materialize
             ds = assign_doc_ids(ds)

@@ -143,6 +143,52 @@ def test_mid_build_resume(ray_session, tmp_path):
     assert paths.stats()["sum_dl"] == ref.stats()["sum_dl"]
 
 
+def test_jsonl_and_csv_corpus_sources(ray_session, tmp_path):
+    """The same corpus in JSONL or CSV builds an index identical to the
+    parquet build (search results equal row-for-row) — the source layer is
+    format-agnostic."""
+    import csv as _csv
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from probe_ray.build import build_index
+    from probe_ray.search import Engine
+
+    rows = [
+        dict(
+            repo="r1", path=f"src/alpha{i}.py", commit="0" * 40, lang="python",
+            content=f"def handleAlpha{i}():\n    return alphaValue + {i}\n",
+        )
+        for i in range(6)
+    ] + [
+        dict(repo="r2", path="src/beta.py", commit="0" * 40, lang="python",
+             content="betaValue = computeBeta()\n")
+    ]
+    pq_path = tmp_path / "c.parquet"
+    pq.write_table(pa.table({k: [r[k] for r in rows] for k in rows[0]}), str(pq_path))
+    jl_path = tmp_path / "c.jsonl"
+    with open(jl_path, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    csv_path = tmp_path / "c.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+
+    results = {}
+    for name, src in (("parquet", pq_path), ("jsonl", jl_path), ("csv", csv_path)):
+        paths = build_index(str(src), str(tmp_path / f"idx_{name}"))
+        results[name] = Engine(paths).search(["alphaValue"]).to_pylist()
+    assert results["jsonl"] == results["parquet"]
+    assert results["csv"] == results["parquet"]
+    # alphaValue tokenizes to alpha+valu: the 6 alpha files rank first and
+    # betaValue's file matches via "valu"
+    assert len(results["parquet"]) == 7
+
+
 def test_single_doc_and_tiny_corpus(ray_session, tmp_path):
     """Degenerate corpora: one doc, and a doc with one line — build,
     search (all modes), and block search all behave."""
