@@ -224,14 +224,152 @@ def compile_structural_pattern(pattern: str) -> re.Pattern:
     return rx
 
 
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_OPENERS = {"(": ")", "[": "]", "{": "}"}
+_CLOSERS = {")", "]", "}"}
+
+
+def _lit_regex(text: str) -> re.Pattern:
+    parts: list[str] = []
+    i = 0
+    while i < len(text):
+        if text[i].isspace():
+            while i < len(text) and text[i].isspace():
+                i += 1
+            parts.append(r"\s+")
+        else:
+            parts.append(re.escape(text[i]))
+            i += 1
+    return re.compile("".join(parts))
+
+
+def parse_structural_pattern(pattern: str) -> list[tuple[str, object]]:
+    """ast-grep-style pattern -> segment list:
+    ('lit', compiled regex with flexible whitespace) | ('var', NAME) |
+    ('multi', None). Raises on degenerate all-metavariable patterns."""
+    segs: list[tuple[str, object]] = []
+    lit: list[str] = []
+    i = 0
+
+    def flush() -> None:
+        if lit:
+            segs.append(("lit", "".join(lit)))
+            lit.clear()
+
+    while i < len(pattern):
+        m = _METAVAR_MULTI.match(pattern, i)
+        if m:
+            flush()
+            segs.append(("multi", None))
+            i = m.end()
+            continue
+        m = _METAVAR_SINGLE.match(pattern, i)
+        if m:
+            flush()
+            segs.append(("var", m.group(1)))
+            i = m.end()
+            continue
+        lit.append(pattern[i])
+        i += 1
+    flush()
+    if not any(
+        k == "var" or (k == "lit" and str(v).strip()) for k, v in segs
+    ):
+        raise ValueError(
+            "structural pattern must contain literal text besides "
+            "metavariables (got a pattern matching the empty string)"
+        )
+    return [
+        ("lit", _lit_regex(v)) if k == "lit" else (k, v) for k, v in segs
+    ]
+
+
+def _match_segments(content: str, pos: int, segs, si: int, caps: dict):
+    """Match segments at pos; returns the end offset or None. ``$$$``
+    consumes lazily but BALANCED: it never crosses an unmatched closing
+    delimiter, and nested delimiters are skipped whole — the nesting
+    fidelity a plain regex translation cannot provide (the remaining
+    deviation vs ast-grep is token- vs AST-level equality)."""
+    if si == len(segs):
+        return pos
+    kind, v = segs[si]
+    if kind == "lit":
+        m = v.match(content, pos)
+        if not m:
+            return None
+        return _match_segments(content, m.end(), segs, si + 1, caps)
+    if kind == "var":
+        m = _IDENT_RE.match(content, pos)
+        if not m:
+            return None
+        if v in caps:
+            if caps[v] != m.group(0):  # metavariable unification
+                return None
+            return _match_segments(content, m.end(), segs, si + 1, caps)
+        caps[v] = m.group(0)
+        r = _match_segments(content, m.end(), segs, si + 1, caps)
+        if r is None:
+            del caps[v]
+        return r
+    # multi ($$$): lazy balanced scan
+    depth = 0
+    j = pos
+    n = len(content)
+    while True:
+        if depth == 0:
+            r = _match_segments(content, j, segs, si + 1, caps)
+            if r is not None:
+                return r
+        if j >= n:
+            return None
+        c = content[j]
+        if c in _OPENERS:
+            depth += 1
+        elif c in _CLOSERS:
+            if depth == 0:
+                return None  # would escape the enclosing scope
+            depth -= 1
+        j += 1
+
+
+def finditer_structural(
+    segs, content: str
+) -> list[tuple[int, int, dict]]:
+    """Non-overlapping leftmost matches of a parsed structural pattern."""
+    results: list[tuple[int, int, dict]] = []
+    pos = 0
+    first = segs[0]
+    n = len(content)
+    while pos <= n:
+        if first[0] == "lit":
+            m = first[1].search(content, pos)
+            if not m:
+                break
+            start = m.start()
+        else:
+            start = pos
+        caps: dict = {}
+        end = _match_segments(content, start, segs, 0, caps)
+        if end is not None and end > start:
+            results.append((start, end, caps))
+            pos = end
+        else:
+            pos = start + 1
+    return results
+
+
 def structural_query(docs: rd.Dataset, pattern: str, *,
                      language: str | None = None,
                      max_results: int | None = None) -> pa.Table:
     """probe query fallback: match a structural pattern over the corpus,
     returning (repo, path, line_start, line_end, matched_text, captures)
     like query.rs AstMatch (byte offsets mapped to lines). Distributed scan
-    via map_batches; the per-batch function is a compiled-regex finditer."""
-    rx = compile_structural_pattern(pattern)
+    via map_batches; the per-batch function runs the balanced segment
+    matcher (``$$$`` respects delimiter nesting; repeated ``$NAME`` unify).
+    DOCUMENTED FALLBACK: the reference matches tree-sitter ASTs; this is
+    token-level matching with balanced delimiters — the swap point for a
+    real ast-grep when grammars are available."""
+    segs = parse_structural_pattern(pattern)
 
     def scan(batch: pa.Table) -> pa.Table:
         out = {"repo": [], "path": [], "line_start": [], "line_end": [],
@@ -248,18 +386,15 @@ def structural_query(docs: rd.Dataset, pattern: str, *,
         ):
             if language is not None and lang != language:
                 continue
-            for m in rx.finditer(content):
-                line_start = content.count("\n", 0, m.start()) + 1
-                line_end = content.count("\n", 0, m.end()) + 1
-                caps = sorted(
-                    f"{k}={v}" for k, v in (m.groupdict() or {}).items()
-                    if v is not None
-                )
+            for start, end, capd in finditer_structural(segs, content):
+                line_start = content.count("\n", 0, start) + 1
+                line_end = content.count("\n", 0, end) + 1
+                caps = sorted(f"{k}={v}" for k, v in capd.items())
                 out["repo"].append(repo)
                 out["path"].append(path)
                 out["line_start"].append(line_start)
                 out["line_end"].append(line_end)
-                out["matched_text"].append(m.group(0))
+                out["matched_text"].append(content[start:end])
                 out["captures"].append(caps)
         return pa.table(
             {

@@ -149,6 +149,25 @@ def test_structural_query_patterns():
     t4 = structural_query(docs, "impl $T for $U")
     assert t4.num_rows == 0 and t4.schema.names[0] == "repo"
 
+    # balanced $$$: nested delimiters are consumed whole, and the match
+    # cannot escape its enclosing scope (a plain regex translation stops at
+    # the FIRST closing paren, truncating nested argument lists)
+    docs2 = rd.from_arrow(pa.table({
+        "repo": ["r"] * 2,
+        "path": ["n.rs", "m.rs"],
+        "lang": ["rust", "rust"],
+        "content": [
+            "fn outer(inner(x), y) { }",
+            "call(a); fn plain(z) {}",
+        ],
+    }))
+    t5 = structural_query(docs2, "fn $NAME($$$)")
+    assert t5.column("matched_text").to_pylist() == [
+        "fn plain(z)", "fn outer(inner(x), y)",
+    ] or sorted(t5.column("matched_text").to_pylist()) == [
+        "fn outer(inner(x), y)", "fn plain(z)",
+    ]
+
 
 def test_extract_block_default(corpus_ds):
     """extract with --line and no explicit context returns the fallback
