@@ -124,32 +124,101 @@ def extract(docs: rd.Dataset, repo: str, path: str, line: int | None = None,
                 code="\n".join(lines[lo - 1: hi]))
 
 
-def symbols(docs: rd.Dataset) -> rd.Dataset:
-    """probe symbols (src/extract/symbols.rs): per-file symbol table.
-    Returns (repo, path, lang, kind, name, line_no)."""
+_INDENT_LANGS = {"python"}
+
+
+def _symbol_end_line(lines: list[str], start_i: int, lang: str) -> int:
+    """Block end for the declaration at 0-based line start_i
+    (symbols.rs gets this from the tree-sitter node span; this is the
+    regex-era approximation: brace counting for brace languages,
+    indentation for python)."""
+    n = len(lines)
+    if lang in _INDENT_LANGS:
+        indent = len(lines[start_i]) - len(lines[start_i].lstrip())
+        end = start_i
+        for j in range(start_i + 1, n):
+            l = lines[j]
+            if not l.strip():
+                continue
+            if len(l) - len(l.lstrip()) <= indent:
+                break
+            end = j
+        return end + 1
+    depth = 0
+    opened = False
+    for j in range(start_i, n):
+        for c in lines[j]:
+            if c == "{":
+                depth += 1
+                opened = True
+            elif c == "}":
+                depth -= 1
+                if opened and depth <= 0:
+                    return j + 1
+        if not opened and ";" in lines[j]:
+            return j + 1  # declaration without a body (struct S;  type T = ...)
+        if not opened and j - start_i > 2:
+            return start_i + 1  # no block found near the declaration
+    return n if opened else start_i + 1
+
+
+def symbols(docs: rd.Dataset, *, allow_tests: bool = True) -> rd.Dataset:
+    """probe symbols (src/extract/symbols.rs): per-file symbol table with
+    the reference's SymbolNode fields flattened — (repo, path, lang, kind,
+    name, line_no, end_line, signature, parent, depth). ``parent`` is the
+    ::-joined enclosing-symbol path (the reference nests children under a
+    SymbolNode tree; a table flattens that tree). Files whose language has
+    no recognizer fall back to per-line "text" symbols
+    (extract_plain_text_symbols, symbols.rs:110-130). Recognizers are
+    regex-based (tree-sitter unavailable; swap point documented)."""
 
     def scan(batch: pa.Table) -> pa.Table:
         out = {"repo": [], "path": [], "lang": [], "kind": [], "name": [],
-               "line_no": []}
+               "line_no": [], "end_line": [], "signature": [], "parent": [],
+               "depth": []}
+
+        def emit(repo, path, lang, kind, name, line_no, end_line, sig,
+                 parent, depth):
+            out["repo"].append(repo)
+            out["path"].append(path)
+            out["lang"].append(lang)
+            out["kind"].append(kind)
+            out["name"].append(name)
+            out["line_no"].append(line_no)
+            out["end_line"].append(end_line)
+            out["signature"].append(sig)
+            out["parent"].append(parent)
+            out["depth"].append(depth)
+
         for repo, path, lang, content in zip(
             batch.column("repo").to_pylist(),
             batch.column("path").to_pylist(),
             batch.column("lang").to_pylist(),
             batch.column("content").to_pylist(),
         ):
-            pats = _SYMBOL_PATTERNS.get(lang, [])
-            if not pats:
+            if not allow_tests and is_test_file(path, content):
                 continue
-            for i, line in enumerate(content.split("\n"), start=1):
+            pats = _SYMBOL_PATTERNS.get(lang, [])
+            lines = content.split("\n")
+            if not pats:
+                # plain-text fallback: one "text" symbol per line
+                for i, line in enumerate(lines, start=1):
+                    emit(repo, path, lang, "text", "", i, i, line, "", 0)
+                continue
+            # nesting stack of (name, end_line) — a declaration inside a
+            # previous declaration's span is its child
+            stack: list[tuple[str, int]] = []
+            for i, line in enumerate(lines, start=1):
                 for kind, rx in pats:
                     m = rx.match(line)
                     if m:
-                        out["repo"].append(repo)
-                        out["path"].append(path)
-                        out["lang"].append(lang)
-                        out["kind"].append(kind)
-                        out["name"].append(m.group("name"))
-                        out["line_no"].append(i)
+                        while stack and i > stack[-1][1]:
+                            stack.pop()
+                        end = _symbol_end_line(lines, i - 1, lang)
+                        parent = "::".join(nm for nm, _ in stack)
+                        emit(repo, path, lang, kind, m.group("name"), i,
+                             end, line.strip(), parent, len(stack))
+                        stack.append((m.group("name"), end))
                         break
         return pa.table(
             {
@@ -159,6 +228,10 @@ def symbols(docs: rd.Dataset) -> rd.Dataset:
                 "kind": pa.array(out["kind"], pa.string()),
                 "name": pa.array(out["name"], pa.string()),
                 "line_no": pa.array(out["line_no"], pa.int32()),
+                "end_line": pa.array(out["end_line"], pa.int32()),
+                "signature": pa.array(out["signature"], pa.string()),
+                "parent": pa.array(out["parent"], pa.string()),
+                "depth": pa.array(out["depth"], pa.int32()),
             }
         )
 

@@ -45,6 +45,61 @@ def test_symbols(corpus_ds):
     # rust fn defs found with names
     rust = syms[syms["lang"] == "rust"]
     assert (rust["kind"] == "function").any()
+    # spans are well-formed
+    assert (syms["end_line"] >= syms["line_no"]).all()
+
+
+def test_symbols_nesting_and_fallback():
+    """Reference SymbolNode fields: signature, end_line span, parent path
+    (tree flattened to a table), and the plain-text per-line fallback for
+    unsupported languages (symbols.rs:110-130)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from probe_ray.tools import symbols
+
+    rust = (
+        "impl Config {\n"
+        "    pub fn new(name: String) -> Config {\n"
+        "        Config { name }\n"
+        "    }\n"
+        "    fn reset(&mut self) {\n"
+        "        self.name.clear();\n"
+        "    }\n"
+        "}\n"
+        "fn free() {}\n"
+    )
+    py = (
+        "class Widget:\n"
+        "    def render(self):\n"
+        "        pass\n"
+        "def helper():\n"
+        "    return 1\n"
+    )
+    docs = rd.from_arrow(pa.table({
+        "repo": ["r"] * 3,
+        "path": ["c.rs", "w.py", "notes.md"],
+        "lang": ["rust", "python", "markdown"],
+        "content": [rust, py, "alpha\nbeta\n"],
+    }))
+    df = symbols(docs).to_pandas()
+
+    r = df[df["path"] == "c.rs"].set_index("name")
+    assert r.loc["Config", "kind"] == "impl"
+    assert r.loc["Config", "end_line"] == 8
+    assert r.loc["new", "parent"] == "Config" and r.loc["new", "depth"] == 1
+    assert r.loc["reset", "parent"] == "Config"
+    assert r.loc["free", "parent"] == "" and r.loc["free", "depth"] == 0
+    assert r.loc["new", "signature"].startswith("pub fn new(")
+
+    p = df[df["path"] == "w.py"].set_index("name")
+    assert p.loc["render", "parent"] == "Widget"
+    assert p.loc["Widget", "end_line"] == 3
+    assert p.loc["helper", "parent"] == ""
+
+    t = df[df["path"] == "notes.md"]
+    assert list(t["kind"].unique()) == ["text"]
+    assert list(t["signature"])[:2] == ["alpha", "beta"]
 
 
 def test_is_test_file():
