@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": T.corpus_stats,
         "token_count_bpe": T.token_count_bpe,
         "quality_score": T.quality_score,
+        "ngram_repetition": T.ngram_repetition,
         "lang_distribution": T.lang_distribution,
         "grep_count": T.grep_count,
         "structural_matches": T.structural_matches,
@@ -347,6 +348,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_distribution": """
             SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "ngram_repetition": f"""
+            WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                     ) AS grams
+              FROM t WHERE len(tk) >= 3
+            )
+            SELECT doc_id,
+                   len(grams) AS n_grams,
+                   len(list_distinct(grams)) AS n_distinct,
+                   1.0 - len(list_distinct(grams))::DOUBLE / len(grams)
+                     AS repetition_ratio
+            FROM g
         """,
         "search_and": f"""
             WITH t AS (SELECT doc_id, {toks} AS toks FROM documents)

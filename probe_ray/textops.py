@@ -179,6 +179,38 @@ def quality_score(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(score, batch_format="pyarrow")
 
 
+def ngram_repetition(sf_dir: str, n: int = 3) -> rd.Dataset:
+    """Within-document n-gram repetition (a CCNet-style quality signal for
+    boilerplate / generated text): fraction of duplicate word n-grams per
+    doc. Docs with fewer than n tokens are skipped (no grams). Vectorized
+    per batch; SQL-checked."""
+
+    def rep(batch: pa.Table) -> pa.Table:
+        out_id, out_n, out_d, out_r = [], [], [], []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = simple_tokens(text)
+            if len(toks) < n:
+                continue
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            nd = len(set(grams))
+            out_id.append(did)
+            out_n.append(len(grams))
+            out_d.append(nd)
+            out_r.append(1.0 - nd / len(grams))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_grams": pa.array(out_n, pa.int64()),
+                "n_distinct": pa.array(out_d, pa.int64()),
+                "repetition_ratio": pa.array(out_r, pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(rep, batch_format="pyarrow")
+
+
 def langid_heuristic(sf_dir: str) -> rd.Dataset:
     """Character-bigram profile language-ID heuristic (rows-only oracle:
     the sketch is not SQL-expressible). Stateful profile table is built once

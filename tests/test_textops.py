@@ -116,6 +116,15 @@ def test_knn_lsh_recall_vs_bruteforce():
     assert overlap >= 3, (exact, approx)
 
 
+def test_ngram_repetition_bounds():
+    from probe_ray import textops as T
+
+    df = T.ngram_repetition(SF).to_pandas()
+    assert len(df) > 0
+    assert (df["repetition_ratio"] >= 0).all() and (df["repetition_ratio"] < 1).all()
+    assert (df["n_distinct"] <= df["n_grams"]).all()
+
+
 def test_knn_ivf_recall_and_pruning():
     """IVF with nprobe=4 of 16 centroids must recover most of the exact
     top-10 while scanning only the probed inverted lists (the coarse-
