@@ -91,13 +91,15 @@ def grep(docs: rd.Dataset, pattern: str, *, ignore_case: bool = True,
 
 
 def extract(docs: rd.Dataset, repo: str, path: str, line: int | None = None,
-            context: int | None = None) -> dict | None:
-    """probe extract file.rs:42 (src/extract/processor.rs:27-96): point
-    lookup by (repo, path); with ``line`` and no explicit ``context``, the
-    extracted unit is the FALLBACK CONTEXT BLOCK around that line (±5-line
-    window — the reference extracts the enclosing AST block; unsupported
-    languages fall back to the same windows the search path uses). An
-    explicit ``context`` gives a plain ±context line slice instead."""
+            context: int | None = None, symbol: str | None = None) -> dict | None:
+    """probe extract file.rs:42 / file.rs#symbol (src/extract/
+    processor.rs:27-96): point lookup by (repo, path); with ``line`` and no
+    explicit ``context``, the extracted unit is the FALLBACK CONTEXT BLOCK
+    around that line (±5-line window — the reference extracts the enclosing
+    AST block; unsupported languages fall back to the same windows the
+    search path uses). An explicit ``context`` gives a plain ±context line
+    slice. ``symbol`` extracts the NAMED symbol's span via the symbol
+    recognizers (the file.rs#symbol form)."""
     rows = docs.filter(
         lambda r: r["repo"] == repo and r["path"] == path
     ).take(1)
@@ -105,6 +107,17 @@ def extract(docs: rd.Dataset, repo: str, path: str, line: int | None = None,
         return None
     row = rows[0]
     content = row["content"]
+    if symbol is not None:
+        lang = row.get("lang", "")
+        lines = content.split("\n")
+        for r in file_symbol_rows(lang, content):
+            if r["name"] == symbol:
+                return dict(
+                    repo=repo, path=path, start_line=r["line_no"],
+                    end_line=r["end_line"], symbol=symbol, kind=r["kind"],
+                    code="\n".join(lines[r["line_no"] - 1 : r["end_line"]]),
+                )
+        return None
     if line is None:
         return dict(repo=repo, path=path, start_line=1,
                     end_line=content.count("\n") + 1, code=content)
@@ -162,6 +175,37 @@ def _symbol_end_line(lines: list[str], start_i: int, lang: str) -> int:
     return n if opened else start_i + 1
 
 
+def file_symbol_rows(lang: str, content: str) -> list[dict]:
+    """Per-file symbol walk shared by symbols() and extract(symbol=...):
+    list of dicts (kind, name, line_no, end_line, signature, parent,
+    depth); per-line "text" symbols for languages without a recognizer."""
+    pats = _SYMBOL_PATTERNS.get(lang, [])
+    lines = content.split("\n")
+    rows: list[dict] = []
+    if not pats:
+        for i, line in enumerate(lines, start=1):
+            rows.append(dict(kind="text", name="", line_no=i, end_line=i,
+                             signature=line, parent="", depth=0))
+        return rows
+    stack: list[tuple[str, int]] = []
+    for i, line in enumerate(lines, start=1):
+        for kind, rx in pats:
+            m = rx.match(line)
+            if m:
+                while stack and i > stack[-1][1]:
+                    stack.pop()
+                end = _symbol_end_line(lines, i - 1, lang)
+                rows.append(dict(
+                    kind=kind, name=m.group("name"), line_no=i, end_line=end,
+                    signature=line.strip(),
+                    parent="::".join(nm for nm, _ in stack),
+                    depth=len(stack),
+                ))
+                stack.append((m.group("name"), end))
+                break
+    return rows
+
+
 def symbols(docs: rd.Dataset, *, allow_tests: bool = True) -> rd.Dataset:
     """probe symbols (src/extract/symbols.rs): per-file symbol table with
     the reference's SymbolNode fields flattened — (repo, path, lang, kind,
@@ -198,28 +242,9 @@ def symbols(docs: rd.Dataset, *, allow_tests: bool = True) -> rd.Dataset:
         ):
             if not allow_tests and is_test_file(path, content):
                 continue
-            pats = _SYMBOL_PATTERNS.get(lang, [])
-            lines = content.split("\n")
-            if not pats:
-                # plain-text fallback: one "text" symbol per line
-                for i, line in enumerate(lines, start=1):
-                    emit(repo, path, lang, "text", "", i, i, line, "", 0)
-                continue
-            # nesting stack of (name, end_line) — a declaration inside a
-            # previous declaration's span is its child
-            stack: list[tuple[str, int]] = []
-            for i, line in enumerate(lines, start=1):
-                for kind, rx in pats:
-                    m = rx.match(line)
-                    if m:
-                        while stack and i > stack[-1][1]:
-                            stack.pop()
-                        end = _symbol_end_line(lines, i - 1, lang)
-                        parent = "::".join(nm for nm, _ in stack)
-                        emit(repo, path, lang, kind, m.group("name"), i,
-                             end, line.strip(), parent, len(stack))
-                        stack.append((m.group("name"), end))
-                        break
+            for r in file_symbol_rows(lang, content):
+                emit(repo, path, lang, r["kind"], r["name"], r["line_no"],
+                     r["end_line"], r["signature"], r["parent"], r["depth"])
         return pa.table(
             {
                 "repo": pa.array(out["repo"], pa.string()),

@@ -102,6 +102,29 @@ def test_symbols_nesting_and_fallback():
     assert list(t["signature"])[:2] == ["alpha", "beta"]
 
 
+def test_extract_by_symbol():
+    """probe extract file.rs#symbol (§4.2): the named symbol's span."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from probe_ray.tools import extract
+
+    rust = (
+        "impl Config {\n"
+        "    pub fn new(name: String) -> Config {\n"
+        "        Config { name }\n"
+        "    }\n"
+        "}\n"
+    )
+    docs = rd.from_arrow(pa.table({
+        "repo": ["r"], "path": ["c.rs"], "lang": ["rust"], "content": [rust],
+    }))
+    got = extract(docs, "r", "c.rs", symbol="new")
+    assert got["start_line"] == 2 and got["end_line"] == 4
+    assert got["kind"] == "function" and got["code"].startswith("    pub fn new")
+    assert extract(docs, "r", "c.rs", symbol="absent") is None
+
+
 def test_is_test_file():
     from probe_ray.tools import is_test_file
 
