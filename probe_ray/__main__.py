@@ -93,6 +93,8 @@ def main(argv=None):
     e.add_argument("--context", type=int, default=None,
                    help="explicit ±N line slice; default extracts the "
                         "fallback context block around --line")
+    e.add_argument("--symbol", default=None,
+                   help="extract the named symbol's span (file#symbol form)")
 
     y = sub.add_parser("symbols")
     y.add_argument("corpus")
@@ -172,7 +174,8 @@ def main(argv=None):
             from probe_ray.tools import extract
 
             ds = rd.read_parquet(args.corpus)
-            out = extract(ds, args.repo, args.path, args.line, args.context)
+            out = extract(ds, args.repo, args.path, args.line, args.context,
+                          symbol=args.symbol)
             if out is None:
                 print("not found", file=sys.stderr)
                 return 1
