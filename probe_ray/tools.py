@@ -44,6 +44,31 @@ _SYMBOL_PATTERNS["typescript"] = _SYMBOL_PATTERNS["javascript"] + [
     ("interface", re.compile(r"^\s*(?:export\s+)?interface\s+(?P<name>\w+)")),
     ("type", re.compile(r"^\s*(?:export\s+)?type\s+(?P<name>\w+)")),
 ]
+_SYMBOL_PATTERNS["java"] = [
+    ("class", re.compile(
+        r"^\s*(?:(?:public|private|protected|abstract|final|static)\s+)*"
+        r"class\s+(?P<name>\w+)")),
+    ("interface", re.compile(
+        r"^\s*(?:(?:public|private|protected)\s+)*interface\s+(?P<name>\w+)")),
+    ("enum", re.compile(
+        r"^\s*(?:(?:public|private|protected)\s+)*enum\s+(?P<name>\w+)")),
+    ("method", re.compile(
+        r"^\s*(?:(?:public|private|protected|static|final|synchronized|"
+        r"abstract|native)\s+)+[\w<>\[\],.\s]+?\s+(?P<name>\w+)\s*\(")),
+]
+_SYMBOL_PATTERNS["c"] = [
+    ("struct", re.compile(r"^\s*(?:typedef\s+)?struct\s+(?P<name>\w+)")),
+    ("enum", re.compile(r"^\s*(?:typedef\s+)?enum\s+(?P<name>\w+)")),
+    # function DEFINITION: return type + name( ... with no trailing ';'
+    ("function", re.compile(
+        r"^(?:static\s+|inline\s+)*[A-Za-z_][\w ]*[\w\*]\s+\*?"
+        r"(?P<name>\w+)\s*\([^;]*$")),
+]
+_SYMBOL_PATTERNS["ruby"] = [
+    ("method", re.compile(r"^\s*def\s+(?:self\.)?(?P<name>[\w?!]+)")),
+    ("class", re.compile(r"^\s*class\s+(?P<name>\w+)")),
+    ("module", re.compile(r"^\s*module\s+(?P<name>\w+)")),
+]
 
 _TEST_PATH_RE = re.compile(r"(^|/)tests?/|_test\.\w+$|\.test\.\w+$|^test_|/test_")
 _TEST_CONTENT_RE = re.compile(r"#\[test\]|^\s*def test_|\bit\(|\bdescribe\(", re.M)
@@ -137,7 +162,9 @@ def extract(docs: rd.Dataset, repo: str, path: str, line: int | None = None,
                 code="\n".join(lines[lo - 1: hi]))
 
 
-_INDENT_LANGS = {"python"}
+# indentation-scoped block ends; ruby is end-keyword scoped but follows
+# indentation conventions, so the indent heuristic approximates its spans
+_INDENT_LANGS = {"python", "ruby"}
 
 
 def _symbol_end_line(lines: list[str], start_i: int, lang: str) -> int:

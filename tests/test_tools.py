@@ -102,6 +102,62 @@ def test_symbols_nesting_and_fallback():
     assert list(t["signature"])[:2] == ["alpha", "beta"]
 
 
+def test_symbols_java_c_ruby():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from probe_ray.tools import symbols
+
+    java = (
+        "public class Account {\n"
+        "    private int balance;\n"
+        "    public int getBalance() {\n"
+        "        return balance;\n"
+        "    }\n"
+        "}\n"
+    )
+    c = (
+        "typedef struct Node {\n"
+        "    int v;\n"
+        "} Node;\n"
+        "static int add_one(int x) {\n"
+        "    return x + 1;\n"
+        "}\n"
+        "int declared_only(int x);\n"
+    )
+    rb = (
+        "module Billing\n"
+        "  class Invoice\n"
+        "    def total\n"
+        "      42\n"
+        "    end\n"
+        "  end\n"
+        "end\n"
+    )
+    docs = rd.from_arrow(pa.table({
+        "repo": ["r"] * 3,
+        "path": ["A.java", "n.c", "b.rb"],
+        "lang": ["java", "c", "ruby"],
+        "content": [java, c, rb],
+    }))
+    df = symbols(docs).to_pandas()
+
+    j = df[df["path"] == "A.java"].set_index("name")
+    assert j.loc["Account", "kind"] == "class"
+    assert j.loc["getBalance", "kind"] == "method"
+    assert j.loc["getBalance", "parent"] == "Account"
+
+    cc = df[df["path"] == "n.c"].set_index("name")
+    assert cc.loc["Node", "kind"] == "struct"
+    assert cc.loc["add_one", "kind"] == "function"
+    assert "declared_only" not in cc.index  # prototype, not a definition
+
+    r = df[df["path"] == "b.rb"].set_index("name")
+    assert r.loc["Billing", "kind"] == "module"
+    assert r.loc["Invoice", "parent"] == "Billing"
+    assert r.loc["total", "parent"] == "Billing::Invoice"
+
+
 def test_extract_by_symbol():
     """probe extract file.rs#symbol (§4.2): the named symbol's span."""
     import pyarrow as pa
