@@ -444,6 +444,12 @@ class IndexPaths:
         return os.path.join(self.root, "ngrams")
 
     @property
+    def partials_dir(self) -> str:
+        # checkpointed pre-merge posting partials (exists only inside the
+        # .tmp build root; removed once the segments stage completes)
+        return os.path.join(self.root, "posting_partials")
+
+    @property
     def doc_lens_path(self) -> str:
         return os.path.join(self.root, "doc_lens.npy")
 
@@ -589,6 +595,7 @@ def build_index(
     batch_size: int = 256,
     ngram_index: bool = False,
     overwrite: bool = False,
+    checkpoint_partials: bool | None = None,
     _fail_after: str | None = None,  # test hook: crash between stages
 ) -> IndexPaths:
     """Build the index from a corpus (parquet path/dir or a Dataset).
@@ -718,14 +725,48 @@ def build_index(
     if n_docs > 0 and salt_buckets > 1:
         salt_shift = max(0, int(n_docs).bit_length() - int(salt_buckets).bit_length())
 
-    # segments: partial encode per batch -> shuffle by (term, salt) -> merge
-    if "segments" not in done:
-        partial = make_partial_segments(hot, salt_shift)
-        merger = make_segment_merger(n_shards)
-        partials = tok_ds.map_batches(
+    # segments — optionally as TWO checkpointed stages (the north rule's
+    # "checkpointed segment merges"): (a) the tokenized-docs re-read +
+    # per-batch partial posting encode streams to a partials parquet
+    # checkpoint; (b) the (term, salt) sort + sorted-run merge + sharded
+    # write reads ONLY the partials, so a crash in the merge resumes
+    # without re-encoding postings. The checkpoint costs one extra
+    # write+read of the partials (~+25% build wall at bench scale), which
+    # only pays for itself when a stage retry is expensive — default: auto
+    # ON past 2M docs (the hour-scale builds that actually crash), OFF
+    # below (the partial encode streams fused into the sort).
+    if checkpoint_partials is None:
+        checkpoint_partials = n_docs >= 2_000_000
+    partial = make_partial_segments(hot, salt_shift)
+    if checkpoint_partials:
+        if "posting_partials" not in done:
+            partials_pipe = tok_ds.map_batches(
+                partial, batch_format="pyarrow", batch_size=max(batch_size, 1024)
+            )
+            if os.path.exists(tmp.partials_dir):
+                shutil.rmtree(tmp.partials_dir)
+            with timed("posting_partials"):
+                staged_write(
+                    lambda p: partials_pipe.write_parquet(
+                        p, min_rows_per_file=16384
+                    ),
+                    tmp.partials_dir,
+                )
+            mark("posting_partials")
+
+        if _fail_after == "posting_partials":
+            raise RuntimeError(
+                "injected failure after posting_partials stage (test hook)"
+            )
+        partials_ds = rd.read_parquet(tmp.partials_dir)
+    else:
+        partials_ds = tok_ds.map_batches(
             partial, batch_format="pyarrow", batch_size=max(batch_size, 1024)
         )
-        segments = partials.sort(["term", "salt"]).map_batches(
+
+    if "segments" not in done:
+        merger = make_segment_merger(n_shards)
+        segments = partials_ds.sort(["term", "salt"]).map_batches(
             merger, batch_format="pyarrow"
         )
         if os.path.exists(tmp.segments_dir):
@@ -737,6 +778,10 @@ def build_index(
         with timed("segments"):
             staged_write(write_segments, tmp.segments_dir)
         mark("segments")
+        # the checkpoint has served its purpose; don't carry it into the
+        # final index dir
+        if os.path.exists(tmp.partials_dir):
+            shutil.rmtree(tmp.partials_dir)
 
     # optional content n-gram index: same partial-encode -> (gram, salt)
     # shuffle -> merge shape as the term segments; doc ids only

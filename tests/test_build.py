@@ -143,6 +143,47 @@ def test_mid_build_resume(ray_session, tmp_path):
     assert paths.stats()["sum_dl"] == ref.stats()["sum_dl"]
 
 
+def test_checkpointed_segment_merge_resume(ray_session, tmp_path):
+    """The north rule's checkpointed segment merge: a crash between the
+    posting-partials checkpoint and the merge resumes WITHOUT re-encoding
+    partials (their file mtimes unchanged), the finished index drops the
+    checkpoint dir, and search results equal a from-scratch build."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from probe_ray.build import build_index
+    from probe_ray.corpus import write_corpus
+    from probe_ray.search import Engine
+
+    corpus = str(tmp_path / "c.parquet")
+    write_corpus(corpus, "t1")
+    out = str(tmp_path / "idx")
+
+    with _pytest.raises(RuntimeError, match="posting_partials"):
+        build_index(
+            corpus, out, checkpoint_partials=True,
+            _fail_after="posting_partials",
+        )
+    tmp_partials = out + ".tmp/posting_partials"
+    assert os.path.isdir(tmp_partials)
+    mtimes = {
+        f: os.path.getmtime(os.path.join(tmp_partials, f))
+        for f in os.listdir(tmp_partials)
+    }
+    assert mtimes
+    time.sleep(0.05)
+    paths = build_index(corpus, out, checkpoint_partials=True)  # merge only
+    # checkpoint was consumed and not carried into the final index
+    assert not os.path.exists(os.path.join(paths.root, "posting_partials"))
+    assert not os.path.exists(out + ".tmp")
+    ref = build_index(corpus, str(tmp_path / "idx2"))
+    a = Engine(paths).search(["keywordAlpha"], max_results=10).to_pylist()
+    b = Engine(ref).search(["keywordAlpha"], max_results=10).to_pylist()
+    assert a == b
+
+
 def test_jsonl_and_csv_corpus_sources(ray_session, tmp_path):
     """The same corpus in JSONL or CSV builds an index identical to the
     parquet build (search results equal row-for-row) — the source layer is
