@@ -212,6 +212,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                         max_results=25),
         "probe_search_blocks_distributed": probe_search_blocks(
             "spark OR vector", max_results=25, forced_distributed=True),
+        "probe_search_blocks_global": probe_search_blocks(
+            "spark OR vector", max_results=25, mode="global"),
         "probe_search_global_topk": probe_search_global("spark join", max_results=50),
     }
 

@@ -130,6 +130,18 @@ def run_bench() -> dict:
         times.append(time.time() - t0)
     results["q_blocks_topk_p50"] = round(sorted(times)[1], 3)
 
+    # block GLOBAL mode (the scale path: MaxScore-pruned candidate docs,
+    # only those block-extracted — approximate vs compat's candidate-set
+    # statistics)
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        engine.search_blocks(
+            ["keywordAlpha OR keywordBeta"], max_results=10, mode="global"
+        )
+        times.append(time.time() - t0)
+    results["q_blocks_global_topk_p50"] = round(sorted(times)[1], 3)
+
     # forced-distributed compat ranking (the >LOCAL_DOCS_MAX branch a
     # 10^12-doc corpus takes): wide-OR latency through the scale path
     eng_dist = Engine(paths)

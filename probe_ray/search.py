@@ -825,6 +825,8 @@ class Engine:
         no_merge: bool = False,
         merge_threshold: int | None = None,
         exhaustive: bool = False,
+        mode: str = "compat",
+        global_overfetch: int = 8,
     ) -> pa.Table:
         """Ranked code BLOCKS (fallback-extractor granularity), rank- and
         score-identical to oracle.oracle_search_blocks. Candidates come from
@@ -834,7 +836,16 @@ class Engine:
         in a ``map_batches`` over candidate docs only. Ranking is the
         candidate-set BM25 with per-block coverage and node-type boosts;
         then limits -> contained dedup -> adjacent merge (block_merging.rs).
-        """
+
+        ``mode="global"`` is the SCALE path (engine extension, like doc-mode
+        global): instead of extracting/ranking every candidate's blocks,
+        MaxScore prunes to the top max_results x global_overfetch docs by
+        corpus-global BM25 and only THOSE are block-extracted and ranked.
+        APPROXIMATE vs compat: block stats (n/df/avgdl) are computed over
+        the pruned OR-match candidate set, not compat's needle-expansion
+        set, so scores shift even at full overfetch — the returned SPANS
+        converge to compat's top-k as overfetch grows. Requires a
+        ranking-term query (exact/filter-only queries ignore the mode)."""
         from probe_ray import blocks as blk
 
         if isinstance(queries, str):
@@ -866,12 +877,40 @@ class Engine:
             else {}
         )
 
+        ranking_terms: list[str] = []
+        ranking_ast = None
+        if not (exact or ast_all_exact):
+            try:
+                ranking_ast, _ = qp.parse_query(" ".join(queries), False)
+                ranking_terms = sorted(
+                    {kw for t in qp.walk_terms(ranking_ast)
+                     for kw in t.lowercase_keywords}
+                )
+                if len(ranking_terms) > 256:
+                    ranking_ast, ranking_terms = None, []
+            except qp.ParseError:
+                ranking_ast = None
+
         # candidate doc ids: the document-level candidate machinery (plain
         # terms, exact/excluded static-tokenization prefilter, dictionary
         # substring expansion, filename matches) UNION the expansion over
         # the extra line-pattern needles (stems / compound parts, which
         # match as substrings at line level)
-        if exhaustive or plan.is_universal:
+        use_global = (
+            mode == "global"
+            and bool(ranking_terms)
+            and not (exact or ast_all_exact or plan.is_universal or exhaustive)
+        )
+        if use_global:
+            # scale path: MaxScore top docs by corpus-global BM25; only
+            # their blocks are extracted and ranked
+            k_docs = max((max_results or 10) * max(global_overfetch, 1), 1)
+            ids_g, sc_g, _ = self._maxscore_topk(ranking_terms, k_docs)
+            if ids_g.size == 0:
+                return _BLOCK_SCHEMA.empty_table()
+            top = np.argsort(-sc_g, kind="stable")[:k_docs]
+            cand_ids = np.sort(ids_g[top])
+        elif exhaustive or plan.is_universal:
             # universal (filter-only) plans match every doc: no index probe
             # (search_runner.rs:402-411)
             cand_ids = np.arange(self._stats["n_docs"], dtype=np.int64)
@@ -892,20 +931,6 @@ class Engine:
                 cand_ids = np.unique(np.concatenate(id_sets))
         if cand_ids.size == 0:
             return _BLOCK_SCHEMA.empty_table()
-
-        ranking_terms: list[str] = []
-        ranking_ast = None
-        if not (exact or ast_all_exact):
-            try:
-                ranking_ast, _ = qp.parse_query(" ".join(queries), False)
-                ranking_terms = sorted(
-                    {kw for t in qp.walk_terms(ranking_ast)
-                     for kw in t.lowercase_keywords}
-                )
-                if len(ranking_terms) > 256:
-                    ranking_ast, ranking_terms = None, []
-            except qp.ParseError:
-                ranking_ast = None
 
         lang_exts = None
         if ctx.language:

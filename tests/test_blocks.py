@@ -110,6 +110,48 @@ def test_block_universal_filter_only(t2_rows, t2_index, ray_session, tmp_path):
     assert set(got.column("path").to_pylist()) == {f"src/mod{i}.py" for i in range(4)}
 
 
+def test_block_global_mode(t2_rows, t2_index):
+    """mode="global" (engine scale path): MaxScore-pruned candidates. With
+    overfetch covering every matching doc the output is IDENTICAL to
+    compat; with a small overfetch it returns a ranked prefix-quality
+    top-k over far fewer extracted docs."""
+    eng = Engine(t2_index)
+    q = ["keywordAlpha keywordBeta"]
+
+    def spans(tbl):
+        return {
+            (r["doc_id"], r["start_line"], r["end_line"])
+            for r in tbl.to_pylist()
+        }
+
+    compat = eng.search_blocks(q, max_results=10)
+    full = eng.search_blocks(q, max_results=10, mode="global",
+                             global_overfetch=100_000)
+    # scores use pruned-set stats (documented), but at full overfetch the
+    # returned top-k SPANS converge to compat's
+    assert spans(full) == spans(compat)
+    # deterministic
+    again = eng.search_blocks(q, max_results=10, mode="global",
+                              global_overfetch=100_000)
+    assert again.to_pylist() == full.to_pylist()
+
+    pruned = eng.search_blocks(q, max_results=10, mode="global",
+                               global_overfetch=4)
+    rows = pruned.to_pylist()
+    assert 0 < len(rows) <= 10
+    ranks = [r["rank"] for r in rows if r["rank"] is not None]
+    assert ranks and len(set(ranks)) == len(ranks)  # distinct ranks (merge
+    # regroups rows per file and can re-score, so neither rank nor score
+    # order is monotone in the output — same as compat). NOTE: top-k
+    # overlap with compat is NOT asserted at small overfetch — the
+    # synthetic corpus has large exact-score tie plateaus, so near-tie
+    # winners legitimately differ between the stats populations.
+    # exact / filter-only queries ignore the mode (compat path)
+    e1 = eng.search_blocks(['"keywordAlpha"'], mode="global")
+    e2 = eng.search_blocks(['"keywordAlpha"'])
+    assert e1.to_pylist() == e2.to_pylist()
+
+
 def test_block_session_granularity(t2_rows, t2_index):
     """cache.rs:36-42: sessions store "file:start-end" BLOCK keys. A repeat
     query suppresses previously returned blocks (not whole files), the
