@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_hourly": T.events_tumbling_hourly,
         "events_sliding_hourly": T.events_sliding_hourly,
         "events_sessionize": T.events_sessionize,
+        "events_tumbling_watermark": T.events_tumbling_watermark,
         # --- boolean retrieval + BM25 over documents (SQL-checked) ---
         "search_and": T.search_and,
         "search_or": T.search_or,
@@ -272,6 +273,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, window_start, count(*) AS n_events,
                    sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT AS value_sum_micros
             FROM w GROUP BY event_type, window_start
+            ORDER BY event_type, window_start
+        """,
+        "events_tumbling_watermark": """
+            WITH wm AS (
+              SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events
+            )
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events,
+                   sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT AS value_sum_micros
+            FROM events, wm WHERE ts >= wm.w
+            GROUP BY event_type, date_trunc('hour', ts)
             ORDER BY event_type, window_start
         """,
         "events_sessionize": """

@@ -63,7 +63,8 @@ def main(argv=None):
     s.add_argument("--allow-tests", action="store_true",
                    help="include test files (matches the reference flag)")
     s.add_argument("--session", default=None)
-    s.add_argument("--mode", choices=["compat", "global", "blocks"],
+    s.add_argument("--mode",
+                   choices=["compat", "global", "blocks", "blocks-global"],
                    default="blocks",
                    help="blocks = ranked code blocks (the reference's "
                         "output unit, default); compat = whole-file; "
@@ -126,14 +127,16 @@ def main(argv=None):
                 allow_tests=args.allow_tests,
                 session=args.session,
             )
-            if args.mode == "blocks" and not args.files_only:
+            if args.mode in ("blocks", "blocks-global") and not args.files_only:
                 result = eng.search_blocks(
-                    args.query, no_merge=args.no_merge, **common
+                    args.query, no_merge=args.no_merge,
+                    mode="global" if args.mode == "blocks-global" else "compat",
+                    **common,
                 )
             else:
                 result = eng.search(
                     args.query, files_only=args.files_only,
-                    mode="compat" if args.mode == "blocks" else args.mode,
+                    mode="compat" if args.mode.startswith("blocks") else args.mode,
                     **common,
                 )
             if args.json:

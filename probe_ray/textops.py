@@ -1726,6 +1726,71 @@ def events_sliding_hourly(sf_dir: str, hop_minutes: int = 30) -> pa.Table:
     )
 
 
+#: observability for the most recent events_tumbling_watermark call
+LAST_WATERMARK_METRICS: dict = {}
+
+
+def events_tumbling_watermark(
+    sf_dir: str, delay_minutes: int = 30
+) -> pa.Table:
+    """Tumbling hourly windows with a WATERMARK: events more than
+    ``delay_minutes`` behind the stream's maximum event time are LATE and
+    excluded (the batch rendering of streaming allowed-lateness — the
+    watermark is max(ts) - delay, computed with one tiny aggregate and
+    broadcast into the filter). Late-event count recorded in
+    LAST_WATERMARK_METRICS. SQL-checked."""
+    delay_us = delay_minutes * 60 * 1_000_000
+
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+    max_ts = ev.max("ts")
+    wm_us = (
+        int(pa.scalar(max_ts, pa.timestamp("us")).cast(pa.int64()).as_py())
+        - delay_us
+    )
+    n_total = ev.count()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.timestamp("us"))
+        keep = pc.greater_equal(ts.cast(pa.int64()), pa.scalar(wm_us))
+        sub = batch.filter(keep)
+        ts_k = sub.column("ts").cast(pa.timestamp("us"))
+        hour = pc.floor_temporal(ts_k, unit="hour")
+        micros = np.rint(sub.column("value").to_numpy() * 1e6).astype(np.int64)
+        tbl = pa.table(
+            {
+                "event_type": sub.column("event_type"),
+                "window_start": hour,
+                "n": pa.array([1] * sub.num_rows, pa.int64()),
+                "value_micros": pa.array(micros, pa.int64()),
+            }
+        )
+        return _pa_group_sum(
+            tbl, ["event_type", "window_start"], ["n", "value_micros"]
+        )
+
+    agg = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            rd.aggregate.Sum("n", alias_name="n_events"),
+            rd.aggregate.Sum("value_micros", alias_name="value_sum_micros"),
+        )
+    )
+    df = agg.to_pandas().sort_values(
+        ["event_type", "window_start"]
+    ).reset_index(drop=True)
+    out = pa.Table.from_pandas(
+        df[["event_type", "window_start", "n_events", "value_sum_micros"]],
+        preserve_index=False,
+    )
+    n_kept = int(df["n_events"].sum()) if len(df) else 0
+    LAST_WATERMARK_METRICS.clear()
+    LAST_WATERMARK_METRICS.update(
+        watermark_us=wm_us, n_late=int(n_total - n_kept), n_kept=n_kept
+    )
+    return out
+
+
 def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     """Session windows per user (new session when the gap to the previous
     event exceeds ``gap_minutes``): (user_id, session_id, n_events,

@@ -116,6 +116,20 @@ def test_knn_lsh_recall_vs_bruteforce():
     assert overlap >= 3, (exact, approx)
 
 
+def test_events_tumbling_watermark_drops_late():
+    """Allowed-lateness: only events within delay of max event time
+    survive; the late count is recorded."""
+    from probe_ray import textops as T
+
+    full = T.events_tumbling_hourly(SF)
+    wm = T.events_tumbling_watermark(SF, delay_minutes=30)
+    assert 0 < wm.num_rows < full.num_rows
+    m = T.LAST_WATERMARK_METRICS
+    assert m["n_late"] > 0 and m["n_kept"] > 0
+    n_total = sum(r["n_events"] for r in full.to_pylist())
+    assert m["n_late"] + m["n_kept"] == n_total
+
+
 def test_ngram_repetition_bounds():
     from probe_ray import textops as T
 
