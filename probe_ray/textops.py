@@ -1490,18 +1490,78 @@ def corpus_clean_pipeline(
 # Multimodal plumbing (binary columns; decode stubbed — no media libs here)
 # ---------------------------------------------------------------------------
 
+def sniff_media(p: bytes) -> dict:
+    """Stdlib container-header parser for the common media formats: kind +
+    dimensions (images) or channels/sample-rate/duration (WAV). Pure
+    byte-level parsing — no media libraries needed. Unknown magic ->
+    kind='unknown' with null metadata."""
+    import struct
+
+    out = dict(kind="unknown", width=None, height=None, n_channels=None,
+               sample_rate=None, duration_ms=None)
+    try:
+        if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 24:
+            w, h = struct.unpack(">II", p[16:24])
+            out.update(kind="png", width=int(w), height=int(h))
+        elif p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
+            w, h = struct.unpack("<HH", p[6:10])
+            out.update(kind="gif", width=int(w), height=int(h))
+        elif p[:2] == b"\xff\xd8":
+            # walk JPEG markers to a start-of-frame segment
+            i = 2
+            while i + 9 < len(p):
+                if p[i] != 0xFF:
+                    break
+                marker = p[i + 1]
+                if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+                    h, w = struct.unpack(">HH", p[i + 5 : i + 9])
+                    out.update(kind="jpeg", width=int(w), height=int(h))
+                    break
+                seg_len = struct.unpack(">H", p[i + 2 : i + 4])[0]
+                i += 2 + seg_len
+            else:
+                pass
+            if out["kind"] == "unknown":
+                out["kind"] = "jpeg"  # valid magic, no SOF found
+        elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            i = 12
+            n_ch = rate = block_align = None
+            data_len = None
+            while i + 8 <= len(p):
+                cid = p[i : i + 4]
+                clen = struct.unpack("<I", p[i + 4 : i + 8])[0]
+                if cid == b"fmt " and i + 24 <= len(p):
+                    n_ch, rate = struct.unpack("<HI", p[i + 10 : i + 16])
+                    block_align = struct.unpack("<H", p[i + 20 : i + 22])[0]
+                elif cid == b"data":
+                    data_len = clen
+                i += 8 + clen + (clen & 1)
+            if rate:
+                out.update(kind="wav", n_channels=int(n_ch),
+                           sample_rate=int(rate))
+                if data_len is not None and block_align:
+                    out["duration_ms"] = int(
+                        data_len / block_align / rate * 1000
+                    )
+    except (struct.error, IndexError):
+        pass
+    return out
+
+
 class MediaFeatureExtractor:
     """Actor-pool stage for opaque binary media columns: schema, batching
-    and actor lifecycle are real; the DECODE step is a deterministic stub
-    (image/audio libraries are not available in this environment).
-
-    Replace ``_decode`` with a real decoder (PIL/librosa/ffmpeg) on a
-    cluster that has them; everything else (small batch_size for large
-    payloads, per-actor init, Arrow binary in/out) carries over.
-    """
+    and actor lifecycle are real, and container METADATA (png/gif/jpeg
+    dimensions, wav channels/rate/duration) is parsed byte-level with the
+    stdlib. Pixel/sample DECODING for feature extraction still requires
+    media libraries absent from this environment: with ``decode=True`` an
+    unknown container raises the documented NotImplementedError; known
+    containers return their parsed metadata and the byte-level feature
+    stub. Replace ``_decode`` with a real decoder (PIL/librosa/ffmpeg) on
+    a cluster that has them; everything else (small batch_size for large
+    payloads, per-actor init, Arrow binary in/out) carries over."""
 
     def __init__(self, decode: bool = False):
-        self.decode = decode  # real decode unavailable -> deterministic fake
+        self.decode = decode
 
     def _decode(self, payload: bytes):
         raise NotImplementedError(
@@ -1512,20 +1572,34 @@ class MediaFeatureExtractor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
         n_bytes, sha, feats = [], [], []
+        kinds, widths, heights, chans, rates, durs = [], [], [], [], [], []
         for p in payloads:
-            if self.decode:
+            meta = sniff_media(p)
+            if self.decode and meta["kind"] == "unknown":
                 self._decode(p)
             n_bytes.append(len(p))
             digest = hashlib.sha256(p).digest()
             sha.append(digest.hex())
             # fake embedding: first 8 digest bytes, scaled
             feats.append([b / 255.0 for b in digest[:8]])
+            kinds.append(meta["kind"])
+            widths.append(meta["width"])
+            heights.append(meta["height"])
+            chans.append(meta["n_channels"])
+            rates.append(meta["sample_rate"])
+            durs.append(meta["duration_ms"])
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "n_bytes": pa.array(n_bytes, pa.int64()),
                 "sha256": pa.array(sha, pa.string()),
                 "features": pa.array(feats, pa.list_(pa.float64())),
+                "media_kind": pa.array(kinds, pa.string()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "n_channels": pa.array(chans, pa.int32()),
+                "sample_rate": pa.array(rates, pa.int32()),
+                "duration_ms": pa.array(durs, pa.int64()),
             }
         )
 

@@ -162,11 +162,64 @@ def test_media_features_stub():
     for r in feats:
         assert r["n_bytes"] > 0 and len(r["sha256"]) == 64
         assert len(r["features"]) == 8
+        assert r["media_kind"] == "unknown"  # text payloads aren't media
     ext = T.MediaFeatureExtractor(decode=True)
     import pyarrow as pa
 
     with pytest.raises(NotImplementedError):
         ext(pa.table({"doc_id": pa.array([1]), "payload": pa.array([b"x"])}))
+
+
+def test_media_container_header_parsing():
+    """Real byte-level container parsing (no media libs): PNG/GIF
+    dimensions, JPEG SOF dimensions, WAV channels/rate/duration."""
+    import io
+    import struct
+    import wave
+
+    from probe_ray.textops import sniff_media
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBBBBB", 640, 480, 8, 2, 0, 0, 0)
+    )
+    m = sniff_media(png)
+    assert (m["kind"], m["width"], m["height"]) == ("png", 640, 480)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200)
+    m = sniff_media(gif)
+    assert (m["kind"], m["width"], m["height"]) == ("gif", 320, 200)
+
+    # JPEG: SOI + APP0 segment + SOF0 with 100x50
+    # segment length includes its own two bytes: 2 + len("JFIF\0") + 8 = 15
+    app0 = b"\xff\xe0" + struct.pack(">H", 15) + b"JFIF\x00" + b"\x00" * 8
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(
+        ">HH", 50, 100
+    ) + b"\x01\x01\x11\x00"
+    m = sniff_media(b"\xff\xd8" + app0 + sof0)
+    assert (m["kind"], m["width"], m["height"]) == ("jpeg", 100, 50)
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00\x00\x00" * 4000)  # 4000 frames = 500 ms
+    m = sniff_media(buf.getvalue())
+    assert m["kind"] == "wav" and m["n_channels"] == 2
+    assert m["sample_rate"] == 8000 and m["duration_ms"] == 500
+
+    # a known container does NOT raise even with decode=True
+    import pyarrow as pa
+
+    from probe_ray.textops import MediaFeatureExtractor
+
+    out = MediaFeatureExtractor(decode=True)(
+        pa.table({"doc_id": pa.array([1]), "payload": pa.array([png])})
+    )
+    assert out.column("media_kind").to_pylist() == ["png"]
+    assert out.column("width").to_pylist() == [640]
 
 
 def test_winnowing_deterministic():
