@@ -758,7 +758,14 @@ def build_index(
             raise RuntimeError(
                 "injected failure after posting_partials stage (test hook)"
             )
-        partials_ds = rd.read_parquet(tmp.partials_dir)
+        # the checkpoint dir is deleted once the segments stage completes:
+        # only open it when the merge still has to run (a resume AFTER the
+        # segments stage must not touch it)
+        partials_ds = (
+            rd.read_parquet(tmp.partials_dir)
+            if "segments" not in done
+            else None
+        )
     else:
         partials_ds = tok_ds.map_batches(
             partial, batch_format="pyarrow", batch_size=max(batch_size, 1024)
@@ -782,6 +789,9 @@ def build_index(
         # final index dir
         if os.path.exists(tmp.partials_dir):
             shutil.rmtree(tmp.partials_dir)
+
+    if _fail_after == "segments":
+        raise RuntimeError("injected failure after segments stage (test hook)")
 
     # optional content n-gram index: same partial-encode -> (gram, salt)
     # shuffle -> merge shape as the term segments; doc ids only

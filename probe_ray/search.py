@@ -896,16 +896,33 @@ class Engine:
         # substring expansion, filename matches) UNION the expansion over
         # the extra line-pattern needles (stems / compound parts, which
         # match as substrings at line level)
+        # MaxScore ranks by OR-of-terms, so the pruning set must exclude
+        # NEGATED terms' keywords (they'd ATTRACT the docs the query bans —
+        # the doc-mode global path enforces the same via its pure_or guard);
+        # the extractor's boolean eval still enforces exclusions on the
+        # pruned candidates
+        positive_terms = (
+            sorted(
+                {
+                    kw
+                    for t in qp.walk_terms(ranking_ast)
+                    if not t.excluded
+                    for kw in t.lowercase_keywords
+                }
+            )
+            if ranking_ast is not None
+            else []
+        )
         use_global = (
             mode == "global"
-            and bool(ranking_terms)
+            and bool(positive_terms)
             and not (exact or ast_all_exact or plan.is_universal or exhaustive)
         )
         if use_global:
             # scale path: MaxScore top docs by corpus-global BM25; only
             # their blocks are extracted and ranked
             k_docs = max((max_results or 10) * max(global_overfetch, 1), 1)
-            ids_g, sc_g, _ = self._maxscore_topk(ranking_terms, k_docs)
+            ids_g, sc_g, _ = self._maxscore_topk(positive_terms, k_docs)
             if ids_g.size == 0:
                 return _BLOCK_SCHEMA.empty_table()
             top = np.argsort(-sc_g, kind="stable")[:k_docs]
@@ -1516,10 +1533,13 @@ class Engine:
         self, key: str, new_blocks: list[tuple[str, int, int, int]]
     ) -> None:
         """Record returned blocks as (file, start, end, doc_id); per-file
-        shas ride along for invalidation."""
+        shas ride along for invalidation. Seeds from the VALIDATED span set
+        (not the raw file) so spans invalidated by a content change are
+        dropped for good — re-persisting them next to the refreshed sha
+        would resurrect stale suppressions."""
         import json
 
-        blocks = self._session_blocks_raw(key)
+        blocks = self._session_seen_blocks(key)
         ids = self._session_ids(key)
         for fk, s, e, did in new_blocks:
             rs = blocks.setdefault(fk, [])

@@ -1028,19 +1028,31 @@ def _ivf_store(
     src = f"{sf_dir}/embeddings.parquet"
     st = os.stat(src)
     tag = hashlib.md5(
-        f"{src}:{st.st_size}:{int(st.st_mtime)}:ivf:{n_centroids}:{seed}:"
+        f"{src}:{st.st_size}:{int(st.st_mtime)}:ivf2:{n_centroids}:{seed}:"
         f"{train_sample}:{iters}".encode()
     ).hexdigest()[:12]
     out = f"/tmp/probe_ray_ivf_{tag}"
     cent_path = os.path.join(out, "_centroids.npy")
     if os.path.exists(os.path.join(out, "_DONE")):
         return out, np.load(cent_path)
+    if os.path.exists(out):
+        # a crash between rename and the _DONE write (or a concurrent
+        # builder) left a half-finalized dir: rebuild from scratch
+        shutil.rmtree(out)
 
-    # --- train on a deterministic sample (vec_id prefix via predicate) ---
+    # --- train on a deterministic sample (vec_id prefix via predicate;
+    # falls back to the first rows in file order when the id prefix is
+    # empty, e.g. non-zero-based vec_ids) ---
     sample = _pq.read_table(
         src, columns=["embedding"],
         filters=[("vec_id", "<", train_sample)],
     )
+    if sample.num_rows == 0:
+        sample = _pq.read_table(src, columns=["embedding"]).slice(
+            0, train_sample
+        )
+    if sample.num_rows == 0:
+        raise ValueError("cannot build an IVF index over an empty table")
     smat = _emb_matrix(sample.column("embedding"))
     norms = np.linalg.norm(smat, axis=1, keepdims=True)
     smat = smat / np.where(norms > 0, norms, 1.0)
@@ -1075,14 +1087,21 @@ def _ivf_store(
     part = out + ".part"
     if os.path.exists(part):
         shutil.rmtree(part)
-    (
+    store_ds = (
         rd.read_parquet(src, columns=["vec_id", "embedding"])
         .map_batches(assign_batch, batch_format="pyarrow")
         .sort("centroid")
-        .write_parquet(part, min_rows_per_file=4096)
     )
+    store_ds.write_parquet(part, min_rows_per_file=4096)
+    # finalize INSIDE the temp dir (centroids + row count for query-time
+    # metrics), then one atomic rename; _DONE last
+    np.save(os.path.join(part, "_centroids.npy"), cents)
+    n_total = int(
+        rd.read_parquet(part, columns=["vec_id"], file_extensions=["parquet"]).count()
+    )
+    with open(os.path.join(part, "_META"), "w") as f:
+        f.write(str(n_total))
     os.rename(part, out)
-    np.save(cent_path, cents)
     with open(os.path.join(out, "_DONE"), "w") as f:
         f.write("ok")
     return out, cents
@@ -1118,23 +1137,30 @@ def knn_ivf(
             }
         )
 
-    cand = rd.read_parquet(
-        store,
-        columns=["centroid", "vec_id", "embedding"],
-        file_extensions=["parquet"],
-        filter=pads.field("centroid").isin(probe),
+    # scored candidates are narrow (vec_id, sim): materialize ONCE so the
+    # count for the scan-fraction metric and the top-k sort share a single
+    # execution of the probed-list read
+    scored = (
+        rd.read_parquet(
+            store,
+            columns=["centroid", "vec_id", "embedding"],
+            file_extensions=["parquet"],
+            filter=pads.field("centroid").isin(probe),
+        )
+        .map_batches(score, batch_format="pyarrow")
+        .materialize()
     )
+    n_cand = scored.count()
     top = (
-        cand.map_batches(score, batch_format="pyarrow")
-        .filter(expr=f"vec_id != {int(query_vec_id)}")
+        scored.filter(expr=f"vec_id != {int(query_vec_id)}")
         .sort(["sim", "vec_id"], descending=[True, False])
         .limit(k)
         .to_pandas()
     )
-    n_cand = cand.count()
-    n_total = rd.read_parquet(
-        store, columns=["vec_id"], file_extensions=["parquet"]
-    ).count()
+    import os as _os
+
+    with open(_os.path.join(store, "_META")) as f:
+        n_total = int(f.read().strip())
     LAST_KNN_IVF_METRICS.clear()
     LAST_KNN_IVF_METRICS.update(
         candidates=int(n_cand), total=int(n_total), nprobe=nprobe,
@@ -1422,8 +1448,20 @@ def corpus_clean_pipeline(
 
     doc_path = f"{sf_dir}/documents.parquet"
     docs_schema = pads.dataset(doc_path).schema
-    max_id = _pq.read_table(doc_path, columns=["doc_id"]).column("doc_id")
-    bound = max(int(pc.max(max_id).as_py() or 0) + 1, 1)
+    # max doc_id from parquet ROW-GROUP STATISTICS only — never the column
+    # itself (8 B/doc of driver heap at corpus scale)
+    pf = _pq.ParquetFile(doc_path)
+    col_idx = pf.schema_arrow.get_field_index("doc_id")
+    max_id = 0
+    for rg in range(pf.metadata.num_row_groups):
+        st_ = pf.metadata.row_group(rg).column(col_idx).statistics
+        if st_ is not None and st_.has_min_max:
+            max_id = max(max_id, int(st_.max))
+        else:  # stats missing: fall back to scanning just that row group
+            t = pf.read_row_group(rg, columns=["doc_id"])
+            if t.num_rows:
+                max_id = max(max_id, int(pc.max(t.column("doc_id")).as_py()))
+    bound = max(max_id + 1, 1)
     part_size = -(-bound // n_parts)
 
     written = skipped = 0
@@ -1508,19 +1546,31 @@ def sniff_media(p: bytes) -> dict:
             out.update(kind="gif", width=int(w), height=int(h))
         elif p[:2] == b"\xff\xd8":
             # walk JPEG markers to a start-of-frame segment
+            _SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
             i = 2
-            while i + 9 < len(p):
+            n = len(p)
+            while i + 1 < n:
                 if p[i] != 0xFF:
                     break
+                # 0xFF fill bytes may pad between markers
+                while i + 1 < n and p[i + 1] == 0xFF:
+                    i += 1
+                if i + 1 >= n:
+                    break
                 marker = p[i + 1]
-                if marker in (0xC0, 0xC1, 0xC2, 0xC3):
-                    h, w = struct.unpack(">HH", p[i + 5 : i + 9])
-                    out.update(kind="jpeg", width=int(w), height=int(h))
+                if marker in _SOF:
+                    if i + 9 <= n:
+                        h, w = struct.unpack(">HH", p[i + 5 : i + 9])
+                        out.update(kind="jpeg", width=int(w), height=int(h))
+                    break
+                if 0xD0 <= marker <= 0xD9 or marker == 0x01:
+                    i += 2  # standalone marker: no length field
+                    continue
+                if i + 4 > n:
                     break
                 seg_len = struct.unpack(">H", p[i + 2 : i + 4])[0]
                 i += 2 + seg_len
-            else:
-                pass
             if out["kind"] == "unknown":
                 out["kind"] = "jpeg"  # valid magic, no SOF found
         elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
@@ -1817,6 +1867,13 @@ def events_tumbling_watermark(
 
     ev = _events(sf_dir, ["ts", "event_type", "value"])
     max_ts = ev.max("ts")
+    if max_ts is None:  # empty stream: no watermark, empty aggregate
+        LAST_WATERMARK_METRICS.clear()
+        LAST_WATERMARK_METRICS.update(watermark_us=None, n_late=0, n_kept=0)
+        return pa.schema(
+            [("event_type", pa.string()), ("window_start", pa.timestamp("us")),
+             ("n_events", pa.int64()), ("value_sum_micros", pa.int64())]
+        ).empty_table()
     wm_us = (
         int(pa.scalar(max_ts, pa.timestamp("us")).cast(pa.int64()).as_py())
         - delay_us

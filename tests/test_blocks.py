@@ -202,6 +202,59 @@ def test_block_session_granularity(t2_rows, t2_index):
     assert vfile in third_files
 
 
+def test_block_session_invalidated_spans_not_resurrected(t2_index):
+    """A span invalidated by a content change must be dropped FOR GOOD when
+    the session is next written — re-persisting it beside the refreshed sha
+    would resurrect a stale suppression for content the user never saw."""
+    import json
+
+    engine = Engine(t2_index)
+    queries = ["keywordAlpha OR keywordBeta"]
+    first = engine.search_blocks(queries, max_results=3, session="bs_stale")
+    frows = first.to_pylist()
+    victim = frows[0]
+    vfile = f"{victim['repo']}/{victim['path']}"
+    key = engine._session_key("bs_stale", queries)
+    p = engine._session_path(key)
+    with open(p) as f:
+        data = json.load(f)
+    stale_spans = {tuple(r) for r in data["blocks"][vfile]}
+    data["sha"][vfile] = "0" * 64  # simulate the file's content changing
+    with open(p, "w") as f:
+        json.dump(data, f)
+    second = engine.search_blocks(queries, session="bs_stale").to_pylist()
+    returned_v = {
+        (r["start_line"], r["end_line"])
+        for r in second
+        if f"{r['repo']}/{r['path']}" == vfile
+    }
+    with open(p) as f:
+        after = json.load(f)
+    recorded_v = {tuple(r) for r in after["blocks"].get(vfile, [])}
+    # only what the second query actually returned is recorded — the
+    # invalidated first-page spans are gone (unless re-returned identically)
+    assert recorded_v == returned_v | (stale_spans & returned_v)
+    assert not (recorded_v - returned_v)
+
+
+def test_block_global_mode_respects_exclusions(t2_rows, t2_index):
+    """Negated terms must not ATTRACT candidates in global mode: MaxScore
+    prunes over the positive terms only, and no returned block may match
+    the excluded term (the doc-mode pure_or guard's block analogue)."""
+    eng = Engine(t2_index)
+    q = ["keywordAlpha -keywordBeta"]
+    compat = eng.search_blocks(q, max_results=10)
+    glob = eng.search_blocks(q, max_results=10, mode="global",
+                             global_overfetch=100_000)
+    assert glob.num_rows > 0
+    for r in glob.to_pylist():
+        assert "keywordbeta" not in [k.lower() for k in r["matched_keywords"]]
+    spans = lambda tbl: {
+        (x["doc_id"], x["start_line"], x["end_line"]) for x in tbl.to_pylist()
+    }
+    assert spans(glob) == spans(compat)
+
+
 def test_block_session_partial_file(t2_rows):
     """A cached block suppresses only ITS lines: other matched lines of the
     same file still produce their blocks (cache.rs:418-505)."""

@@ -183,6 +183,18 @@ def test_checkpointed_segment_merge_resume(ray_session, tmp_path):
     b = Engine(ref).search(["keywordAlpha"], max_results=10).to_pylist()
     assert a == b
 
+    # crash AFTER the segments stage (checkpoint already consumed): the
+    # resume must NOT try to reopen the deleted partials checkpoint
+    out3 = str(tmp_path / "idx3")
+    with _pytest.raises(RuntimeError, match="segments"):
+        build_index(
+            corpus, out3, checkpoint_partials=True, _fail_after="segments"
+        )
+    assert not os.path.exists(out3 + ".tmp/posting_partials")
+    paths3 = build_index(corpus, out3, checkpoint_partials=True)  # resume
+    c = Engine(paths3).search(["keywordAlpha"], max_results=10).to_pylist()
+    assert c == b
+
 
 def test_jsonl_and_csv_corpus_sources(ray_session, tmp_path):
     """The same corpus in JSONL or CSV builds an index identical to the
