@@ -186,7 +186,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": T.knn_ivf,                          # rows-only (approx)
         "embedding_cosine_dedup": T.embedding_cosine_dedup,  # rows-only
         "embedding_cosine_window_pairs": T.embedding_cosine_window_pairs,  # SQL-checked
-        # --- language id (heuristic; rows-only) ---
+        # --- language id (stopword vote SQL-checked; bigram heuristic
+        #     rows-only) ---
+        "langid_stopwords": T.langid_stopwords,
         "langid_heuristic": T.langid_heuristic,
         # --- multimodal plumbing (sha/bytes SQL-checked) ---
         "media_features": lambda sf: T.media_features(sf).map_batches(
@@ -362,6 +364,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_distribution": """
             SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "langid_stopwords": f"""
+            WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+            c AS (
+              SELECT doc_id,
+                len(list_filter(tk, x -> x IN ('der','die','das','und','ist','von','mit','den','nicht','ein'))) AS c_de,
+                len(list_filter(tk, x -> x IN ('the','and','of','to','in','is','that','it','for','with'))) AS c_en,
+                len(list_filter(tk, x -> x IN ('el','los','las','que','y','en','un','para','con','por'))) AS c_es,
+                len(list_filter(tk, x -> x IN ('le','la','les','des','et','une','que','pour','dans','est'))) AS c_fr
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE
+                     WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                     WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                     WHEN c_es >= c_fr THEN 'es'
+                     ELSE 'fr'
+                   END AS lang_guess,
+                   greatest(c_de, c_en, c_es, c_fr) AS n_hits
+            FROM c
         """,
         "ngram_repetition": f"""
             WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),

@@ -179,6 +179,50 @@ def quality_score(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(score, batch_format="pyarrow")
 
 
+#: common-word (stop-word) lists per language — standard public lists; the
+#: SQL oracle embeds the same literals, so the vote is exactly checkable
+LANGID_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den",
+           "nicht", "ein"),
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for",
+           "with"),
+    "es": ("el", "los", "las", "que", "y", "en", "un", "para", "con",
+           "por"),
+    "fr": ("le", "la", "les", "des", "et", "une", "que", "pour", "dans",
+           "est"),
+}
+
+
+def langid_stopwords(sf_dir: str) -> rd.Dataset:
+    """Deterministic SQL-checkable language ID: per-language stop-word hit
+    counts over the simple tokens; the language with the most hits wins,
+    ties broken alphabetically (the exact vote the DuckDB oracle
+    reproduces). The heavier char-bigram classifier is langid_heuristic
+    (rows-only)."""
+    langs = sorted(LANGID_STOPWORDS)
+    sets = {l: frozenset(LANGID_STOPWORDS[l]) for l in langs}
+
+    def vote(batch: pa.Table) -> pa.Table:
+        out_lang, out_hits = [], []
+        for text in batch.column("text").to_pylist():
+            toks = simple_tokens(text)
+            counts = [sum(1 for t in toks if t in sets[l]) for l in langs]
+            best = int(np.argmax(counts))  # first max wins == alpha order
+            out_lang.append(langs[best])
+            out_hits.append(counts[best])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_guess": pa.array(out_lang, pa.string()),
+                "n_hits": pa.array(out_hits, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        vote, batch_format="pyarrow"
+    )
+
+
 def ngram_repetition(sf_dir: str, n: int = 3) -> rd.Dataset:
     """Within-document n-gram repetition (a CCNet-style quality signal for
     boilerplate / generated text): fraction of duplicate word n-grams per
