@@ -112,6 +112,13 @@ def main(argv=None):
             )
             print(json.dumps(paths.stats()))
         elif args.cmd == "search":
+            if args.mode == "blocks-global" and args.files_only:
+                print(
+                    "error: --files-only has no block-granularity output; "
+                    "use --mode global (doc granularity) with --files-only",
+                    file=sys.stderr,
+                )
+                return 2
             from probe_ray.search import Engine
 
             eng = Engine(args.index_dir)
@@ -127,13 +134,6 @@ def main(argv=None):
                 allow_tests=args.allow_tests,
                 session=args.session,
             )
-            if args.mode == "blocks-global" and args.files_only:
-                print(
-                    "error: --files-only has no block-granularity output; "
-                    "use --mode global (doc granularity) with --files-only",
-                    file=sys.stderr,
-                )
-                return 2
             if args.mode in ("blocks", "blocks-global") and not args.files_only:
                 result = eng.search_blocks(
                     args.query, no_merge=args.no_merge,

@@ -785,10 +785,12 @@ def build_index(
         with timed("segments"):
             staged_write(write_segments, tmp.segments_dir)
         mark("segments")
-        # the checkpoint has served its purpose; don't carry it into the
-        # final index dir
-        if os.path.exists(tmp.partials_dir):
-            shutil.rmtree(tmp.partials_dir)
+
+    # once the segments stage is done the checkpoint has served its
+    # purpose; delete it UNCONDITIONALLY (a crash between mark() and this
+    # cleanup must not ship the partials into the final index on resume)
+    if "segments" in done and os.path.exists(tmp.partials_dir):
+        shutil.rmtree(tmp.partials_dir)
 
     if _fail_after == "segments":
         raise RuntimeError("injected failure after segments stage (test hook)")

@@ -877,17 +877,29 @@ class Engine:
             else {}
         )
 
+        # Ranking terms, plus the POSITIVE subset in the same walk: MaxScore
+        # ranks by OR-of-terms, so the global-mode pruning set must exclude
+        # NEGATED terms' keywords (they'd ATTRACT the docs the query bans —
+        # the doc-mode global path enforces the same via its pure_or
+        # guard); the extractor's boolean eval still enforces exclusions on
+        # the pruned candidates.
         ranking_terms: list[str] = []
+        positive_terms: list[str] = []
         ranking_ast = None
         if not (exact or ast_all_exact):
             try:
                 ranking_ast, _ = qp.parse_query(" ".join(queries), False)
-                ranking_terms = sorted(
-                    {kw for t in qp.walk_terms(ranking_ast)
-                     for kw in t.lowercase_keywords}
-                )
+                all_kw: set[str] = set()
+                pos_kw: set[str] = set()
+                for t in qp.walk_terms(ranking_ast):
+                    for kw in t.lowercase_keywords:
+                        all_kw.add(kw)
+                        if not t.excluded:
+                            pos_kw.add(kw)
+                ranking_terms = sorted(all_kw)
+                positive_terms = sorted(pos_kw)
                 if len(ranking_terms) > 256:
-                    ranking_ast, ranking_terms = None, []
+                    ranking_ast, ranking_terms, positive_terms = None, [], []
             except qp.ParseError:
                 ranking_ast = None
 
@@ -896,23 +908,6 @@ class Engine:
         # substring expansion, filename matches) UNION the expansion over
         # the extra line-pattern needles (stems / compound parts, which
         # match as substrings at line level)
-        # MaxScore ranks by OR-of-terms, so the pruning set must exclude
-        # NEGATED terms' keywords (they'd ATTRACT the docs the query bans —
-        # the doc-mode global path enforces the same via its pure_or guard);
-        # the extractor's boolean eval still enforces exclusions on the
-        # pruned candidates
-        positive_terms = (
-            sorted(
-                {
-                    kw
-                    for t in qp.walk_terms(ranking_ast)
-                    if not t.excluded
-                    for kw in t.lowercase_keywords
-                }
-            )
-            if ranking_ast is not None
-            else []
-        )
         use_global = (
             mode == "global"
             and bool(positive_terms)
@@ -1474,7 +1469,10 @@ class Engine:
         ids = self._session_ids(key)
         ids.update(files)
         current = self._session_seen(key) | set(files)
-        blocks = self._session_blocks_raw(key)
+        # VALIDATED spans only (session keys are mode-agnostic, so a
+        # doc-mode write must not re-persist block spans a content change
+        # invalidated — same rule as _session_add_blocks)
+        blocks = self._session_seen_blocks(key)
         ids = {
             fk: did
             for fk, did in ids.items()

@@ -1080,21 +1080,30 @@ def _ivf_store(
     if os.path.exists(os.path.join(out, "_DONE")):
         return out, np.load(cent_path)
     if os.path.exists(out):
-        # a crash between rename and the _DONE write (or a concurrent
-        # builder) left a half-finalized dir: rebuild from scratch
+        # a crash between rename and the _DONE write left a half-finalized
+        # dir: rebuild from scratch
         shutil.rmtree(out)
 
     # --- train on a deterministic sample (vec_id prefix via predicate;
     # falls back to the first rows in file order when the id prefix is
-    # empty, e.g. non-zero-based vec_ids) ---
+    # empty, e.g. non-zero-based vec_ids — STREAMED, never the full
+    # column) ---
     sample = _pq.read_table(
         src, columns=["embedding"],
         filters=[("vec_id", "<", train_sample)],
     )
     if sample.num_rows == 0:
-        sample = _pq.read_table(src, columns=["embedding"]).slice(
-            0, train_sample
-        )
+        got: list[pa.RecordBatch] = []
+        n_got = 0
+        for rb in _pq.ParquetFile(src).iter_batches(
+            batch_size=min(train_sample, 1024), columns=["embedding"]
+        ):
+            got.append(rb)
+            n_got += rb.num_rows
+            if n_got >= train_sample:
+                break
+        if got:
+            sample = pa.Table.from_batches(got).slice(0, train_sample)
     if sample.num_rows == 0:
         raise ValueError("cannot build an IVF index over an empty table")
     smat = _emb_matrix(sample.column("embedding"))
@@ -1128,7 +1137,9 @@ def _ivf_store(
             }
         )
 
-    part = out + ".part"
+    # per-process temp dir: concurrent builders of the same store never
+    # touch each other's work; first finished rename wins
+    part = f"{out}.part.{os.getpid()}"
     if os.path.exists(part):
         shutil.rmtree(part)
     store_ds = (
@@ -1138,16 +1149,22 @@ def _ivf_store(
     )
     store_ds.write_parquet(part, min_rows_per_file=4096)
     # finalize INSIDE the temp dir (centroids + row count for query-time
-    # metrics), then one atomic rename; _DONE last
+    # metrics — the count comes from parquet footers, no read job), then
+    # one atomic rename; _DONE last
     np.save(os.path.join(part, "_centroids.npy"), cents)
-    n_total = int(
-        rd.read_parquet(part, columns=["vec_id"], file_extensions=["parquet"]).count()
+    n_total = sum(
+        _pq.ParquetFile(os.path.join(part, f)).metadata.num_rows
+        for f in os.listdir(part)
+        if f.endswith(".parquet")
     )
     with open(os.path.join(part, "_META"), "w") as f:
         f.write(str(n_total))
-    os.rename(part, out)
-    with open(os.path.join(out, "_DONE"), "w") as f:
+    with open(os.path.join(part, "_DONE"), "w") as f:
         f.write("ok")
+    if os.path.exists(out):  # a concurrent builder finished first
+        shutil.rmtree(part)
+    else:
+        os.rename(part, out)
     return out, cents
 
 

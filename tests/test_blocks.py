@@ -231,10 +231,9 @@ def test_block_session_invalidated_spans_not_resurrected(t2_index):
     with open(p) as f:
         after = json.load(f)
     recorded_v = {tuple(r) for r in after["blocks"].get(vfile, [])}
-    # only what the second query actually returned is recorded — the
-    # invalidated first-page spans are gone (unless re-returned identically)
-    assert recorded_v == returned_v | (stale_spans & returned_v)
-    assert not (recorded_v - returned_v)
+    # exactly what the second query returned is recorded — every
+    # invalidated first-page span is gone
+    assert recorded_v == returned_v
 
 
 def test_block_global_mode_respects_exclusions(t2_rows, t2_index):
