@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grep_count": T.grep_count,
         "structural_matches": T.structural_matches,
         "source_stats": T.source_stats,
+        "top_docs_per_source": T.top_docs_per_source,
+        "event_value_percentiles": T.event_value_percentiles,
         "pricing_summary": T.pricing_summary,
         "top_customers_by_orders": T.top_customers_by_orders,
         # --- streaming-shaped windows over events (SQL-checked) ---
@@ -236,6 +238,24 @@ def oracle_sql() -> dict[str, str]:
                    max(n) AS max_tokens,
                    sum(n)::DOUBLE / count(*) AS avg_tokens
             FROM t GROUP BY source ORDER BY source
+        """,
+        "top_docs_per_source": """
+            WITH r AS (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source ORDER BY n_chars DESC, doc_id
+                     ) AS rnk
+              FROM documents
+            )
+            SELECT source, doc_id, n_chars, rnk FROM r
+            WHERE rnk <= 3 ORDER BY source, rnk
+        """,
+        "event_value_percentiles": """
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.9) AS p90,
+                   quantile_cont(value, 0.99) AS p99
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

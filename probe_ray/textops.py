@@ -2015,6 +2015,64 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     )
 
 
+def top_docs_per_source(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Per-group top-k (the windowed-rank pattern): the k longest docs per
+    source, ranked by (n_chars desc, doc_id asc). groupby(source).
+    map_groups keeps only k rows per group — no global sort of the corpus.
+    SQL-checked against a row_number() window."""
+
+    def topk(group: pa.Table) -> pa.Table:
+        nc = group.column("n_chars").to_numpy()
+        ids = group.column("doc_id").to_numpy()
+        order = np.lexsort((ids, -nc))[:k]
+        sel = group.take(pa.array(order))
+        return pa.table(
+            {
+                "source": sel.column("source"),
+                "doc_id": sel.column("doc_id"),
+                "n_chars": sel.column("n_chars"),
+                "rnk": pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "source", "n_chars"])
+        .groupby("source")
+        .map_groups(topk, batch_format="pyarrow")
+        .sort(["source", "rnk"])
+    )
+
+
+def event_value_percentiles(sf_dir: str) -> rd.Dataset:
+    """Exact per-key percentiles (p50/p90/p99) of event value, via
+    groupby(event_type).map_groups over the sorted group — the ordered-
+    statistic pattern for keyed streams (keys are few; each group's values
+    fit a worker). numpy's linear interpolation matches DuckDB's
+    quantile_cont exactly."""
+
+    def pct(group: pa.Table) -> pa.Table:
+        v = np.sort(group.column("value").to_numpy().astype(np.float64))
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [group.column("event_type")[0].as_py()], pa.string()
+                ),
+                "p50": pa.array([np.quantile(v, 0.5)], pa.float64()),
+                "p90": pa.array([np.quantile(v, 0.9)], pa.float64()),
+                "p99": pa.array([np.quantile(v, 0.99)], pa.float64()),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["event_type", "value"])
+        .groupby("event_type")
+        .map_groups(pct, batch_format="pyarrow")
+        .sort("event_type")
+    )
+
+
 def source_stats(sf_dir: str) -> pa.Table:
     """Per-source document statistics (groupby + multiple aggregates)."""
 
