@@ -444,6 +444,11 @@ class Engine:
     # block extraction is per-row Python (line matching + window tokenize):
     # fan out beyond a small candidate count even with a pinned docs table
     LOCAL_BLOCK_CAND_MAX = 2048
+    # below this many verified feats rows, the exact/files_only finish
+    # sorts on the driver — a Ray Sort job costs ~1 s of fixed overhead
+    # regardless of size (feats is already materialized, count() is
+    # metadata-only). 0 disables the shortcut (tests force the big path).
+    LOCAL_FEATS_MAX = 100_000
 
     def _has_is_test(self) -> bool:
         """Docs built at schema version >= 3 carry the static is_test flag
@@ -1600,21 +1605,40 @@ class Engine:
         #   usable when no query-scoped special terms require re-tokenizing
         # - python row loop — exact/excluded queries and files_only
         use_vector = not ctx.specials and not files_only and allow_tests
+        # specials (quoted / exact terms): HYBRID verification — a doc's
+        # tokenization can only differ from its stored tokens when content
+        # or path CONTAINS a special's text (the invariant the row verifier
+        # already relies on), so non-containing rows go through the
+        # vectorized postings verifier and only substring-hit rows pay the
+        # Python re-tokenize (kills the quoted-exact plateau, r3 item 1)
+        use_hybrid = (
+            bool(ctx.specials) and not files_only and allow_tests
+            and not plan.is_universal
+        )
+        fast = use_vector or use_hybrid
         compound_parts = {
             t: parts
             for t in plan.term_indices
-            if len(parts := tok.split_compound_word_for_filtering(t)) > 1
+            if len(parts := tok.split_compound_word_for_filtering(
+                t, ctx.specials)) > 1
         }
-        extra_lookup = sorted(
-            (set(ranking_terms) | {p for ps in compound_parts.values() for p in ps})
-            - set(plan.term_indices)
-        ) if use_vector else []
+        extra_terms = (
+            set(ranking_terms) | {p for ps in compound_parts.values() for p in ps}
+        ) - set(plan.term_indices)
+        if use_hybrid:
+            # special plan terms are not in _candidate_ids' plain lookup
+            # set; the vector sub-verifier needs their postings for token
+            # membership on non-containing rows
+            extra_terms |= set(ctx.specials) & set(plan.term_indices)
+        extra_lookup = sorted(extra_terms) if fast else []
 
         cand_tbl = None  # local-path candidates (small candidate sets only)
         cand_mask = None  # vector path: candidate mask over the full table
         cand_ds = None
         cols = ["doc_id", "repo", "path", "lang", "content", "doc_len"] + (
-            [] if use_vector else ["tokens", "n_content_tokens"]
+            [] if use_vector
+            else ["tokens"] if use_hybrid
+            else ["tokens", "n_content_tokens"]
         ) + (["is_test"] if not allow_tests and self._has_is_test() else [])
         postings: dict = {}
         if plan.is_universal:
@@ -1635,12 +1659,12 @@ class Engine:
             if cand_ids.size == 0:
                 return _empty_result()
             local_cap = (
-                self.LOCAL_VECTOR_CAND_MAX if use_vector else self.LOCAL_CAND_MAX
+                self.LOCAL_VECTOR_CAND_MAX if fast else self.LOCAL_CAND_MAX
             )
             go_local = local_tbl is not None and cand_ids.size <= local_cap
             if go_local:
                 mask = np.isin(local_tbl.column("doc_id").to_numpy(), cand_ids)
-                if use_vector and cand_ids.size > 0.5 * self._stats["n_docs"]:
+                if fast and cand_ids.size > 0.5 * self._stats["n_docs"]:
                     # majority of the corpus: skip the table copy, verify
                     # the full cached table under the candidate mask
                     cand_tbl = local_tbl
@@ -1654,6 +1678,11 @@ class Engine:
             verify = _make_vector_verifier(
                 ctx, lang_exts, fname_matches, ranking_terms, compound_parts,
                 postings, seen=seen,
+            )
+        elif use_hybrid:
+            verify = _make_hybrid_verifier(
+                ctx, lang_exts, fname_matches, ranking_terms, compound_parts,
+                postings, seen=seen, fanout=cand_tbl is not None,
             )
         else:
             verify = _make_verifier(
@@ -1681,7 +1710,7 @@ class Engine:
                 max_results, max_bytes, max_tokens,
             )
 
-        feats_tbl = verify(cand_tbl, cand_mask) if use_vector else verify(cand_tbl)
+        feats_tbl = verify(cand_tbl, cand_mask) if fast else verify(cand_tbl)
 
         if files_only or exact or ctx.ast_all_exact:
             rows = feats_tbl.to_pylist()
@@ -1791,7 +1820,23 @@ class Engine:
     ) -> pa.Table:
         """files_only / exact path at scale: Ray-side sort by the joined
         file key, then a STREAMING driver consume that stops as soon as the
-        running-total limits are satisfied."""
+        running-total limits are satisfied. Small feats sets short-circuit
+        to a driver sort (a Ray Sort job has ~1 s fixed overhead)."""
+        if feats_ds.count() <= self.LOCAL_FEATS_MAX:
+            refs = feats_ds.to_arrow_refs()
+            tbl = (
+                pa.concat_tables([ray.get(r) for r in refs])
+                if refs else _FEATS_SCHEMA.empty_table()
+            )
+            rows = tbl.to_pylist()
+            rows.sort(key=lambda r: (f"{r['repo']}/{r['path']}", 1))
+            rows = _apply_limits_rows(rows, max_results, max_bytes, max_tokens)
+            pt = sorted(plan.term_indices, key=plan.term_indices.__getitem__)
+            for r in rows:
+                r["matched_terms"] = _bits_to_terms(
+                    r.get("matched_bits", b""), pt
+                )
+            return _rows_to_result(rows, ranked=False)
         sorted_ds = feats_ds.map_batches(
             self._file_key_column, batch_format="pyarrow"
         ).sort("file_key")
@@ -2629,6 +2674,109 @@ def _make_vector_verifier(ctx, lang_exts, fname_matches, ranking_terms,
                 "n_bytes": pa.array(n_bytes[sel].astype(np.int64), pa.int64()),
             }
         )
+
+    return verify
+
+
+@ray.remote(num_cpus=1)
+def _apply_verify(fn, tbl: pa.Table) -> pa.Table:
+    return fn(tbl)
+
+
+# driver-local hybrid verify: above this many substring-hit rows the Python
+# re-tokenize sub-verify fans out as plain Ray tasks (the table is already
+# in driver memory — a Dataset job's fixed overhead would dominate)
+_HIT_FANOUT_MIN = 384
+_HIT_FANOUT_TASKS = 32
+
+
+def _make_hybrid_verifier(ctx, lang_exts, fname_matches, ranking_terms,
+                          compound_parts, postings, seen=None, fanout=False):
+    """Specials (quoted/exact-term) verification without a full Python row
+    loop. Invariant (same one the row verifier's fast path at
+    _make_verifier relies on; file_processing.rs:1353-1358 semantics):
+    query-scoped special terms can only change a doc's tokenization when
+    the doc's content or path CONTAINS a special's text. So rows WITHOUT
+    any special substring are verified by the vectorized postings verifier
+    (stored tokens == re-tokenized tokens for them), and only
+    substring-hit rows pay the Python re-tokenize. Output-identical to
+    _make_verifier; usable driver-side (with a candidate mask) and as a
+    map_batches function."""
+    vec_verify = _make_vector_verifier(
+        ctx, lang_exts, fname_matches, ranking_terms, compound_parts,
+        postings, seen=seen,
+    )
+    row_verify = _make_verifier(
+        ctx, lang_exts, fname_matches, ranking_terms,
+        files_only=False, seen=seen, allow_tests=True,
+    )
+    specials = sorted(ctx.specials)
+
+    def verify(batch: pa.Table, cand_mask=None) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return _FEATS_SCHEMA.empty_table()
+        if "content_lower" in batch.schema.names:
+            cl = batch.column("content_lower")
+        else:
+            cl = pc.utf8_lower(batch.column("content"))
+            batch = batch.append_column("content_lower", cl)
+        pl = pc.utf8_lower(batch.column("path"))
+        hit = np.zeros(n, dtype=bool)
+        for s in specials:
+            hit |= pc.match_substring(cl, s).to_numpy(zero_copy_only=False)
+            hit |= pc.match_substring(pl, s).to_numpy(zero_copy_only=False)
+        # Arrow utf8_lower can differ from Python str.lower() on a few
+        # codepoints (e.g. U+0130 expands to two chars in Python): re-check
+        # arrow-NEGATIVE non-ASCII rows with the row verifier's exact
+        # `str.lower()` containment rule. Arrow false POSITIVES are
+        # harmless — re-tokenizing an unaffected doc reproduces the stored
+        # tokens by the invariant above.
+        non_ascii = ~(
+            pc.string_is_ascii(batch.column("content")).to_numpy(
+                zero_copy_only=False)
+            & pc.string_is_ascii(batch.column("path")).to_numpy(
+                zero_copy_only=False)
+        )
+        check = non_ascii & ~hit
+        if check.any():
+            idx = np.flatnonzero(check)
+            take = pa.array(idx)
+            contents = batch.column("content").take(take).to_pylist()
+            paths = batch.column("path").take(take).to_pylist()
+            for j, c, p in zip(idx, contents, paths):
+                cl_py, pl_py = c.lower(), p.lower()
+                if any(s in cl_py or s in pl_py for s in specials):
+                    hit[j] = True
+        keep = (
+            np.ones(n, dtype=bool) if cand_mask is None
+            else np.asarray(cand_mask, dtype=bool)
+        )
+        parts = []
+        vec_mask = keep & ~hit
+        if vec_mask.any():
+            parts.append(vec_verify(batch, vec_mask))
+        row_mask = keep & hit
+        n_hit = int(row_mask.sum())
+        if n_hit:
+            sub = batch.filter(pa.array(row_mask))
+            if fanout and n_hit >= _HIT_FANOUT_MIN:
+                fn_ref = ray.put(row_verify)
+                step = -(-n_hit // _HIT_FANOUT_TASKS)
+                refs = [
+                    _apply_verify.remote(fn_ref, sub.slice(i, step))
+                    for i in range(0, n_hit, step)
+                ]
+                parts.extend(ray.get(refs))
+            else:
+                parts.append(row_verify(sub))
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            return _FEATS_SCHEMA.empty_table()
+        if len(parts) == 1:
+            return parts[0]
+        # the two partitions are doc_id-disjoint; restore doc order
+        return pa.concat_tables(parts).sort_by("doc_id")
 
     return verify
 

@@ -369,11 +369,18 @@ def _process_token(
 
 
 # per-worker cache: raw token -> (emissions assuming no negation applies,
-# negation check-keys, shadow forms). Only used when specials is EMPTY
-# (index build and plain queries); quoted/excluded queries take the
-# uncached path.
+# negation check-keys, shadow forms), keyed by the query-scoped specials
+# set (EMPTY = index build / plain queries). Quoted/excluded queries reuse
+# the cache for THEIR specials set — identifiers repeat heavily, so each
+# distinct raw token pays split_camel_case/stem once per (worker, specials)
+# instead of once per occurrence.
 _TOKEN_CACHE: dict[str, tuple[tuple[str, ...], frozenset[str], tuple[str, ...]]] = {}
 _TOKEN_CACHE_MAX = 500_000
+_SPECIAL_TOKEN_CACHES: dict[
+    frozenset[str],
+    dict[str, tuple[tuple[str, ...], frozenset[str], tuple[str, ...]]],
+] = {}
+_SPECIAL_TOKEN_CACHES_MAX = 8  # distinct specials sets kept per worker
 
 
 def tokenize(text: str, specials: frozenset[str] = EMPTY) -> list[str]:
@@ -398,11 +405,13 @@ def tokenize_with_shadows(
     shadows: list[str] = []
 
     if specials:
-        for token in raw_tokens:
-            _process_token(token, specials, negated, processed, result, shadows)
-        return result, sorted(set(shadows) - set(result))
-
-    cache = _TOKEN_CACHE
+        cache = _SPECIAL_TOKEN_CACHES.get(specials)
+        if cache is None:
+            if len(_SPECIAL_TOKEN_CACHES) >= _SPECIAL_TOKEN_CACHES_MAX:
+                _SPECIAL_TOKEN_CACHES.pop(next(iter(_SPECIAL_TOKEN_CACHES)))
+            cache = _SPECIAL_TOKEN_CACHES[specials] = {}
+    else:
+        cache = _TOKEN_CACHE
     for token in raw_tokens:
         hit = cache.get(token)
         if hit is None:
@@ -410,7 +419,7 @@ def tokenize_with_shadows(
             sub_result: list[str] = []
             sub_shadows: list[str] = []
             keys = _process_token(
-                token, EMPTY, EMPTY, sub_processed, sub_result, sub_shadows
+                token, specials, EMPTY, sub_processed, sub_result, sub_shadows
             )
             hit = (tuple(sub_result), frozenset(keys), tuple(sub_shadows))
             if len(cache) < _TOKEN_CACHE_MAX:
@@ -418,7 +427,7 @@ def tokenize_with_shadows(
         emissions, keys, tok_shadows = hit
         if negated and not negated.isdisjoint(keys):
             # a negation touches this token: take the exact slow path
-            _process_token(token, EMPTY, negated, processed, result, shadows)
+            _process_token(token, specials, negated, processed, result, shadows)
             continue
         shadows.extend(tok_shadows)
         for t in emissions:

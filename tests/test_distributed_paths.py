@@ -23,6 +23,8 @@ _SUBSET = [q for q in QUERY_SUITE if q[0] in (
 def distributed_engine(t2_index, monkeypatch):
     monkeypatch.setattr(Engine, "LOCAL_DOCS_MAX", 0)
     monkeypatch.setattr(Engine, "LOCAL_CAND_MAX", 0)
+    monkeypatch.setattr(Engine, "LOCAL_VECTOR_CAND_MAX", 0)
+    monkeypatch.setattr(Engine, "LOCAL_FEATS_MAX", 0)
     return Engine(t2_index)
 
 
