@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import hashlib
 import re
+import threading
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import pandas as pd
@@ -891,7 +893,11 @@ def winnowing_fingerprints(sf_dir: str, k: int = 5, w: int = 4) -> rd.Dataset:
             }
         )
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(winnow, batch_format="pyarrow")
+    # narrow (4 int cols) result: sort for deterministic output order —
+    # block arrival order is not guaranteed across runs
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        winnow, batch_format="pyarrow"
+    ).sort("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1422,19 +1428,22 @@ def _survivors_ds(sf_dir: str, near_dup: bool) -> rd.Dataset:
     )
     if near_dup:
         clusters = minhash_lsh_dedup(sf_dir)
-        # cluster_id == min member by construction: drop every other member
-        ids = clusters.column("doc_id").to_numpy()
-        cids = clusters.column("cluster_id").to_numpy()
-        drops = ids[ids != cids]
-        if drops.size:
-            tagged = tagged.union(
-                rd.from_arrow(
-                    pa.table(
-                        {
-                            "doc_id": pa.array(drops, pa.int64()),
-                            "src": pa.array([-4] * drops.size, pa.int64()),
-                        }
+        if clusters.num_rows:
+            # cluster_id == min member by construction: drop every other
+            # member — filtered INSIDE the union (no driver numpy pass)
+            def drop_rows(batch: pa.Table) -> pa.Table:
+                ids = batch.column("doc_id").filter(
+                    pc.not_equal(
+                        batch.column("doc_id"), batch.column("cluster_id")
                     )
+                )
+                return pa.table(
+                    {"doc_id": ids, "src": pa.array([-4] * len(ids), pa.int64())}
+                )
+
+            tagged = tagged.union(
+                rd.from_arrow(clusters).map_batches(
+                    drop_rows, batch_format="pyarrow"
                 )
             )
     surv = tagged.groupby("doc_id").aggregate(
@@ -1451,6 +1460,22 @@ def corpus_clean(sf_dir: str) -> rd.Dataset:
     pipeline adds minhash near-dup removal — not SQL-expressible — and the
     resumable partitioned writer: corpus_clean_pipeline.)"""
     return _survivors_ds(sf_dir, near_dup=False).sort("doc_id")
+
+
+def _parquet_dir_rows(d: str) -> int:
+    """Row count from parquet FOOTERS (no Ray count job, no column read)."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    total = 0
+    for root, _dirs, files in os.walk(d):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += _pq.ParquetFile(
+                    os.path.join(root, fn)
+                ).metadata.num_rows
+    return total
 
 
 #: observability for the most recent corpus_clean_pipeline call
@@ -1503,9 +1528,7 @@ def corpus_clean_pipeline(
     if os.path.exists(side_dir):
         shutil.rmtree(side_dir)
     os.rename(side_tmp, side_dir)
-    n_survivors = int(
-        rd.read_parquet(side_dir, file_extensions=["parquet"]).count()
-    )
+    n_survivors = _parquet_dir_rows(side_dir)
 
     doc_path = f"{sf_dir}/documents.parquet"
     docs_schema = pads.dataset(doc_path).schema
@@ -1525,14 +1548,19 @@ def corpus_clean_pipeline(
     bound = max(max_id + 1, 1)
     part_size = -(-bound // n_parts)
 
-    written = skipped = 0
-    rows_out = 0
+    skipped = 0
+    todo: list[int] = []
     for part in range(n_parts):
-        key = str(part)
         part_dir = os.path.join(out_dir, f"part={part}")
-        if ledger.get(key) == "done" and os.path.exists(part_dir):
+        if ledger.get(str(part)) == "done" and os.path.exists(part_dir):
             skipped += 1
-            continue
+        else:
+            todo.append(part)
+
+    ledger_lock = threading.Lock()
+
+    def write_part(part: int) -> int:
+        part_dir = os.path.join(out_dir, f"part={part}")
         lo, hi = part * part_size, (part + 1) * part_size
         # this partition's survivor slice (bounded by part_size, row-group
         # pruned by the sorted side table's doc_id stats)
@@ -1567,15 +1595,27 @@ def corpus_clean_pipeline(
         if os.path.exists(part_dir):
             shutil.rmtree(part_dir)
         os.rename(tmp_dir, part_dir)
-        rows_out += int(
-            rd.read_parquet(
-                part_dir, columns=["doc_id"], file_extensions=["parquet"]
-            ).count()
-        )
-        ledger[key] = "done"
-        with open(ledger_path, "w") as f:
-            json.dump(ledger, f)
-        written += 1
+        n_rows = _parquet_dir_rows(part_dir)
+        # mark done as soon as THIS partition completes (atomic replace, so
+        # a crash mid-dump can't wedge the ledger); concurrent completions
+        # serialize on the lock
+        with ledger_lock:
+            ledger[str(part)] = "done"
+            lt = ledger_path + ".tmp"
+            with open(lt, "w") as f:
+                json.dump(ledger, f)
+            os.replace(lt, ledger_path)
+        return n_rows
+
+    # all missing partitions run CONCURRENTLY (each is its own Ray Data
+    # job sharing the cluster; completion order doesn't matter because
+    # every partition has its own atomic rename + ledger entry). The old
+    # serial driver for-loop serialized the whole output phase at scale.
+    rows_out = 0
+    if todo:
+        with ThreadPoolExecutor(max_workers=min(len(todo), 16)) as pool:
+            rows_out = sum(pool.map(write_part, todo))
+    written = len(todo)
 
     LAST_CLEAN_METRICS.clear()
     LAST_CLEAN_METRICS.update(

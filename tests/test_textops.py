@@ -305,3 +305,47 @@ def test_corpus_clean_pipeline_resumable(tmp_path):
         out, columns=["doc_id"], file_extensions=["parquet"]
     ).count()
     assert n2 == n1
+
+
+def test_corpus_clean_pipeline_crash_midflight(tmp_path):
+    """Crash with SEVERAL partitions in progress (missing ledger entries,
+    one half-written .part tmp dir): the rerun rewrites exactly the
+    missing partitions — concurrently — cleans the stale tmp dir, and the
+    output row count is unchanged."""
+    import json
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from probe_ray import textops as T
+
+    out = str(tmp_path / "cleaned_mid")
+    m1 = T.corpus_clean_pipeline(SF, out, n_parts=4, near_dup=False)
+    assert m1["partitions_written"] == 4
+    n1 = rd.read_parquet(
+        out, columns=["doc_id"], file_extensions=["parquet"]
+    ).count()
+    assert n1 == m1["survivors"] > 0
+
+    ledger_path = os.path.join(out, "_ledger.json")
+    with open(ledger_path) as f:
+        ledger = json.load(f)
+    for k in (1, 3):
+        shutil.rmtree(os.path.join(out, f"part={k}"))
+        del ledger[str(k)]
+    with open(ledger_path, "w") as f:
+        json.dump(ledger, f)
+    # half-written tmp dir from the crashed attempt at partition 1
+    stale = os.path.join(out, "part=1.part")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "garbage.parquet"), "wb") as f:
+        f.write(b"not parquet")
+
+    m2 = T.corpus_clean_pipeline(SF, out, n_parts=4, near_dup=False)
+    assert m2["partitions_written"] == 2 and m2["partitions_skipped"] == 2
+    assert not os.path.exists(stale)
+    n2 = rd.read_parquet(
+        out, columns=["doc_id"], file_extensions=["parquet"]
+    ).count()
+    assert n2 == n1
