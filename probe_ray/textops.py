@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import hashlib
 import re
+import shutil
+import tempfile
 import threading
 from concurrent.futures import ThreadPoolExecutor
 
@@ -473,6 +475,14 @@ _LSH_BUCKET_CAP = 64
 #: regardless of how many distinct buckets exist
 _LSH_COARSE = 1024
 
+#: membership-store crossover: up to this many qualifying (doc, bucket)
+#: rows the doc->buckets map is a driver dict broadcast once via ray.put
+#: (~150 B/row of driver heap, zero extra Ray jobs); above it, membership
+#: becomes a doc_id-sorted parquet side table semi-joined per batch with
+#: row-group-pruned predicate reads, so driver state stays bounded on
+#: duplicate-heavy corpora where the list approaches O(corpus)
+_MINHASH_BROADCAST_MAX = 500_000
+
 #: observability for the most recent minhash_lsh_dedup call
 LAST_MINHASH_METRICS: dict = {}
 
@@ -547,10 +557,13 @@ def minhash_lsh_dedup(
     def add_pg(batch: pa.Table) -> pa.Table:
         bh = batch.column("band_hash").to_pylist()
         bd = batch.column("band").to_numpy()
-        # band_hash is md5-derived hex: its low bits are already uniform
+        # band_hash is md5-derived hex: its low bits are already uniform;
+        # mix the band into the LOW bits (a high shift would vanish under
+        # the modulo) so different bands sharing a hash low-word spread
+        # across partitions
         pg = np.array(
             [int(h[-4:], 16) for h in bh], dtype=np.int64
-        ) ^ (bd.astype(np.int64) << 16)
+        ) ^ (bd.astype(np.int64) * 0x9E37)
         return batch.append_column("pg", pa.array(pg % _LSH_COARSE, pa.int64()))
 
     def coarse_members(g: pd.DataFrame) -> pd.DataFrame:
@@ -585,55 +598,50 @@ def minhash_lsh_dedup(
             }
         )
 
-    members_tbl = pa.concat_tables(
-        [
-            t
-            for t in (
-                b
-                for b in bands_ds.map_batches(add_pg, batch_format="pyarrow")
-                .groupby("pg")
-                .map_groups(coarse_members, batch_format="pandas")
-                .iter_batches(batch_format="pyarrow")
-            )
-            if t.num_rows > 0
-        ]
-        or [pa.schema([("key", pa.int64()), ("bucket", pa.string()),
-                       ("dropped", pa.int64())]).empty_table()]
+    # ---- distributed BUCKET-LEVEL verification ----
+    # The qualifying-bucket membership list (doc_id -> buckets) must reach
+    # the shingle pass. Two stores, crossed over on member-row count:
+    #  - <= _MINHASH_BROADCAST_MAX rows: a driver dict broadcast once via
+    #    ray.put (one object, zero extra jobs — the common, low-dup case);
+    #  - above it: a doc_id-SORTED parquet side table (the survivors
+    #    pattern); each batch semi-joins its own doc-id range via a
+    #    row-group-pruned predicate read. Driver membership state is ZERO
+    #    rows — bounded even on a duplicate-heavy corpus where the
+    #    qualifying list approaches O(corpus). (Multi-node: the side table
+    #    goes to shared storage, like every other index artifact.)
+    members_mat = (
+        bands_ds.map_batches(add_pg, batch_format="pyarrow")
+        .groupby("pg")
+        .map_groups(coarse_members, batch_format="pandas")
+        .materialize()
     )
-    dropped_total = int(pc.sum(members_tbl.column("dropped")).as_py() or 0)
+    n_members = members_mat.count()
+    dropped_total = (
+        int(members_mat.sum("dropped") or 0) if n_members else 0
+    )
+    use_side_table = n_members > _MINHASH_BROADCAST_MAX
     LAST_MINHASH_METRICS.clear()
-    LAST_MINHASH_METRICS.update(bucket_cap=_LSH_BUCKET_CAP,
-                                dropped_ids=dropped_total)
+    LAST_MINHASH_METRICS.update(
+        bucket_cap=_LSH_BUCKET_CAP, dropped_ids=dropped_total,
+        member_rows=n_members,
+        members_store=(
+            "sorted-parquet-side-table" if use_side_table else "broadcast-dict"
+        ),
+    )
     if dropped_total:
         print(f"[minhash_lsh_dedup] bucket cap {_LSH_BUCKET_CAP} dropped "
               f"{dropped_total} ids from oversized buckets")
-    if members_tbl.num_rows == 0:
+    if n_members == 0:
         return pa.table(
-            {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+            {"doc_id": pa.array([], pa.int64()),
+             "cluster_id": pa.array([], pa.int64())}
         )
 
-    # ---- distributed BUCKET-LEVEL verification ----
-    # The qualifying-bucket membership list is NARROW (<= bands x candidate
-    # docs) — broadcast it as a doc_id -> buckets map so shingle hashes are
-    # computed once per candidate doc and emitted DIRECTLY keyed by bucket
-    # (one shuffle). Pairwise Jaccard then runs vectorized per bucket
-    # (<= _LSH_BUCKET_CAP members -> one membership-matrix matmul) instead
-    # of one Ray group per candidate pair.
-    mkeys = members_tbl.column("key").to_numpy()
-    mbuckets = members_tbl.column("bucket").to_pylist()
-    doc_buckets: dict[int, list[str]] = {}
-    for did, bk in zip(mkeys, mbuckets):
-        doc_buckets.setdefault(int(did), []).append(bk)
-    map_ref = ray.put(doc_buckets)
-
-    def shingle_rows(batch: pa.Table) -> pa.Table:
-        dmap = ray.get(map_ref)
+    def _emit(ids, texts, dmap):
         out_bucket: list[str] = []
         out_doc: list[int] = []
         out_sh: list[list[int]] = []
-        for did, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
+        for did, text in zip(ids, texts):
             bks = dmap.get(did)
             if not bks:
                 continue
@@ -650,53 +658,101 @@ def minhash_lsh_dedup(
             }
         )
 
-    _edge_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    members_dir = None
+    if use_side_table:
+        members_dir = tempfile.mkdtemp(prefix="probe_ray_minhash_members_")
+        members_mat.sort("key").write_parquet(members_dir)
 
-    def bucket_verify(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        if n < 2:
-            return _edge_schema.empty_table()
-        ids = group.column("doc_id").to_numpy()
-        order = np.argsort(ids)  # ascending -> emitted edges have a < b
-        ids = ids[order]
-        sh_col = group.column("sh")
-        arrs = [
-            np.asarray(sh_col[int(i)].as_py() or [], dtype=np.int64)
-            for i in order
-        ]
-        nz = [a for a in arrs if a.size]
-        if not nz:
-            return _edge_schema.empty_table()
-        # membership matrix over the bucket's hash union: intersection sizes
-        # for ALL pairs in one matmul (bucket is capped, so n <= 64)
-        univ = np.unique(np.concatenate(nz))
-        M = np.zeros((n, univ.size), dtype=np.float64)
-        for i, a in enumerate(arrs):
-            if a.size:
-                M[i, np.searchsorted(univ, a)] = 1.0
-        inter = M @ M.T
-        sizes = M.sum(axis=1)
-        iu, ju = np.triu_indices(n, k=1)
-        union = sizes[iu] + sizes[ju] - inter[iu, ju]
-        ok = (union > 0) & (inter[iu, ju] / np.maximum(union, 1.0) >= threshold)
-        return pa.table(
-            {
-                "a": pa.array(ids[iu[ok]], pa.int64()),
-                "b": pa.array(ids[ju[ok]], pa.int64()),
-            }
+        def shingle_rows(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as _pq
+
+            ids = batch.column("doc_id").to_numpy()
+            if ids.size == 0:
+                return _emit([], [], {})
+            mt = _pq.read_table(
+                members_dir,
+                filters=[("key", ">=", int(ids.min())),
+                         ("key", "<=", int(ids.max()))],
+            )
+            dmap: dict[int, list[str]] = {}
+            for did, bk in zip(
+                mt.column("key").to_numpy(), mt.column("bucket").to_pylist()
+            ):
+                dmap.setdefault(int(did), []).append(bk)
+            return _emit(
+                ids.tolist(), batch.column("text").to_pylist(), dmap
+            )
+    else:
+        mt = pa.concat_tables(
+            [ray.get(r) for r in members_mat.to_arrow_refs()]
         )
+        doc_buckets: dict[int, list[str]] = {}
+        for did, bk in zip(
+            mt.column("key").to_numpy(), mt.column("bucket").to_pylist()
+        ):
+            doc_buckets.setdefault(int(did), []).append(bk)
+        map_ref = ray.put(doc_buckets)
 
-    # only verified EDGES reach the driver (tiny); a pair verifying in
-    # several buckets dedups via np.unique on the composite key
-    edge_parts = [
-        b
-        for b in _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(shingle_rows, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(bucket_verify, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
-        if b.num_rows > 0
-    ]
+        def shingle_rows(batch: pa.Table) -> pa.Table:
+            return _emit(
+                batch.column("doc_id").to_pylist(),
+                batch.column("text").to_pylist(),
+                ray.get(map_ref),
+            )
+
+    try:
+        _edge_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+        def bucket_verify(group: pa.Table) -> pa.Table:
+            n = group.num_rows
+            if n < 2:
+                return _edge_schema.empty_table()
+            ids = group.column("doc_id").to_numpy()
+            order = np.argsort(ids)  # ascending -> emitted edges have a < b
+            ids = ids[order]
+            sh_col = group.column("sh")
+            arrs = [
+                np.asarray(sh_col[int(i)].as_py() or [], dtype=np.int64)
+                for i in order
+            ]
+            nz = [a for a in arrs if a.size]
+            if not nz:
+                return _edge_schema.empty_table()
+            # membership matrix over the bucket's hash union: intersection
+            # sizes for ALL pairs in one matmul (bucket is capped, n <= 64)
+            univ = np.unique(np.concatenate(nz))
+            M = np.zeros((n, univ.size), dtype=np.float64)
+            for i, a in enumerate(arrs):
+                if a.size:
+                    M[i, np.searchsorted(univ, a)] = 1.0
+            inter = M @ M.T
+            sizes = M.sum(axis=1)
+            iu, ju = np.triu_indices(n, k=1)
+            union = sizes[iu] + sizes[ju] - inter[iu, ju]
+            ok = (union > 0) & (
+                inter[iu, ju] / np.maximum(union, 1.0) >= threshold
+            )
+            return pa.table(
+                {
+                    "a": pa.array(ids[iu[ok]], pa.int64()),
+                    "b": pa.array(ids[ju[ok]], pa.int64()),
+                }
+            )
+
+        # only verified EDGES reach the driver (tiny); a pair verifying in
+        # several buckets dedups via np.unique on the composite key
+        edge_parts = [
+            b
+            for b in _docs(sf_dir, ["doc_id", "text"])
+            .map_batches(shingle_rows, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(bucket_verify, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+            if b.num_rows > 0
+        ]
+    finally:
+        if members_dir is not None:
+            shutil.rmtree(members_dir, ignore_errors=True)
     if edge_parts:
         et = pa.concat_tables(edge_parts)
         epairs = np.unique(

@@ -46,10 +46,25 @@ def test_minhash_deterministic():
     a = T.minhash_lsh_dedup(SF).to_pandas()
     b = T.minhash_lsh_dedup(SF).to_pandas()
     assert a.equals(b)
+    assert T.LAST_MINHASH_METRICS["members_store"] == "broadcast-dict"
     # every cluster id is the min member of its cluster
     for cid, grp in a.groupby("cluster_id"):
         assert cid == grp["doc_id"].min()
         assert len(grp) >= 2
+
+
+def test_minhash_side_table_store_identical(monkeypatch):
+    """Forcing the sorted-parquet membership side table (the bounded-driver
+    scale path for duplicate-heavy corpora) must produce byte-identical
+    clusters to the broadcast-dict store."""
+    from probe_ray import textops as T
+
+    base = T.minhash_lsh_dedup(SF).to_pandas()
+    monkeypatch.setattr(T, "_MINHASH_BROADCAST_MAX", 0)
+    side = T.minhash_lsh_dedup(SF).to_pandas()
+    assert T.LAST_MINHASH_METRICS["members_store"] == "sorted-parquet-side-table"
+    assert T.LAST_MINHASH_METRICS["member_rows"] > 0
+    assert base.equals(side)
 
 
 def test_minhash_approximates_jaccard():
