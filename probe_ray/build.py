@@ -267,6 +267,18 @@ def read_corpus(path: str) -> "rd.Dataset":
     downstream build is format-agnostic."""
     low = path.lower()
     if low.endswith((".jsonl", ".json", ".ndjson")):
+        # Ray's read_json parses newline-delimited JSON only. A standard
+        # JSON-array file (leading '[') would die deep in pyarrow with an
+        # opaque parse error — detect it up front and say so.
+        if low.endswith(".json") and os.path.isfile(path):
+            with open(path, "rb") as fh:
+                head = fh.read(64).lstrip()
+            if head.startswith(b"["):
+                raise ValueError(
+                    f"{path}: JSON-array files are not supported; the JSON "
+                    "corpus source reads newline-delimited JSON (one object "
+                    "per line — rename to .jsonl/.ndjson once converted)"
+                )
         return rd.read_json(path)
     if low.endswith(".csv"):
         from pyarrow import csv as _pacsv

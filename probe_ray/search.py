@@ -920,8 +920,15 @@ class Engine:
         )
         if use_global:
             # scale path: MaxScore top docs by corpus-global BM25; only
-            # their blocks are extracted and ranked
-            k_docs = max((max_results or 10) * max(global_overfetch, 1), 1)
+            # their blocks are extracted and ranked. With an active session
+            # the top of the pruned set may be entirely cached spans — widen
+            # k_docs by the cached file/span count so pagination keeps
+            # surfacing unseen matches past them (compat mode ranks all
+            # candidates and needs no widening).
+            n_cached = len(seen or ()) + sum(
+                len(v) for v in (seen_blocks or {}).values()
+            )
+            k_docs = max((max_results or 10) * max(global_overfetch, 1), 1) + n_cached
             ids_g, sc_g, _ = self._maxscore_topk(positive_terms, k_docs)
             if ids_g.size == 0:
                 return _BLOCK_SCHEMA.empty_table()

@@ -1018,6 +1018,12 @@ def _lsh_sig_store(sf_dir: str, n_planes: int = 6, seed: int = 42) -> str:
     out = f"/tmp/probe_ray_lshsig_{tag}"
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
+    if os.path.exists(out):
+        # crash between rename and a legacy outside-part _DONE write left a
+        # half-finalized dir: rebuild from scratch
+        import shutil
+
+        shutil.rmtree(out)
     pf = _pq.ParquetFile(src)
     first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
     dim = len(first.column(0)[0])
@@ -1036,7 +1042,9 @@ def _lsh_sig_store(sf_dir: str, n_planes: int = 6, seed: int = 42) -> str:
             }
         )
 
-    part = out + ".part"
+    # per-process temp dir + _DONE inside it + first-rename-wins, same
+    # arbiter pattern as _ivf_store
+    part = f"{out}.part.{os.getpid()}"
     if os.path.exists(part):
         import shutil
 
@@ -1047,9 +1055,14 @@ def _lsh_sig_store(sf_dir: str, n_planes: int = 6, seed: int = 42) -> str:
         .sort("sig")
         .write_parquet(part, min_rows_per_file=4096)
     )
-    os.rename(part, out)
-    with open(os.path.join(out, "_DONE"), "w") as f:
+    with open(os.path.join(part, "_DONE"), "w") as f:
         f.write("ok")
+    try:
+        os.rename(part, out)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(part)
     return out
 
 
@@ -1223,10 +1236,13 @@ def _ivf_store(
         f.write(str(n_total))
     with open(os.path.join(part, "_DONE"), "w") as f:
         f.write("ok")
-    if os.path.exists(out):  # a concurrent builder finished first
-        shutil.rmtree(part)
-    else:
+    # the rename itself is the race arbiter: if a concurrent builder
+    # finished first, rename onto the existing dir raises and we discard
+    # our part (first-rename-wins — no exists-check TOCTOU window)
+    try:
         os.rename(part, out)
+    except OSError:
+        shutil.rmtree(part)
     return out, cents
 
 

@@ -254,6 +254,35 @@ def test_block_global_mode_respects_exclusions(t2_rows, t2_index):
     assert spans(glob) == spans(compat)
 
 
+def test_block_global_session_pagination_widens(t2_rows, t2_index):
+    """global mode + session: MaxScore pruning happens BEFORE the session
+    seen-filter, so k_docs must widen by the cached span count — otherwise
+    a tight overfetch returns only already-seen docs and the page comes
+    back empty while unseen matches exist (compat would return them)."""
+    eng = Engine(t2_index)
+    q = ["keywordAlpha OR keywordBeta"]
+    compat_total = eng.search_blocks(q).num_rows
+    first = eng.search_blocks(
+        q, max_results=3, mode="global", global_overfetch=1, session="bs_gw"
+    )
+    frows = first.to_pylist()
+    assert 0 < len(frows) <= 3 < compat_total
+    first_ids = {
+        (f"{r['repo']}/{r['path']}", r["start_line"], r["end_line"])
+        for r in frows
+    }
+    second = eng.search_blocks(
+        q, max_results=3, mode="global", global_overfetch=1, session="bs_gw"
+    )
+    srows = second.to_pylist()
+    assert srows, "page 2 must surface unseen blocks past the cached spans"
+    second_ids = {
+        (f"{r['repo']}/{r['path']}", r["start_line"], r["end_line"])
+        for r in srows
+    }
+    assert not (first_ids & second_ids)
+
+
 def test_block_session_partial_file(t2_rows):
     """A cached block suppresses only ITS lines: other matched lines of the
     same file still produce their blocks (cache.rs:418-505)."""

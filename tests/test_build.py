@@ -241,6 +241,18 @@ def test_jsonl_and_csv_corpus_sources(ray_session, tmp_path):
     # betaValue's file matches via "valu"
     assert len(results["parquet"]) == 7
 
+    # a standard JSON-array file is rejected with a descriptive error, not
+    # a deep pyarrow parse failure
+    import pytest
+
+    from probe_ray.build import read_corpus
+
+    arr_path = tmp_path / "c.json"
+    with open(arr_path, "w") as f:
+        _json.dump(rows, f)
+    with pytest.raises(ValueError, match="newline-delimited"):
+        read_corpus(str(arr_path))
+
 
 def test_single_doc_and_tiny_corpus(ray_session, tmp_path):
     """Degenerate corpora: one doc, and a doc with one line — build,
