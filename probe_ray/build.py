@@ -256,6 +256,88 @@ def make_segment_merger(n_shards: int):
     return merge_batch
 
 
+# doc ids per doc-length attribute shard (16 MiB of int32 per slice; at
+# 1e9 docs that is ~256 bounded-size write tasks)
+DOC_LEN_SHARD = 1 << 22
+
+
+def _write_doc_lens_sharded(ds_len: "rd.Dataset", out_path: str) -> tuple[int, int]:
+    """Write the dense doc_id -> doc_len attribute file WITHOUT driver-side
+    materialization: each DOC_LEN_SHARD id range writes its raw int32 slice
+    from a Ray task (doc ids are dense by construction, so range == slice),
+    and the driver stream-concatenates the slices under one npy header —
+    peak driver memory is a single slice buffer regardless of corpus size,
+    and the query side still mmaps one plain .npy. Returns
+    (n_docs, sum_doc_len) computed from the same scan."""
+    shard_dir = f"{out_path}.shards.{os.getpid()}"
+    if os.path.exists(shard_dir):
+        shutil.rmtree(shard_dir)
+    os.makedirs(shard_dir)
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        sh = (batch.column("doc_id").to_numpy() // DOC_LEN_SHARD).astype(np.int32)
+        return batch.append_column("shard", pa.array(sh, pa.int32()))
+
+    def write_shard(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "shard": pa.array([], pa.int32()),
+                "n": pa.array([], pa.int64()),
+                "dl_sum": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        ids = group.column("doc_id").to_numpy()
+        lens = group.column("doc_len").to_numpy()
+        shard = int(ids[0]) // DOC_LEN_SHARD
+        arr = np.zeros(DOC_LEN_SHARD, dtype="<i4")
+        arr[ids - shard * DOC_LEN_SHARD] = lens
+        path = os.path.join(shard_dir, f"part-{shard:08d}.bin")
+        with open(path + ".tmp", "wb") as f:
+            f.write(arr.tobytes())
+        os.replace(path + ".tmp", path)
+        return pa.table(
+            {
+                "shard": pa.array([shard], pa.int32()),
+                "n": pa.array([len(ids)], pa.int64()),
+                "dl_sum": pa.array([int(lens.sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        ds_len.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(write_shard, batch_format="pyarrow")
+        .take_all()
+    )  # one tiny row per shard
+    n_docs = int(sum(r["n"] for r in parts))
+    sum_dl = int(sum(r["dl_sum"] for r in parts))
+
+    import numpy.lib.format as _npf
+
+    tmp_path = out_path + ".tmp"
+    with open(tmp_path, "wb") as out:
+        _npf.write_array_header_1_0(
+            out,
+            {"descr": "<i4", "fortran_order": False, "shape": (max(n_docs, 1),)},
+        )
+        if n_docs == 0:
+            out.write(np.zeros(1, dtype="<i4").tobytes())
+        for shard in range((n_docs + DOC_LEN_SHARD - 1) // DOC_LEN_SHARD):
+            # the final shard is trimmed to n_docs
+            want = (min(DOC_LEN_SHARD, n_docs - shard * DOC_LEN_SHARD)) * 4
+            p = os.path.join(shard_dir, f"part-{shard:08d}.bin")
+            if os.path.exists(p):
+                with open(p, "rb") as f:
+                    out.write(f.read(want))
+            else:  # unreachable with dense ids; keep the file well-formed
+                out.write(np.zeros(want // 4, dtype="<i4").tobytes())
+    os.replace(tmp_path, out_path)
+    shutil.rmtree(shard_dir)
+    return n_docs, sum_dl
+
+
 def _term_shard(term: str, n_shards: int) -> int:
     return int.from_bytes(hashlib.md5(term.encode()).digest()[:4], "little") % n_shards
 
@@ -706,25 +788,24 @@ def build_index(
     if _fail_after == "docs":
         raise RuntimeError("injected failure after docs stage (test hook)")
 
-    # ONE narrow (doc_id, doc_len) pass feeds BOTH the corpus stats and the
+    # ONE narrow (doc_id, doc_len) scan feeds BOTH the corpus stats and the
     # dense doc-length attribute file (memory-mapped at query time: doc-len
     # lookups page in on demand instead of pinning 4 B/doc of driver heap —
-    # the doc-attribute store a cluster deployment puts on shared storage)
-    id_len_refs = rd.read_parquet(
-        tmp.docs_dir, columns=["doc_id", "doc_len"]
-    ).to_arrow_refs()
-    id_len_tables = [t for t in (ray.get(r) for r in id_len_refs) if t.num_rows]
-    n_docs = sum(t.num_rows for t in id_len_tables)
-    sum_dl = int(
-        sum(int(t.column("doc_len").to_numpy().sum()) for t in id_len_tables)
-    )
+    # the doc-attribute store a cluster deployment puts on shared storage).
+    # The array is built SHARDED: Ray tasks write one raw slice per doc-id
+    # range and the driver stream-concatenates bytes under a single npy
+    # header, so neither np.zeros(n_docs) nor a (doc_id, doc_len) pull ever
+    # lands on the driver — the build side now scales past 1e9 docs like
+    # the query side.
+    ds_len = rd.read_parquet(tmp.docs_dir, columns=["doc_id", "doc_len"])
+    if os.path.exists(tmp.doc_lens_path):
+        # resume with the attribute file already finalized: only the two
+        # scalars are needed
+        n_docs = int(ds_len.count())
+        sum_dl = int(ds_len.sum("doc_len") or 0)
+    else:
+        n_docs, sum_dl = _write_doc_lens_sharded(ds_len, tmp.doc_lens_path)
     avgdl = (sum_dl / n_docs) if n_docs else 0.0
-    if not os.path.exists(tmp.doc_lens_path):
-        arr = np.zeros(max(n_docs, 1), dtype=np.int32)
-        for t in id_len_tables:
-            arr[t.column("doc_id").to_numpy()] = t.column("doc_len").to_numpy()
-        np.save(tmp.doc_lens_path, arr)
-    del id_len_tables
 
     tok_ds = rd.read_parquet(
         tmp.docs_dir,

@@ -86,6 +86,33 @@ def test_build_deterministic_across_runs(ray_session, tmp_path):
     assert p1 == p2
 
 
+def test_doc_lens_sharded_multi_shard(ray_session, tmp_path, monkeypatch):
+    """The doc-length attribute file is written as per-id-range slices from
+    Ray tasks and stream-concatenated — with a tiny shard size the multi-
+    shard path must still produce the exact dense doc_id -> doc_len array
+    (including the trimmed final shard) and the same corpus stats."""
+    import numpy as np
+
+    import probe_ray.build as B
+    from probe_ray.corpus import write_corpus
+
+    monkeypatch.setattr(B, "DOC_LEN_SHARD", 8)
+    corpus = str(tmp_path / "c.parquet")
+    write_corpus(corpus, "t2")  # ~tens of docs -> several shards at size 8
+    paths = B.build_index(corpus, str(tmp_path / "idx"))
+    docs = pq.read_table(paths.docs_dir, columns=["doc_id", "doc_len"])
+    n = docs.num_rows
+    assert n > 8, "corpus must span multiple shards for this test"
+    arr = np.load(paths.doc_lens_path, mmap_mode="r")
+    assert arr.shape == (n,) and arr.dtype == np.int32
+    expect = np.zeros(n, dtype=np.int32)
+    expect[docs.column("doc_id").to_numpy()] = docs.column("doc_len").to_numpy()
+    assert np.array_equal(np.asarray(arr), expect)
+    stats = paths.stats()
+    assert stats["n_docs"] == n
+    assert stats["sum_dl"] == int(expect.sum())
+
+
 def test_doc_ids_follow_sort_order(t1_index):
     docs = pq.read_table(t1_index.docs_dir, columns=["doc_id", "repo", "path", "commit"])
     rows = sorted(
