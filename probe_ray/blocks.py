@@ -698,3 +698,108 @@ def merge_ranked_blocks(
                     changed = True
             out.append(cur)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Early ranking + early termination (early_ranker.rs, search_runner.rs:892-
+# 1208): when limits are set the reference does NOT extract blocks from
+# every matched file — it ranks files by a cheap BM25-like early score,
+# processes them in batches of min(100, estimate_files_needed(...)), and
+# stops once the estimate is met or results exceed 2x max_results. The
+# final block ranking then runs over the extracted subset only. These pure
+# functions are shared by the engine and the oracle so both compute
+# bit-identical early scores (same numpy ops, same order).
+#
+# Index-derived adaptation (documented deviations from early_ranker.rs):
+# - tf comes from the index postings' presence nibbles (content-token
+#   presence + path-token presence, each 0/1 after tokenize()'s dedup)
+#   instead of the reference's matched-line-count proxy (which needs the
+#   very line scan early ranking exists to avoid);
+# - the filename component uses the path-token presence bit (the indexed
+#   form of a filename match) instead of a raw substring test on the
+#   basename;
+# - scoring runs per tokenized KEYWORD (the same unit the block ranking
+#   uses) rather than per raw query term;
+# - ties in the score sort break by doc_id ascending (the reference's
+#   order is Vec-iteration over a HashSet — nondeterministic).
+# ---------------------------------------------------------------------------
+
+EARLY_K1 = 1.2  # early_ranker.rs:36-37 (NOT the ranking BM25's 1.5/0.5)
+EARLY_B = 0.75
+EARLY_FILENAME_BOOST = 2.0  # early_ranker.rs:60
+EARLY_MIN_FILES = 20  # early_ranker.rs MIN_FILES_TO_PROCESS
+EARLY_AVG_RESULTS_PER_FILE = 2.5
+EARLY_BATCH_SIZE = 100  # search_runner.rs:892 BATCH_SIZE
+
+
+def estimate_files_needed(
+    max_results: int | None, max_tokens: int | None,
+    avg_tokens_per_result: int = 250,
+) -> int:
+    """Faithful port of early_ranker.rs estimate_files_needed: 1.5x-buffered
+    limits, ~2.5 results/file, floor of 20 files."""
+    import math
+
+    result_limit = max_results if max_results is not None else 1000
+    buffered_result_limit = math.ceil(result_limit * 1.5)
+    files_for_results = math.ceil(
+        buffered_result_limit / EARLY_AVG_RESULTS_PER_FILE
+    )
+    if max_tokens is not None:
+        results_for_tokens = max_tokens // max(avg_tokens_per_result, 1)
+        buffered_token_results = math.ceil(results_for_tokens * 1.5)
+        files_for_tokens = math.ceil(
+            buffered_token_results / EARLY_AVG_RESULTS_PER_FILE
+        )
+        return max(min(files_for_tokens, files_for_results), EARLY_MIN_FILES)
+    return max(files_for_results, EARLY_MIN_FILES)
+
+
+def early_rank_scores(
+    eids, dls, term_stats: list[tuple], n_queries: int,
+):
+    """Early scores (early_ranker.rs:27-77) for the candidate docs ``eids``
+    (sorted int64 doc ids) with doc lengths ``dls``. ``term_stats`` is one
+    (doc_ids, ctf, ptf) triple per ranking keyword — sorted posting doc ids
+    with content/path presence counts (entries whose ids fall outside
+    ``eids`` are ignored; df/N/avgdl are computed over ``eids`` only).
+    Returns the score vector aligned with ``eids``."""
+    import numpy as np
+
+    n = int(eids.size)
+    score = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return score
+    dls = np.asarray(dls, dtype=np.float64)
+    avgdl = dls.mean() if dls.size else 1.0
+    if avgdl <= 0:
+        avgdl = 1.0
+    length_norm = 1.0 - EARLY_B + EARLY_B * (dls / avgdl)
+    matched = np.zeros(n, dtype=np.int64)
+    for ids_t, ctf, ptf in term_stats:
+        if ids_t.size == 0:
+            continue
+        pos = np.searchsorted(eids, ids_t)
+        ok = (pos < n) & (eids[np.minimum(pos, n - 1)] == ids_t)
+        pos = pos[ok]
+        ctf = np.asarray(ctf, dtype=np.float64)[ok]
+        ptf = np.asarray(ptf, dtype=np.float64)[ok]
+        df = int(pos.size)
+        if df == 0:
+            continue
+        idf = np.log((n + 1.0) / (df + 1.0))  # early_ranker.rs:23
+        tf = ctf + ptf
+        cmask = ctf > 0
+        if cmask.any():
+            cp = pos[cmask]
+            score[cp] += idf * (
+                (tf[cmask] * (EARLY_K1 + 1.0))
+                / (tf[cmask] + EARLY_K1 * length_norm[cp])
+            )
+        pmask = ptf > 0
+        if pmask.any():
+            score[pos[pmask]] += idf * EARLY_FILENAME_BOOST
+        matched[pos] += cmask.astype(np.int64) + pmask.astype(np.int64)
+    coverage = matched / n_queries if n_queries else np.zeros(n)
+    score *= 1.0 + coverage**1.5 * 2.0  # early_ranker.rs:69-75
+    return score

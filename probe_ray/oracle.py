@@ -280,6 +280,89 @@ class BlockHit:
         return f"{self.repo}/{self.path}"
 
 
+def _early_order(
+    docs: list[Doc],
+    queries: list[str],
+    max_results: int | None,
+    max_bytes: int | None,
+    max_tokens: int | None,
+    seen: set[str] | None,
+    seen_blocks: dict[str, list[tuple[int, int]]] | None,
+):
+    """Early-ranked doc order + processing estimate (early_ranker.rs:22-77,
+    index-adapted; see blocks.py). Presence stats come from the
+    UNSPECIALIZED token sets of content and path — exactly the engine's
+    posting nibbles — and the scoring is the shared
+    blocks.early_rank_scores, so engine and oracle order identically.
+    Returns (ordered doc ids, estimated_files_needed) or None when early
+    termination must fall back to full extraction (no limits, unrankable
+    query, or fewer keyword-matched docs than the estimate needs)."""
+    import numpy as np
+
+    from probe_ray import blocks as blk
+
+    limited = (
+        max_results is not None or max_bytes is not None
+        or max_tokens is not None
+    )
+    if not limited:
+        return None
+    try:
+        r_ast, _ = qp.parse_query(" ".join(queries), False)
+    except qp.ParseError:
+        return None
+    all_kw: set[str] = set()
+    pos_kw: set[str] = set()
+    for t in qp.walk_terms(r_ast):
+        for kw in t.lowercase_keywords:
+            all_kw.add(kw)
+            if not t.excluded:
+                pos_kw.add(kw)
+    if not pos_kw or len(all_kw) > 256:
+        return None
+    ranking_terms = sorted(all_kw)
+    ct_lists = [tok.tokenize(d.content) for d in docs]
+    pt_lists = [tok.tokenize(d.path) for d in docs]
+    ct_sets = [frozenset(x) for x in ct_lists]
+    pt_sets = [frozenset(x) for x in pt_lists]
+    stats: dict[str, tuple] = {}
+    for kw in ranking_terms:
+        ids: list[int] = []
+        ctf: list[int] = []
+        ptf: list[int] = []
+        for d, cs, ps in zip(docs, ct_sets, pt_sets):
+            c = 1 if kw in cs else 0
+            p = 1 if kw in ps else 0
+            if c or p:
+                ids.append(d.doc_id)
+                ctf.append(c)
+                ptf.append(p)
+        stats[kw] = (
+            np.array(ids, np.int64),
+            np.array(ctf, np.int64),
+            np.array(ptf, np.int64),
+        )
+    pos_sets = [stats[k][0] for k in sorted(pos_kw) if stats[k][0].size]
+    if not pos_sets:
+        return None
+    eids = np.unique(np.concatenate(pos_sets))
+    n_cached = len(seen or ()) + sum(
+        len(v) for v in (seen_blocks or {}).values()
+    )
+    est = blk.estimate_files_needed(max_results, max_tokens) + n_cached
+    if eids.size < est:
+        return None
+    dl_map = {
+        d.doc_id: len(c) + len(p)
+        for d, c, p in zip(docs, ct_lists, pt_lists)
+    }
+    dls = np.array([dl_map[int(i)] for i in eids], np.float64)
+    score = blk.early_rank_scores(
+        eids, dls, [stats[k] for k in ranking_terms], len(queries)
+    )
+    return eids[np.lexsort((eids, -score))], est
+
+
 def oracle_search_blocks(
     docs: list[Doc],
     queries: list[str],
@@ -294,6 +377,7 @@ def oracle_search_blocks(
     seen_blocks: dict[str, list[tuple[int, int]]] | None = None,
     no_merge: bool = False,
     merge_threshold: int | None = None,
+    early_termination: bool = False,
 ) -> list[BlockHit]:
     """Block-granularity oracle: the reference's ACTUAL output unit.
 
@@ -351,9 +435,10 @@ def oracle_search_blocks(
 
     # --- per-doc block extraction in canonical (doc_id, window) order ---
     candidates: list[tuple[Doc, dict]] = []
-    for doc in docs:
+
+    def process_doc(doc: Doc) -> None:
         if not path_admitted(doc):
-            continue
+            return
         lines = doc.content.split("\n")
         term_map = blk.line_term_matches(lines, patterns)
         if plan.is_universal:
@@ -367,18 +452,18 @@ def oracle_search_blocks(
                 for t in fn_terms:
                     term_map.setdefault(term_indices[t], set()).update(all_ln)
         if not term_map:
-            continue
+            return
         if not qp.evaluate(plan.ast, set(term_map), term_indices, True):
-            continue  # early file filter (ignore negatives)
+            return  # early file filter (ignore negatives)
         if seen and doc.file in seen:
-            continue  # session anti-join at document granularity
+            return  # session anti-join at document granularity
         cached_ranges = (seen_blocks or {}).get(doc.file, [])
         if cached_ranges:
             # block-granularity session: lines inside previously returned
             # blocks are removed pre-extraction (cache.rs:418-505)
             term_map = blk.remove_cached_lines(term_map, cached_ranges)
             if not term_map:
-                continue
+                return
         for b in blk.extract_fallback_blocks(
             lines, doc.path, term_map, plan, specials,
             allow_tests=allow_tests, exact=exact,
@@ -389,6 +474,41 @@ def oracle_search_blocks(
             b["repo"] = doc.repo
             b["file"] = doc.file
             candidates.append((doc, b))
+
+    early_order = (
+        _early_order(docs, queries, max_results, max_bytes, max_tokens,
+                     seen, seen_blocks)
+        if early_termination and not (exact or ast_all_exact)
+        and not plan.is_universal
+        else None
+    )
+    if early_order is not None:
+        # search_runner.rs:892-1208: early-ranked batch processing with the
+        # estimate / 2x-max_results stop rules (mirrors
+        # Engine._early_terminated_extract bit-for-bit: same shared scoring,
+        # same batch boundaries, same counts)
+        import numpy as np
+
+        ordered, est = early_order
+        by_id = {d.doc_id: d for d in docs}
+        eff = min(blk.EARLY_BATCH_SIZE, est)
+        processed = 0
+        for start in range(0, int(ordered.size), eff):
+            chunk = np.sort(ordered[start : start + eff])
+            for i in chunk:
+                d = by_id.get(int(i))
+                if d is not None:
+                    process_doc(d)
+            processed += int(chunk.size)
+            if processed >= est:
+                break
+            if max_results is not None and len(candidates) > 2 * max_results:
+                break
+        # canonical candidate order, as the engine sorts its feats
+        candidates.sort(key=lambda p: (p[0].doc_id, p[1]["start"]))
+    else:
+        for doc in docs:
+            process_doc(doc)
 
     def to_hit(doc: Doc, b: dict, rank, score, bm25) -> BlockHit:
         return BlockHit(

@@ -444,6 +444,10 @@ class Engine:
     # block extraction is per-row Python (line matching + window tokenize):
     # fan out beyond a small candidate count even with a pinned docs table
     LOCAL_BLOCK_CAND_MAX = 2048
+    # block early termination auto-engages (limits set, ranked query) above
+    # this many keyword-matched docs; below it, full extraction is cheap
+    # and exact. early_termination=True/False overrides.
+    EARLY_TERM_AUTO_MIN = 5000
     # below this many verified feats rows, the exact/files_only finish
     # sorts on the driver — a Ray Sort job costs ~1 s of fixed overhead
     # regardless of size (feats is already materialized, count() is
@@ -832,6 +836,7 @@ class Engine:
         exhaustive: bool = False,
         mode: str = "compat",
         global_overfetch: int = 8,
+        early_termination: bool | None = None,
     ) -> pa.Table:
         """Ranked code BLOCKS (fallback-extractor granularity), rank- and
         score-identical to oracle.oracle_search_blocks. Candidates come from
@@ -908,6 +913,47 @@ class Engine:
             except qp.ParseError:
                 ranking_ast = None
 
+        lang_exts = None
+        if ctx.language:
+            lang_exts = qp._LANG_EXTENSIONS.get(qp.normalize_language(ctx.language))
+        extract = _make_block_extractor(
+            ctx, patterns, fname_matches, ranking_terms, lang_exts,
+            allow_tests=allow_tests, exact=exact, seen=seen,
+            seen_blocks=seen_blocks,
+        )
+        cols = ["doc_id", "repo", "path", "content"] + (
+            ["is_test"] if self._has_is_test() else []
+        )
+        n_cached = len(seen or ()) + sum(
+            len(v) for v in (seen_blocks or {}).values()
+        )
+
+        # early termination (search_runner.rs:892-1208): with limits set the
+        # reference never extracts blocks from every matched file — it ranks
+        # files by a cheap early score and stops after
+        # estimate_files_needed(...) files (or 2x max_results blocks). The
+        # final ranking's candidate-set stats then cover the extracted
+        # subset only, exactly as in the reference. Auto-on for large
+        # keyword-matched sets (EARLY_TERM_AUTO_MIN); force with
+        # early_termination=True/False. Falls back to full extraction when
+        # fewer keyword-matched docs exist than the estimate needs.
+        self.LAST_BLOCKS_EARLY = None
+        limited = (
+            max_results is not None or max_bytes is not None
+            or max_tokens is not None
+        )
+        early_feats = None
+        if (
+            mode != "global" and limited and early_termination is not False
+            and ranking_ast is not None and positive_terms
+            and not (exact or ast_all_exact or plan.is_universal or exhaustive)
+        ):
+            early_feats = self._early_terminated_extract(
+                ranking_terms, positive_terms, len(queries),
+                max_results, max_tokens, n_cached, extract, cols,
+                forced=early_termination is True,
+            )
+
         # candidate doc ids: the document-level candidate machinery (plain
         # terms, exact/excluded static-tokenization prefilter, dictionary
         # substring expansion, filename matches) UNION the expansion over
@@ -918,16 +964,15 @@ class Engine:
             and bool(positive_terms)
             and not (exact or ast_all_exact or plan.is_universal or exhaustive)
         )
-        if use_global:
+        if early_feats is not None:
+            cand_ids = None  # extraction already done in early-ranked order
+        elif use_global:
             # scale path: MaxScore top docs by corpus-global BM25; only
             # their blocks are extracted and ranked. With an active session
             # the top of the pruned set may be entirely cached spans — widen
             # k_docs by the cached file/span count so pagination keeps
             # surfacing unseen matches past them (compat mode ranks all
             # candidates and needs no widening).
-            n_cached = len(seen or ()) + sum(
-                len(v) for v in (seen_blocks or {}).values()
-            )
             k_docs = max((max_results or 10) * max(global_overfetch, 1), 1) + n_cached
             ids_g, sc_g, _ = self._maxscore_topk(positive_terms, k_docs)
             if ids_g.size == 0:
@@ -953,30 +998,20 @@ class Engine:
                     postings = self._read_postings(lookup)
                     id_sets.extend(p[0].astype(np.int64) for p in postings.values())
                 cand_ids = np.unique(np.concatenate(id_sets))
-        if cand_ids.size == 0:
+        if cand_ids is not None and cand_ids.size == 0:
             return _BLOCK_SCHEMA.empty_table()
 
-        lang_exts = None
-        if ctx.language:
-            lang_exts = qp._LANG_EXTENSIONS.get(qp.normalize_language(ctx.language))
-        extract = _make_block_extractor(
-            ctx, patterns, fname_matches, ranking_terms, lang_exts,
-            allow_tests=allow_tests, exact=exact, seen=seen,
-            seen_blocks=seen_blocks,
-        )
-
-        cols = ["doc_id", "repo", "path", "content"] + (
-            ["is_test"] if self._has_is_test() else []
-        )
         # block extraction is a Python-heavy per-doc stage (line matching +
         # window tokenization) — unlike the vectorized doc verifier it pays
         # to fan out even when the docs table fits driver-side
         local_tbl = (
             self._local_docs_table()
-            if cand_ids.size <= self.LOCAL_BLOCK_CAND_MAX
+            if cand_ids is not None and cand_ids.size <= self.LOCAL_BLOCK_CAND_MAX
             else None
         )
-        if local_tbl is not None:
+        if early_feats is not None:
+            feats = early_feats
+        elif local_tbl is not None:
             mask = np.isin(local_tbl.column("doc_id").to_numpy(), cand_ids)
             feats = extract(local_tbl.filter(pa.array(mask)))
         else:
@@ -1377,6 +1412,104 @@ class Engine:
             rows, queries, max_results, max_bytes, max_tokens,
             no_merge=no_merge, merge_threshold=merge_threshold, session=session,
         )
+
+    def _docs_rows_for(self, ids: np.ndarray, cols: list[str]) -> pa.Table:
+        """Doc rows for the given sorted ids (early-termination chunks are
+        <= EARLY_BATCH_SIZE docs — a doc-id predicate read prunes row
+        groups; the pinned local table is reused when present)."""
+        local = (
+            self._local_docs_table()
+            if self._stats["n_docs"] <= self.LOCAL_DOCS_MAX
+            else None
+        )
+        if local is not None:
+            mask = np.isin(local.column("doc_id").to_numpy(), ids)
+            return local.filter(pa.array(mask))
+        return pq.read_table(
+            self.paths.docs_dir,
+            columns=cols,
+            filters=[("doc_id", "in", [int(i) for i in ids])],
+        )
+
+    def _early_terminated_extract(
+        self,
+        ranking_terms: list[str],
+        positive_terms: list[str],
+        n_queries: int,
+        max_results: int | None,
+        max_tokens: int | None,
+        n_cached: int,
+        extract,
+        cols: list[str],
+        *,
+        forced: bool,
+    ) -> pa.Table | None:
+        """Early-ranked batch extraction (search_runner.rs:892-1208 +
+        early_ranker.rs:22-77, index-adapted — see blocks.py): rank the
+        keyword-matched docs by the early BM25-like score over posting
+        presence nibbles, extract blocks in batches of min(100, est) docs
+        in that order, and stop once est files are processed or extracted
+        blocks exceed 2x max_results. Returns the feats table, or None to
+        fall back to full extraction (fewer matched docs than the estimate
+        needs, or below the auto threshold). The session's cached file/span
+        count widens the estimate so pagination keeps surfacing unseen
+        blocks (the reference removes cached files before ranking instead —
+        cache filtering here happens inside the extractor)."""
+        from probe_ray import blocks as blk
+
+        postings = self._read_postings(ranking_terms)
+        empty = (
+            np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
+        )
+        stats: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for t in ranking_terms:
+            got = postings.get(t)
+            if got is None or got[0].size == 0:
+                stats[t] = empty
+                continue
+            ids_t, tfs_t = got
+            ctf = (tfs_t & 0xF).astype(np.int64)
+            ptf = (tfs_t >> 4).astype(np.int64)
+            m = (ctf + ptf) > 0  # tf=0 shadow postings are not matches
+            stats[t] = (ids_t[m].astype(np.int64), ctf[m], ptf[m])
+        pos_sets = [stats[t][0] for t in positive_terms if stats[t][0].size]
+        if not pos_sets:
+            return None
+        eids = np.unique(np.concatenate(pos_sets))
+        est = blk.estimate_files_needed(max_results, max_tokens) + n_cached
+        if eids.size < est:
+            return None  # full extraction touches fewer files than est
+        if not forced and eids.size < self.EARLY_TERM_AUTO_MIN:
+            return None
+        dls = np.asarray(self._doc_len_array()[eids], dtype=np.float64)
+        score = blk.early_rank_scores(
+            eids, dls, [stats[t] for t in ranking_terms], n_queries
+        )
+        ordered = eids[np.lexsort((eids, -score))]
+        eff = min(blk.EARLY_BATCH_SIZE, est)
+        tables: list[pa.Table] = []
+        processed = 0
+        n_blocks = 0
+        for start in range(0, int(ordered.size), eff):
+            chunk = np.sort(ordered[start : start + eff])
+            f = extract(self._docs_rows_for(chunk, cols))
+            if f.num_rows:
+                tables.append(f)
+                n_blocks += f.num_rows
+            processed += int(chunk.size)
+            if processed >= est:
+                break
+            if max_results is not None and n_blocks > 2 * max_results:
+                break
+        self.LAST_BLOCKS_EARLY = {
+            "files_ranked": int(eids.size),
+            "files_processed": processed,
+            "files_skipped_early_termination": int(eids.size) - processed,
+            "estimated_files_needed": est,
+        }
+        if not tables:
+            return _BLOCK_FEATS_SCHEMA.empty_table()
+        return pa.concat_tables(tables)
 
     def _file_lines_for(self, doc_ids: list[int]) -> dict[int, list[str]]:
         """Effective content lines for the given docs (final-result files

@@ -283,6 +283,99 @@ def test_block_global_session_pagination_widens(t2_rows, t2_index):
     assert not (first_ids & second_ids)
 
 
+def _block_ids(tbl):
+    return [
+        (r["repo"], r["path"], r["start_line"], r["end_line"], r["rank"],
+         round(r["score"], 9))
+        for r in tbl.to_pylist()
+    ]
+
+
+def _hit_ids(hits):
+    return [
+        (h.repo, h.path, h.start, h.end, h.rank, round(h.score, 9))
+        for h in hits
+    ]
+
+
+def test_block_early_termination_identity(t2_rows, t2_index):
+    """search_runner.rs:892-1208 early termination: the engine's early-
+    ranked batch extraction (posting-presence early scores, estimate /
+    2x-max_results stop rules) is rank- and score-identical to the oracle
+    running the same semantics — including negation, AND queries, and a
+    multi-batch estimate (max_results=200 -> est 120 > batch size 100)."""
+    eng = Engine(t2_index)
+    docs = load_docs(t2_rows)
+    cases = [
+        (["keywordAlpha OR keywordBeta"], 3),
+        (["keywordAlpha -keywordBeta"], 5),
+        (["keywordAlpha keywordGamma"], 2),
+        (["keywordAlpha OR keywordBeta"], 200),  # est=120: two batches
+        (["migrateEndpointMetaByType"], 5),  # compound identifier keywords
+    ]
+    for q, mr in cases:
+        got = eng.search_blocks(q, max_results=mr, early_termination=True)
+        m = eng.LAST_BLOCKS_EARLY
+        assert m is not None and m["files_processed"] < m["files_ranked"], q
+        exp = oracle_search_blocks(
+            docs, q, max_results=mr, early_termination=True
+        )
+        assert _block_ids(got) == _hit_ids(exp), f"early mismatch for {q}"
+
+
+def test_block_early_termination_fallback_and_auto(t2_rows, t2_index):
+    """Fewer keyword-matched docs than the estimate needs -> early
+    termination falls back to full extraction even when forced; and the
+    auto default (None) stays on the exact full path below
+    EARLY_TERM_AUTO_MIN, so small-corpus results are unchanged."""
+    eng = Engine(t2_index)
+    # estimate (est = ceil(1.5 * 2000 / 2.5) = 1200) exceeds every matched
+    # set at t2 scale -> forced early termination still falls back
+    q = ["keywordAlpha OR keywordBeta"]
+    full = eng.search_blocks(q, max_results=2000, early_termination=False)
+    forced = eng.search_blocks(q, max_results=2000, early_termination=True)
+    assert eng.LAST_BLOCKS_EARLY is None  # fell back
+    assert _block_ids(forced) == _block_ids(full)
+    # auto on a wide query at t2 scale (896 matched docs < 5000 threshold)
+    wide = ["keywordAlpha OR keywordBeta"]
+    auto = eng.search_blocks(wide, max_results=3)
+    assert eng.LAST_BLOCKS_EARLY is None
+    assert _block_ids(auto) == _block_ids(
+        eng.search_blocks(wide, max_results=3, early_termination=False)
+    )
+    # unlimited queries never early-terminate
+    eng.search_blocks(wide, early_termination=True)
+    assert eng.LAST_BLOCKS_EARLY is None
+
+
+def test_block_early_termination_session(t2_rows, t2_index):
+    """Early termination + block session: page 2 widens the estimate by
+    the cached span count and stays rank-identical to the oracle primed
+    with page 1's spans under the same early semantics."""
+    eng = Engine(t2_index)
+    docs = load_docs(t2_rows)
+    q = ["keywordAlpha OR keywordBeta"]
+    first = eng.search_blocks(
+        q, max_results=3, session="bs_early", early_termination=True
+    )
+    frows = first.to_pylist()
+    assert len(frows) == 3
+    seen_blocks: dict[str, list[tuple[int, int]]] = {}
+    for r in frows:
+        seen_blocks.setdefault(f"{r['repo']}/{r['path']}", []).append(
+            (r["start_line"], r["end_line"])
+        )
+    second = eng.search_blocks(
+        q, max_results=3, session="bs_early", early_termination=True
+    )
+    assert eng.LAST_BLOCKS_EARLY["estimated_files_needed"] > 20  # widened
+    exp = oracle_search_blocks(
+        docs, q, max_results=3, seen_blocks=seen_blocks,
+        early_termination=True,
+    )
+    assert _block_ids(second) == _hit_ids(exp)
+
+
 def test_block_session_partial_file(t2_rows):
     """A cached block suppresses only ITS lines: other matched lines of the
     same file still produce their blocks (cache.rs:418-505)."""
