@@ -219,6 +219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "spark OR vector", max_results=25, forced_distributed=True),
         "probe_search_blocks_global": probe_search_blocks(
             "spark OR vector", max_results=25, mode="global"),
+        "probe_search_blocks_early": probe_search_blocks(
+            "spark OR vector", max_results=25, early_termination=True),
         "probe_search_global_topk": probe_search_global("spark join", max_results=50),
     }
 

@@ -122,13 +122,26 @@ def run_bench() -> dict:
     results["q_global_topk"] = round(time.time() - t0, 3)
 
     # block-granularity search (the reference's real output unit); p50 of 3
-    # like the other classes (first call also pays worker import)
+    # like the other classes (first call also pays worker import). Since
+    # round 4 the default limited path early-terminates above 5000 matched
+    # docs (search_runner.rs:892-1208 parity) — the full-extraction compat
+    # number is kept as its own series below.
     times = []
     for _ in range(3):
         t0 = time.time()
         engine.search_blocks(["keywordAlpha OR keywordBeta"], max_results=10)
         times.append(time.time() - t0)
     results["q_blocks_topk_p50"] = round(sorted(times)[1], 3)
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        engine.search_blocks(
+            ["keywordAlpha OR keywordBeta"], max_results=10,
+            early_termination=False,
+        )
+        times.append(time.time() - t0)
+    results["q_blocks_full_topk_p50"] = round(sorted(times)[1], 3)
 
     # block GLOBAL mode (the scale path: MaxScore-pruned candidate docs,
     # only those block-extracted — approximate vs compat's candidate-set
