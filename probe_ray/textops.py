@@ -1771,35 +1771,102 @@ def sniff_media(p: bytes) -> dict:
     return out
 
 
+def decode_wav_samples(p: bytes) -> np.ndarray:
+    """PCM WAV sample decode — stdlib struct + numpy only, no audio
+    libraries. Returns float64 frames x channels scaled to [-1, 1].
+    Supports 8-bit unsigned, 16/24/32-bit signed PCM (format 1) and
+    32/64-bit IEEE float (format 3)."""
+    import struct
+
+    if not (p[:4] == b"RIFF" and p[8:12] == b"WAVE"):
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = None
+    data = None
+    i = 12
+    while i + 8 <= len(p):
+        cid = p[i : i + 4]
+        clen = struct.unpack("<I", p[i + 4 : i + 8])[0]
+        body = p[i + 8 : i + 8 + clen]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_ch, _rate, _bps, _block_align, bits = fmt
+    if audio_format == 1:
+        if bits == 8:
+            arr = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif bits == 16:
+            arr = np.frombuffer(data[: len(data) // 2 * 2], "<i2").astype(
+                np.float64
+            ) / 32768.0
+        elif bits == 24:
+            raw = np.frombuffer(data[: len(data) // 3 * 3], np.uint8)
+            raw = raw.reshape(-1, 3).astype(np.int32)
+            v = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            arr = v.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            arr = np.frombuffer(data[: len(data) // 4 * 4], "<i4").astype(
+                np.float64
+            ) / float(1 << 31)
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif audio_format == 3:
+        w = 4 if bits == 32 else 8
+        arr = np.frombuffer(
+            data[: len(data) // w * w], "<f4" if bits == 32 else "<f8"
+        ).astype(np.float64)
+    else:
+        raise ValueError(f"unsupported WAV audio format {audio_format}")
+    n_ch = max(int(n_ch), 1)
+    return arr[: arr.size // n_ch * n_ch].reshape(-1, n_ch)
+
+
 class MediaFeatureExtractor:
     """Actor-pool stage for opaque binary media columns: schema, batching
     and actor lifecycle are real, and container METADATA (png/gif/jpeg
     dimensions, wav channels/rate/duration) is parsed byte-level with the
-    stdlib. Pixel/sample DECODING for feature extraction still requires
-    media libraries absent from this environment: with ``decode=True`` an
-    unknown container raises the documented NotImplementedError; known
-    containers return their parsed metadata and the byte-level feature
-    stub. Replace ``_decode`` with a real decoder (PIL/librosa/ffmpeg) on
-    a cluster that has them; everything else (small batch_size for large
-    payloads, per-actor init, Arrow binary in/out) carries over."""
+    stdlib. With ``decode=True`` WAV payloads get REAL sample decoding
+    (decode_wav_samples — PCM/float via struct+numpy) and per-channel RMS
+    features; pixel decoding for image containers still requires codecs
+    absent from this environment and raises the documented
+    NotImplementedError (as do unknown containers). Replace ``_decode``
+    with a real decoder (PIL/ffmpeg) on a cluster that has them;
+    everything else (small batch_size for large payloads, per-actor init,
+    Arrow binary in/out) carries over."""
 
     def __init__(self, decode: bool = False):
         self.decode = decode
 
-    def _decode(self, payload: bytes):
+    def _decode(self, payload: bytes, kind: str):
         raise NotImplementedError(
-            "media decode requires image/audio libraries not present in this "
-            "environment; the pipeline uses deterministic byte-level features"
+            f"pixel decode for {kind!r} requires image codecs not present in "
+            "this environment; WAV payloads decode natively "
+            "(decode_wav_samples) and the pipeline otherwise uses "
+            "deterministic byte-level features"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        n_bytes, sha, feats = [], [], []
+        n_bytes, sha, feats, rms_col = [], [], [], []
         kinds, widths, heights, chans, rates, durs = [], [], [], [], [], []
         for p in payloads:
             meta = sniff_media(p)
-            if self.decode and meta["kind"] == "unknown":
-                self._decode(p)
+            rms = None
+            if self.decode:
+                if meta["kind"] == "wav":
+                    frames = decode_wav_samples(p)
+                    rms = (
+                        np.sqrt(np.mean(frames**2, axis=0)).tolist()
+                        if frames.size
+                        else []
+                    )
+                else:
+                    self._decode(p, meta["kind"])
+            rms_col.append(rms)
             n_bytes.append(len(p))
             digest = hashlib.sha256(p).digest()
             sha.append(digest.hex())
@@ -1823,6 +1890,7 @@ class MediaFeatureExtractor:
                 "n_channels": pa.array(chans, pa.int32()),
                 "sample_rate": pa.array(rates, pa.int32()),
                 "duration_ms": pa.array(durs, pa.int64()),
+                "rms_per_channel": pa.array(rms_col, pa.list_(pa.float64())),
             }
         )
 

@@ -225,16 +225,70 @@ def test_media_container_header_parsing():
     assert m["kind"] == "wav" and m["n_channels"] == 2
     assert m["sample_rate"] == 8000 and m["duration_ms"] == 500
 
-    # a known container does NOT raise even with decode=True
+    # metadata-only (decode=False) never raises for any container
     import pyarrow as pa
 
     from probe_ray.textops import MediaFeatureExtractor
 
-    out = MediaFeatureExtractor(decode=True)(
+    out = MediaFeatureExtractor()(
         pa.table({"doc_id": pa.array([1]), "payload": pa.array([png])})
     )
     assert out.column("media_kind").to_pylist() == ["png"]
     assert out.column("width").to_pylist() == [640]
+    # pixel decode for images still needs codecs -> the documented stub
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(decode=True)(
+            pa.table({"doc_id": pa.array([1]), "payload": pa.array([png])})
+        )
+
+
+def test_wav_sample_decode_rms():
+    """decode=True on WAV payloads does REAL sample decoding (stdlib
+    struct + numpy): a constructed 16-bit stereo sine (amp 0.5) next to a
+    constant 0.25 channel must yield per-channel RMS of 0.5/sqrt(2) and
+    0.25."""
+    import io
+    import wave
+
+    import numpy as np
+    import pyarrow as pa
+
+    from probe_ray.textops import MediaFeatureExtractor, decode_wav_samples
+
+    n = 8000
+    t = np.arange(n)
+    sine = 0.5 * np.sin(2 * np.pi * 440.0 * t / 8000.0)
+    const = np.full(n, 0.25)
+    frames = np.stack([sine, const], axis=1)
+    pcm = np.clip(frames * 32768.0, -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm.tobytes())
+    payload = buf.getvalue()
+
+    dec = decode_wav_samples(payload)
+    assert dec.shape == (n, 2)
+    out = MediaFeatureExtractor(decode=True)(
+        pa.table({"doc_id": pa.array([7]), "payload": pa.array([payload])})
+    )
+    rms = out.column("rms_per_channel").to_pylist()[0]
+    assert np.isclose(rms[0], 0.5 / np.sqrt(2), rtol=1e-3)
+    assert np.isclose(rms[1], 0.25, rtol=1e-3)
+    # 8-bit and float32 containers decode too
+    pcm8 = ((frames[:, :1] + 1.0) * 128.0).clip(0, 255).astype(np.uint8)
+    buf8 = io.BytesIO()
+    with wave.open(buf8, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(pcm8.tobytes())
+    d8 = decode_wav_samples(buf8.getvalue())
+    assert np.isclose(
+        np.sqrt((d8**2).mean()), 0.5 / np.sqrt(2), rtol=2e-2
+    )
 
 
 def test_winnowing_deterministic():
