@@ -31,19 +31,43 @@ _SYMBOL_PATTERNS = {
         ("class", re.compile(r"^\s*class\s+(?P<name>\w+)")),
     ],
     "go": [
-        ("function", re.compile(r"^\s*func\s+(?:\([^)]*\)\s*)?(?P<name>\w+)")),
+        # methods carry their receiver type: parent = the receiver
+        # (symbols.rs qualifies methods under the type's SymbolNode)
+        ("method", re.compile(
+            r"^\s*func\s+\((?P<recv>[^)]*)\)\s*(?P<name>\w+)")),
+        ("function", re.compile(r"^\s*func\s+(?P<name>\w+)")),
         ("type", re.compile(r"^\s*type\s+(?P<name>\w+)")),
     ],
     "javascript": [
         ("function", re.compile(r"^\s*(?:async\s+)?function\s+(?P<name>\w+)")),
         ("class", re.compile(r"^\s*class\s+(?P<name>\w+)")),
         ("const_fn", re.compile(r"^\s*(?:export\s+)?const\s+(?P<name>\w+)\s*=\s*(?:async\s*)?\(")),
+        # class methods (incl. constructor/getters): only emitted when an
+        # enclosing symbol is on the stack — see _NEEDS_PARENT
+        ("method", re.compile(
+            r"^\s*(?:static\s+)?(?:async\s+)?(?:get\s+|set\s+)?"
+            r"(?!if\b|for\b|while\b|switch\b|catch\b|return\b|else\b|do\b|new\b|function\b)"
+            r"(?P<name>\w+)\s*\([^)]*\)?\s*{?\s*$")),
     ],
 }
-_SYMBOL_PATTERNS["typescript"] = _SYMBOL_PATTERNS["javascript"] + [
+_SYMBOL_PATTERNS["typescript"] = [
     ("interface", re.compile(r"^\s*(?:export\s+)?interface\s+(?P<name>\w+)")),
     ("type", re.compile(r"^\s*(?:export\s+)?type\s+(?P<name>\w+)")),
+] + [
+    (k, rx) for k, rx in _SYMBOL_PATTERNS["javascript"] if k != "method"
+] + [
+    # ts methods/interface members may carry a return annotation and end
+    # in ';' (interface) or '{' (class)
+    ("method", re.compile(
+        r"^\s*(?:public\s+|private\s+|protected\s+)?(?:static\s+)?"
+        r"(?:async\s+)?(?:get\s+|set\s+)?"
+        r"(?!if\b|for\b|while\b|switch\b|catch\b|return\b|else\b|do\b|new\b|function\b)"
+        r"(?P<name>\w+)\s*\([^)]*\)?\s*(?::[^;{]*)?[;{]?\s*$")),
 ]
+
+# (lang, kind) pairs only valid INSIDE another symbol's span (a bare
+# `name(...) {` line at top level is a call, not a method)
+_NEEDS_PARENT = {("javascript", "method"), ("typescript", "method")}
 _SYMBOL_PATTERNS["java"] = [
     ("class", re.compile(
         r"^\s*(?:(?:public|private|protected|abstract|final|static)\s+)*"
@@ -55,6 +79,10 @@ _SYMBOL_PATTERNS["java"] = [
     ("method", re.compile(
         r"^\s*(?:(?:public|private|protected|static|final|synchronized|"
         r"abstract|native)\s+)+[\w<>\[\],.\s]+?\s+(?P<name>\w+)\s*\(")),
+    # constructor: modifiers then Capitalized name directly followed by '('
+    # (no return type) — symbols.rs emits these as methods of the class
+    ("method", re.compile(
+        r"^\s*(?:(?:public|private|protected)\s+)+(?P<name>[A-Z]\w*)\s*\(")),
 ]
 _SYMBOL_PATTERNS["c"] = [
     ("struct", re.compile(r"^\s*(?:typedef\s+)?struct\s+(?P<name>\w+)")),
@@ -202,34 +230,85 @@ def _symbol_end_line(lines: list[str], start_i: int, lang: str) -> int:
     return n if opened else start_i + 1
 
 
+# kinds whose declaration carries a parameter list worth extracting
+_PARAM_KINDS = {"function", "method", "const_fn"}
+# js/ts method emission additionally requires the IMMEDIATE parent to be
+# one of these kinds (a call inside a method body is not a method)
+_CLASS_LIKE = {"class", "interface"}
+
+
+def _param_list(lines: list[str], start_i: int, name: str) -> str | None:
+    """Parameter list of the declaration at 0-based line start_i: the text
+    between the first '(' after the name and its balanced ')' — spanning
+    up to 12 lines, whitespace-collapsed (symbols.rs reads this off the
+    tree-sitter parameters node; this is the regex-era equivalent)."""
+    text = "\n".join(lines[start_i : start_i + 12])
+    at = text.find(name)
+    if at < 0:
+        return None
+    open_i = text.find("(", at + len(name))
+    if open_i < 0 or text[at + len(name) : open_i].strip():
+        return None  # something other than a parameter list follows
+    depth = 0
+    for j in range(open_i, len(text)):
+        c = text[j]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return re.sub(r"\s+", " ", text[open_i + 1 : j]).strip()
+    return None
+
+
 def file_symbol_rows(lang: str, content: str) -> list[dict]:
     """Per-file symbol walk shared by symbols() and extract(symbol=...):
     list of dicts (kind, name, line_no, end_line, signature, parent,
-    depth); per-line "text" symbols for languages without a recognizer."""
+    depth, params); per-line "text" symbols for languages without a
+    recognizer. ``parent`` is the ::-joined enclosing-symbol path; Go
+    methods are qualified under their receiver type."""
     pats = _SYMBOL_PATTERNS.get(lang, [])
     lines = content.split("\n")
     rows: list[dict] = []
     if not pats:
         for i, line in enumerate(lines, start=1):
             rows.append(dict(kind="text", name="", line_no=i, end_line=i,
-                             signature=line, parent="", depth=0))
+                             signature=line, parent="", depth=0, params=None))
         return rows
-    stack: list[tuple[str, int]] = []
+    stack: list[tuple[str, int, str]] = []  # (name, end_line, kind)
     for i, line in enumerate(lines, start=1):
         for kind, rx in pats:
             m = rx.match(line)
-            if m:
-                while stack and i > stack[-1][1]:
-                    stack.pop()
-                end = _symbol_end_line(lines, i - 1, lang)
-                rows.append(dict(
-                    kind=kind, name=m.group("name"), line_no=i, end_line=end,
-                    signature=line.strip(),
-                    parent="::".join(nm for nm, _ in stack),
-                    depth=len(stack),
-                ))
-                stack.append((m.group("name"), end))
-                break
+            if not m:
+                continue
+            while stack and i > stack[-1][1]:
+                stack.pop()
+            if (lang, kind) in _NEEDS_PARENT and not (
+                stack and stack[-1][2] in _CLASS_LIKE
+            ):
+                break  # bare name(...) outside a class body is a call
+            name = m.group("name")
+            end = _symbol_end_line(lines, i - 1, lang)
+            parent = "::".join(nm for nm, _, _ in stack)
+            recv = m.groupdict().get("recv")
+            if recv:
+                # go method receiver: `(c *Calculator)` -> parent Calculator
+                recv_type = recv.split()[-1].lstrip("*&").strip()
+                parent = (
+                    f"{parent}::{recv_type}" if parent else recv_type
+                )
+            params = (
+                _param_list(lines, i - 1, name)
+                if kind in _PARAM_KINDS
+                else None
+            )
+            rows.append(dict(
+                kind=kind, name=name, line_no=i, end_line=end,
+                signature=line.strip(), parent=parent,
+                depth=len(stack), params=params,
+            ))
+            stack.append((name, end, kind))
+            break
     return rows
 
 
@@ -246,10 +325,10 @@ def symbols(docs: rd.Dataset, *, allow_tests: bool = True) -> rd.Dataset:
     def scan(batch: pa.Table) -> pa.Table:
         out = {"repo": [], "path": [], "lang": [], "kind": [], "name": [],
                "line_no": [], "end_line": [], "signature": [], "parent": [],
-               "depth": []}
+               "depth": [], "params": []}
 
         def emit(repo, path, lang, kind, name, line_no, end_line, sig,
-                 parent, depth):
+                 parent, depth, params):
             out["repo"].append(repo)
             out["path"].append(path)
             out["lang"].append(lang)
@@ -260,6 +339,7 @@ def symbols(docs: rd.Dataset, *, allow_tests: bool = True) -> rd.Dataset:
             out["signature"].append(sig)
             out["parent"].append(parent)
             out["depth"].append(depth)
+            out["params"].append(params)
 
         for repo, path, lang, content in zip(
             batch.column("repo").to_pylist(),
@@ -271,7 +351,8 @@ def symbols(docs: rd.Dataset, *, allow_tests: bool = True) -> rd.Dataset:
                 continue
             for r in file_symbol_rows(lang, content):
                 emit(repo, path, lang, r["kind"], r["name"], r["line_no"],
-                     r["end_line"], r["signature"], r["parent"], r["depth"])
+                     r["end_line"], r["signature"], r["parent"], r["depth"],
+                     r["params"])
         return pa.table(
             {
                 "repo": pa.array(out["repo"], pa.string()),
@@ -284,6 +365,7 @@ def symbols(docs: rd.Dataset, *, allow_tests: bool = True) -> rd.Dataset:
                 "signature": pa.array(out["signature"], pa.string()),
                 "parent": pa.array(out["parent"], pa.string()),
                 "depth": pa.array(out["depth"], pa.int32()),
+                "params": pa.array(out["params"], pa.string()),
             }
         )
 

@@ -158,6 +158,179 @@ def test_symbols_java_c_ruby():
     assert r.loc["total", "parent"] == "Billing::Invoice"
 
 
+def test_symbols_golden_eight_langs():
+    """Golden table over the 8 recognizer languages, modeled on the
+    reference's per-language outline_format_tests fixture shapes (nested
+    types, receiver methods, interfaces, multi-line parameter lists):
+    every expected (kind, name, parent, params) row must come out of
+    symbols() exactly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from probe_ray.tools import symbols
+
+    fixtures = {
+        ("calc.rs", "rust"): (
+            "pub struct Calc {\n"
+            "    total: f64,\n"
+            "}\n"
+            "impl Calc {\n"
+            "    pub fn add(&mut self, x: f64, y: f64) -> f64 {\n"
+            "        x + y\n"
+            "    }\n"
+            "    async fn flush(\n"
+            "        &mut self,\n"
+            "        hard: bool,\n"
+            "    ) {\n"
+            "    }\n"
+            "}\n"
+            "pub trait Ops {\n"
+            "    fn run(&self);\n"
+            "}\n"
+        ),
+        ("calc.py", "python"): (
+            "class Calc:\n"
+            "    def add(self, x, y=0):\n"
+            "        return x + y\n"
+            "    class Inner:\n"
+            "        def scale(self, f):\n"
+            "            return f\n"
+            "def helper(a, *args, **kw):\n"
+            "    return a\n"
+        ),
+        ("calc.go", "go"): (
+            "type Calc struct {\n"
+            "    Total float64\n"
+            "}\n"
+            "func (c *Calc) Add(x, y float64) float64 {\n"
+            "    return x + y\n"
+            "}\n"
+            "func (c Calc) Reset() {\n"
+            "}\n"
+            "func NewCalc(name string) *Calc {\n"
+            "    return &Calc{}\n"
+            "}\n"
+        ),
+        ("calc.js", "javascript"): (
+            "class Calc {\n"
+            "    constructor(name) {\n"
+            "        this.name = name;\n"
+            "    }\n"
+            "    async add(x, y) {\n"
+            "        return x + y;\n"
+            "    }\n"
+            "}\n"
+            "function helper(a, b) {\n"
+            "    return fmt(a, b);\n"
+            "}\n"
+            "const scale = (f) => f;\n"
+        ),
+        ("calc.ts", "typescript"): (
+            "export interface Ops {\n"
+            "    add(x: number, y: number): number;\n"
+            "}\n"
+            "export type Pair = [number, number];\n"
+            "class Calc {\n"
+            "    add(x: number, y: number): number {\n"
+            "        return x + y;\n"
+            "    }\n"
+            "}\n"
+        ),
+        ("Calc.java", "java"): (
+            "public class Calc {\n"
+            "    private double total;\n"
+            "    public Calc(String name) {\n"
+            "    }\n"
+            "    public double add(double x,\n"
+            "                      double y) {\n"
+            "        return x + y;\n"
+            "    }\n"
+            "    public interface Ops {\n"
+            "    }\n"
+            "}\n"
+        ),
+        ("calc.c", "c"): (
+            "typedef struct Calc {\n"
+            "    double total;\n"
+            "} Calc;\n"
+            "static double add(double x, double y)\n"
+            "{\n"
+            "    return x + y;\n"
+            "}\n"
+        ),
+        ("calc.rb", "ruby"): (
+            "module Math\n"
+            "  class Calc\n"
+            "    def add(x, y)\n"
+            "      x + y\n"
+            "    end\n"
+            "    def self.build(name)\n"
+            "      new\n"
+            "    end\n"
+            "  end\n"
+            "end\n"
+        ),
+    }
+    docs = rd.from_arrow(pa.table({
+        "repo": ["r"] * len(fixtures),
+        "path": [p for p, _ in fixtures],
+        "lang": [l for _, l in fixtures],
+        "content": list(fixtures.values()),
+    }))
+    df = symbols(docs).to_pandas()
+    got = {
+        (r.path, r.kind, r.name, r.parent): r.params
+        for r in df.itertuples()
+    }
+
+    golden = [
+        # (path, kind, name, parent, params)
+        ("calc.rs", "struct", "Calc", "", None),
+        ("calc.rs", "impl", "Calc", "", None),
+        ("calc.rs", "function", "add", "Calc", "&mut self, x: f64, y: f64"),
+        ("calc.rs", "function", "flush", "Calc", "&mut self, hard: bool,"),
+        ("calc.rs", "trait", "Ops", "", None),
+        ("calc.rs", "function", "run", "Ops", "&self"),
+        ("calc.py", "class", "Calc", "", None),
+        ("calc.py", "function", "add", "Calc", "self, x, y=0"),
+        ("calc.py", "class", "Inner", "Calc", None),
+        ("calc.py", "function", "scale", "Calc::Inner", "self, f"),
+        ("calc.py", "function", "helper", "", "a, *args, **kw"),
+        ("calc.go", "type", "Calc", "", None),
+        ("calc.go", "method", "Add", "Calc", "x, y float64"),
+        ("calc.go", "method", "Reset", "Calc", ""),
+        ("calc.go", "function", "NewCalc", "", "name string"),
+        ("calc.js", "class", "Calc", "", None),
+        ("calc.js", "method", "constructor", "Calc", "name"),
+        ("calc.js", "method", "add", "Calc", "x, y"),
+        ("calc.js", "function", "helper", "", "a, b"),
+        ("calc.ts", "interface", "Ops", "", None),
+        ("calc.ts", "type", "Pair", "", None),
+        ("calc.ts", "method", "add", "Ops", "x: number, y: number"),
+        ("calc.ts", "class", "Calc", "", None),
+        ("Calc.java", "class", "Calc", "", None),
+        ("Calc.java", "method", "Calc", "Calc", "String name"),
+        ("Calc.java", "method", "add", "Calc", "double x, double y"),
+        ("Calc.java", "interface", "Ops", "Calc", None),
+        ("calc.c", "struct", "Calc", "", None),
+        ("calc.c", "function", "add", "", "double x, double y"),
+        ("calc.rb", "module", "Math", "", None),
+        ("calc.rb", "class", "Calc", "Math", None),
+        ("calc.rb", "method", "add", "Math::Calc", "x, y"),
+        ("calc.rb", "method", "build", "Math::Calc", "name"),
+    ]
+    for path, kind, name, parent, params in golden:
+        key = (path, kind, name, parent)
+        assert key in got, f"missing {path}:{kind}:{name} under {parent!r}"
+        assert got[key] == params, (
+            f"{path}:{name} params {got[key]!r} != {params!r}"
+        )
+    # no call-statement false positives in the js body
+    assert not any(
+        k[0] == "calc.js" and k[2] == "fmt" for k in got
+    )
+
+
 def test_extract_by_symbol():
     """probe extract file.rs#symbol (§4.2): the named symbol's span."""
     import pyarrow as pa
