@@ -222,7 +222,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "probe_search_blocks_early": probe_search_blocks(
             "spark OR vector", max_results=25, early_termination=True),
         "probe_search_global_topk": probe_search_global("spark join", max_results=50),
+        # --- input-source layer (file references from free text —
+        #     src/extract/file_paths.rs; SQL-checked) ---
+        "extract_from_text_refs": _extract_from_text_refs,
     }
+
+
+def _extract_from_text_refs(sf_dir: str):
+    """probe extract with stdin text: parse file references out of free
+    text and resolve them against the corpus in one broadcast pass
+    (inputs.extract_from_text). Exercises the range, whole-file, and
+    bare-basename reference forms over the documents-derived corpus."""
+    import ray.data as rd
+
+    from probe_ray import inputs
+
+    docs = rd.read_parquet(
+        _corpus_from_documents(sf_dir),
+        columns=["repo", "path", "lang", "content"],
+    )
+    text = ("See docs/doc0000003.txt:1-1 and docs/doc0000007.txt; "
+            "also the bare doc0000011.txt mention.")
+    tbl = inputs.extract_from_text(docs, text)
+    return tbl.select(
+        ["repo", "path", "start_line", "end_line", "kind", "code"]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -561,4 +585,20 @@ def oracle_sql() -> dict[str, str]:
                 "probe_search_files_only": "list_contains(toks,'spark')",
             }.items()
         },
+        # the documents are single-line texts, so every resolved span is
+        # line 1..1 and the code is the whole text; the Ray side parses
+        # "docs/doc0000003.txt:1-1" (range), "docs/doc0000007.txt"
+        # (whole file) and bare "doc0000011.txt" (basename membership)
+        "extract_from_text_refs": """
+            SELECT 'corpus/' || d.source AS repo,
+                   printf('docs/doc%07d.txt', d.doc_id) AS path,
+                   CAST(1 AS BIGINT) AS start_line,
+                   CAST(1 AS BIGINT) AS end_line,
+                   r.kind AS kind,
+                   d.text AS code
+            FROM (VALUES (3, 'range'), (7, 'file'), (11, 'file'))
+                 r(ref_id, kind)
+            JOIN documents d ON d.doc_id = r.ref_id
+            ORDER BY path
+        """,
     }

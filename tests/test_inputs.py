@@ -1,0 +1,205 @@
+"""Input-source layer (src/extract/file_paths.rs): file references from
+free text, git diffs, and CLI arguments, resolved against the corpus."""
+import pyarrow as pa
+import ray.data as rd
+import pytest
+
+from probe_ray.inputs import (
+    extract_from_text,
+    is_git_diff_format,
+    is_likely_file_path,
+    parse_file_references,
+    parse_file_with_line,
+    parse_git_diff,
+)
+
+
+def _paths(refs):
+    return [r["path"] for r in refs]
+
+
+def test_text_refs_precedence_and_forms():
+    """file_paths.rs:275-727: symbol > range > line(:col) > bare, one
+    reference per path except multiple #symbols."""
+    text = (
+        "error in src/main.rs:10:5\n"
+        "see src/lib.rs:1-60 and src/lib.rs:9 (already claimed by range)\n"
+        "also api/handler.go#ServeHTTP api/handler.go#Close\n"
+        "plain mention of docs/readme.md here\n"
+    )
+    refs = parse_file_references(text)
+    by_path = {}
+    for r in refs:
+        by_path.setdefault(r["path"], []).append(r)
+    assert [(r["start_line"], r["end_line"]) for r in by_path["src/main.rs"]] \
+        == [(10, None)]
+    assert [(r["start_line"], r["end_line"]) for r in by_path["src/lib.rs"]] \
+        == [(1, 60)]
+    assert sorted(r["symbol"] for r in by_path["api/handler.go"]) \
+        == ["Close", "ServeHTTP"]
+    assert by_path["docs/readme.md"][0]["symbol"] is None
+    assert by_path["docs/readme.md"][0]["start_line"] is None
+
+
+def test_text_refs_markdown_and_quotes():
+    """file_paths.rs:1207-1430 test family: paths wrapped in markdown
+    bold/italic/strikethrough/backticks/quotes are found; apostrophes
+    inside words don't open a quote."""
+    text = (
+        "Here's the fix: **src/bold.rs:3** and *src/ital.py* and "
+        "~~src/gone.go~~ and `src/tick.ts:7-9` and 'src/sq.c' and "
+        '"src/dq.rb"'
+    )
+    got = set(_paths(parse_file_references(text)))
+    assert got == {
+        "src/bold.rs", "src/ital.py", "src/gone.go", "src/tick.ts",
+        "src/sq.c", "src/dq.rb",
+    }
+    refs = {r["path"]: r for r in parse_file_references(text)}
+    assert (refs["src/bold.rs"]["start_line"],
+            refs["src/tick.ts"]["start_line"],
+            refs["src/tick.ts"]["end_line"]) == (3, 7, 9)
+
+
+def test_text_refs_code_construct_filtering():
+    """file_paths.rs:16-56 + 1601-1631: self.value / array.length /
+    each.value are code constructs, not paths; real extensions pass."""
+    assert not is_likely_file_path("self.value")
+    assert not is_likely_file_path("config.name")
+    assert not is_likely_file_path("array.length")
+    assert is_likely_file_path("main.tf")
+    assert is_likely_file_path("path/to/data.value")  # separator wins
+    text = "set local.name and data.count then edit deploy.tf and lib.rs"
+    got = set(_paths(parse_file_references(text)))
+    assert "deploy.tf" in got and "lib.rs" in got
+    assert "local.name" not in got and "data.count" not in got
+
+
+def test_text_refs_allow_tests_filter():
+    text = "see tests/test_foo.py:3 and src/foo.py:3"
+    assert set(_paths(parse_file_references(text, allow_tests=False))) \
+        == {"src/foo.py"}
+    assert set(_paths(parse_file_references(text))) \
+        == {"tests/test_foo.py", "src/foo.py"}
+
+
+def test_parse_file_with_line_forms():
+    """file_paths.rs:732-1090: the CLI argument forms."""
+    assert parse_file_with_line("a/b.rs")[0] == dict(
+        path="a/b.rs", start_line=None, end_line=None, symbol=None,
+        lines=None, bare=False)
+    assert parse_file_with_line("a/b.rs:10")[0]["start_line"] == 10
+    r = parse_file_with_line("a/b.rs:1-60")[0]
+    assert (r["start_line"], r["end_line"]) == (1, 60)
+    assert parse_file_with_line("a/b.rs:10:5")[0]["start_line"] == 10
+    assert parse_file_with_line("a/b.rs#run")[0]["symbol"] == "run"
+    assert parse_file_with_line("tests/t_test.go:3", allow_tests=False) == []
+
+
+def test_git_diff_parsing():
+    """file_paths.rs:94-258: per-file added-line sets from '+' lines
+    walked with the new-side counter; first header wins; no-'+' files
+    dropped."""
+    diff = (
+        "diff --git a/src/a.rs b/src/a.rs\n"
+        "--- a/src/a.rs\n"
+        "+++ b/src/a.rs\n"
+        "@@ -45,7 +45,7 @@\n"
+        " ctx\n"
+        "-old line\n"
+        "+new line\n"
+        " ctx\n"
+        "@@ -90 +91,2 @@\n"
+        "+added one\n"
+        "+added two\n"
+        "diff --git a/src/b.rs b/src/b.rs\n"
+        "@@ -1,3 +1,3 @@\n"
+        " unchanged\n"
+        "-removed\n"
+        " unchanged\n"
+    )
+    assert is_git_diff_format(diff)
+    assert not is_git_diff_format("just text")
+    refs = parse_git_diff(diff)
+    assert _paths(refs) == ["src/a.rs"]  # b.rs has no '+' lines
+    r = refs[0]
+    # hunk 1: ctx@45, -old, +new@46 ; hunk 2: +91, +92
+    assert r["lines"] == [46, 91, 92]
+    assert (r["start_line"], r["end_line"]) == (46, 92)
+
+
+def test_git_diff_test_file_filter():
+    diff = (
+        "diff --git a/tests/x_test.go b/tests/x_test.go\n"
+        "@@ -1 +1 @@\n"
+        "+added\n"
+    )
+    assert parse_git_diff(diff, allow_tests=False) == []
+    assert _paths(parse_git_diff(diff)) == ["tests/x_test.go"]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rows = {
+        "src/calc.py": "class Calc:\n    def add(self, x, y):\n"
+                       "        return x + y\n\n\ndef helper(a):\n"
+                       "    return a\n",
+        "src/util.py": "\n".join(f"line {i}" for i in range(1, 31)) + "\n",
+        "docs/readme.md": "hello\nworld\n",
+        "tests/test_calc.py": "def test_add():\n    pass\n",
+    }
+    return rd.from_arrow(pa.table({
+        "repo": ["r"] * len(rows),
+        "path": list(rows),
+        "lang": ["python", "python", "text", "python"],
+        "content": list(rows.values()),
+    }))
+
+
+def test_extract_from_text_ranges_and_symbols(corpus):
+    text = "check src/util.py:5-8, then src/calc.py#add and docs/readme.md"
+    tbl = extract_from_text(corpus, text)
+    rows = {(r["path"], r["kind"]): r for r in tbl.to_pylist()}
+    rng = rows[("src/util.py", "range")]
+    assert (rng["start_line"], rng["end_line"]) == (5, 8)
+    assert rng["code"] == "line 5\nline 6\nline 7\nline 8"
+    sym = rows[("src/calc.py", "function")]
+    assert sym["symbol"] == "add" and sym["start_line"] == 2
+    whole = rows[("docs/readme.md", "file")]
+    assert whole["code"] == "hello\nworld\n"
+
+
+def test_extract_from_text_single_line_context(corpus):
+    """A single line extracts the fallback context block around it
+    (processor.rs: enclosing block; unsupported-language ±5 windows)."""
+    tbl = extract_from_text(corpus, "boom at src/util.py:15")
+    r = tbl.to_pylist()[0]
+    assert r["kind"] == "context"
+    assert r["start_line"] <= 15 <= r["end_line"]
+    assert "line 15" in r["code"]
+
+
+def test_extract_from_text_diff_glob_and_tests(corpus):
+    diff = (
+        "diff --git a/src/util.py b/src/util.py\n"
+        "@@ -3,2 +3,2 @@\n"
+        "+line 3\n"
+        " line 4\n"
+        "diff --git a/tests/test_calc.py b/tests/test_calc.py\n"
+        "@@ -1 +1 @@\n"
+        "+def test_add():\n"
+    )
+    tbl = extract_from_text(corpus, diff, allow_tests=False)
+    assert [r["path"] for r in tbl.to_pylist()] == ["src/util.py"]
+    # glob resolution against corpus paths (backticked: a bare * in free
+    # text is consumed as markdown italic — file_paths.rs:305-317 — so
+    # globs survive only inside quotes/backticks, as in the reference)
+    tbl = extract_from_text(corpus, "look at `src/*.py:1-2` please")
+    assert sorted({r["path"] for r in tbl.to_pylist()}) \
+        == ["src/calc.py", "src/util.py"]
+    # bare filename -> basename membership in the corpus
+    tbl = extract_from_text(corpus, "the readme.md file explains it")
+    assert [r["path"] for r in tbl.to_pylist()] == ["docs/readme.md"]
+    # no refs -> empty typed table
+    empty = extract_from_text(corpus, "nothing here")
+    assert empty.num_rows == 0 and "code" in empty.schema.names
