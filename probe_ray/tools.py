@@ -97,6 +97,100 @@ _SYMBOL_PATTERNS["ruby"] = [
     ("class", re.compile(r"^\s*class\s+(?P<name>\w+)")),
     ("module", re.compile(r"^\s*module\s+(?P<name>\w+)")),
 ]
+# kinds mirror cpp.rs:40-49 acceptable parents (function_definition,
+# struct/class/enum_specifier, namespace_definition); Foo::bar definitions
+# qualify under Foo via the recv group, like Go receivers
+_SYMBOL_PATTERNS["cpp"] = [
+    ("namespace", re.compile(r"^\s*namespace\s+(?P<name>[\w:]+)")),
+    ("class", re.compile(
+        r"^\s*(?:template\s*<[^>]*>\s*)?class\s+(?P<name>\w+)")),
+    ("struct", re.compile(
+        r"^\s*(?:typedef\s+)?(?:template\s*<[^>]*>\s*)?struct\s+(?P<name>\w+)")),
+    ("enum", re.compile(
+        r"^\s*(?:typedef\s+)?enum\s+(?:class\s+)?(?P<name>\w+)")),
+    # function DEFINITION: type [Qual::]name( ... with no ';' on the line
+    ("function", re.compile(
+        r"^\s*(?:(?:static|inline|virtual|constexpr|explicit|friend|extern)\s+)*"
+        r"(?!return\b|throw\b|delete\b|new\b|case\b|else\b)"
+        r"(?=[\w~])[\w:<>~&\*,\s]*?[\s\*&]"
+        r"(?:(?P<recv>\w+)::)?(?P<name>~?\w+)\s*\([^;]*$")),
+    # constructor inside a class/struct body: name == the class name
+    ("function", re.compile(
+        r"^\s*(?:explicit\s+)?(?P<name>[A-Z]\w*)\s*\([^;]*$"),
+     frozenset({"ctor"})),
+]
+# csharp.rs:28-41 acceptable parents
+_SYMBOL_PATTERNS["csharp"] = [
+    ("namespace", re.compile(r"^\s*namespace\s+(?P<name>[\w.]+)")),
+    ("class", re.compile(
+        r"^\s*(?:(?:public|private|protected|internal|static|sealed|"
+        r"abstract|partial)\s+)*class\s+(?P<name>\w+)")),
+    ("interface", re.compile(
+        r"^\s*(?:(?:public|private|protected|internal|partial)\s+)*"
+        r"interface\s+(?P<name>\w+)")),
+    ("struct", re.compile(
+        r"^\s*(?:(?:public|private|protected|internal|readonly|partial)\s+)*"
+        r"struct\s+(?P<name>\w+)")),
+    ("enum", re.compile(
+        r"^\s*(?:(?:public|private|protected|internal)\s+)*"
+        r"enum\s+(?P<name>\w+)")),
+    ("method", re.compile(
+        r"^\s*(?:(?:public|private|protected|internal|static|virtual|"
+        r"override|async|sealed|abstract|partial|new|extern)\s+)+"
+        r"[\w<>\[\],.?\s]+?\s+(?P<name>\w+)\s*\(")),
+    # constructor: modifiers then the class's own name directly before '('
+    ("method", re.compile(
+        r"^\s*(?:(?:public|private|protected|internal|static)\s+)+"
+        r"(?P<name>[A-Z]\w*)\s*\("), frozenset({"ctor"})),
+    ("property", re.compile(
+        r"^\s*(?:(?:public|private|protected|internal|static|virtual|"
+        r"override)\s+)+[\w<>\[\],.?]+\s+(?P<name>\w+)\s*(?:\{\s*(?:get|set)|=>)")),
+]
+# php.rs:28-37 acceptable parents (method_declaration = function with
+# visibility/static modifiers inside a class-like body)
+_SYMBOL_PATTERNS["php"] = [
+    ("class", re.compile(
+        r"^\s*(?:(?:abstract|final)\s+)*class\s+(?P<name>\w+)")),
+    ("interface", re.compile(r"^\s*interface\s+(?P<name>\w+)")),
+    ("trait", re.compile(r"^\s*trait\s+(?P<name>\w+)")),
+    ("method", re.compile(
+        r"^\s*(?:(?:public|private|protected|static|abstract|final)\s+)+"
+        r"function\s+(?P<name>\w+)")),
+    ("function", re.compile(r"^\s*function\s+(?P<name>\w+)")),
+]
+# swift.rs:28-41 acceptable parents
+_SYMBOL_PATTERNS["swift"] = [
+    ("class", re.compile(
+        r"^\s*(?:(?:public|private|internal|open|final|fileprivate)\s+)*"
+        r"class\s+(?P<name>\w+)")),
+    ("struct", re.compile(
+        r"^\s*(?:(?:public|private|internal|open|fileprivate)\s+)*"
+        r"struct\s+(?P<name>\w+)")),
+    ("enum", re.compile(
+        r"^\s*(?:(?:public|private|internal|open|fileprivate|indirect)\s+)*"
+        r"enum\s+(?P<name>\w+)")),
+    ("protocol", re.compile(
+        r"^\s*(?:(?:public|private|internal|open)\s+)*"
+        r"protocol\s+(?P<name>\w+)")),
+    ("extension", re.compile(
+        r"^\s*(?:(?:public|private|internal|open)\s+)*"
+        r"extension\s+(?P<name>[\w.]+)")),
+    ("typealias", re.compile(
+        r"^\s*(?:(?:public|private|internal|open)\s+)*"
+        r"typealias\s+(?P<name>\w+)")),
+    ("function", re.compile(
+        r"^\s*(?:(?:public|private|internal|open|fileprivate|static|"
+        r"override|mutating|final|class)\s+)*func\s+(?P<name>\w+)")),
+]
+# markdown.rs: atx headings are the symbols; a section spans to the next
+# heading of the same or a shallower level (see _symbol_end_line)
+_SYMBOL_PATTERNS["markdown"] = [
+    ("section", re.compile(r"^(?P<marker>#{1,6})\s+(?P<name>.+?)\s*$")),
+]
+# yaml.rs: key-value pairs; block span from indentation
+_SYMBOL_PATTERNS["yaml"] = [
+    ("key", re.compile(r"^\s*(?P<name>[A-Za-z0-9_.\-]+):(?:\s|$)")),
+]
 
 _TEST_PATH_RE = re.compile(r"(^|/)tests?/|_test\.\w+$|\.test\.\w+$|^test_|/test_")
 _TEST_CONTENT_RE = re.compile(r"#\[test\]|^\s*def test_|\bit\(|\bdescribe\(", re.M)
@@ -192,7 +286,9 @@ def extract(docs: rd.Dataset, repo: str, path: str, line: int | None = None,
 
 # indentation-scoped block ends; ruby is end-keyword scoped but follows
 # indentation conventions, so the indent heuristic approximates its spans
-_INDENT_LANGS = {"python", "ruby"}
+_INDENT_LANGS = {"python", "ruby", "yaml"}
+
+_MD_HEADING_RE = re.compile(r"^(#{1,6})\s")
 
 
 def _symbol_end_line(lines: list[str], start_i: int, lang: str) -> int:
@@ -201,6 +297,16 @@ def _symbol_end_line(lines: list[str], start_i: int, lang: str) -> int:
     regex-era approximation: brace counting for brace languages,
     indentation for python)."""
     n = len(lines)
+    if lang == "markdown":
+        # a section runs to the line before the next heading of the same
+        # or a shallower level (markdown.rs section semantics)
+        m = _MD_HEADING_RE.match(lines[start_i])
+        level = len(m.group(1)) if m else 6
+        for j in range(start_i + 1, n):
+            m2 = _MD_HEADING_RE.match(lines[j])
+            if m2 and len(m2.group(1)) <= level:
+                return j
+        return n
     if lang in _INDENT_LANGS:
         indent = len(lines[start_i]) - len(lines[start_i].lstrip())
         end = start_i
@@ -223,6 +329,11 @@ def _symbol_end_line(lines: list[str], start_i: int, lang: str) -> int:
                 depth -= 1
                 if opened and depth <= 0:
                     return j + 1
+                if not opened and depth < 0:
+                    # hit the ENCLOSING block's close before any open
+                    # brace: a body-less declaration (protocol/interface
+                    # member) ends on its own line
+                    return start_i + 1
         if not opened and ";" in lines[j]:
             return j + 1  # declaration without a body (struct S;  type T = ...)
         if not opened and j - start_i > 2:
@@ -232,9 +343,10 @@ def _symbol_end_line(lines: list[str], start_i: int, lang: str) -> int:
 
 # kinds whose declaration carries a parameter list worth extracting
 _PARAM_KINDS = {"function", "method", "const_fn"}
-# js/ts method emission additionally requires the IMMEDIATE parent to be
-# one of these kinds (a call inside a method body is not a method)
-_CLASS_LIKE = {"class", "interface"}
+# js/ts method emission (and every "ctor"-flagged pattern) additionally
+# requires the IMMEDIATE parent to be one of these kinds (a bare
+# name(...) outside a class body is a call, not a method)
+_CLASS_LIKE = {"class", "interface", "struct"}
 
 
 def _param_list(lines: list[str], start_i: int, name: str) -> str | None:
@@ -277,17 +389,21 @@ def file_symbol_rows(lang: str, content: str) -> list[dict]:
         return rows
     stack: list[tuple[str, int, str]] = []  # (name, end_line, kind)
     for i, line in enumerate(lines, start=1):
-        for kind, rx in pats:
+        for pat in pats:
+            kind, rx = pat[0], pat[1]
+            flags = pat[2] if len(pat) > 2 else frozenset()
             m = rx.match(line)
             if not m:
                 continue
             while stack and i > stack[-1][1]:
                 stack.pop()
-            if (lang, kind) in _NEEDS_PARENT and not (
-                stack and stack[-1][2] in _CLASS_LIKE
-            ):
+            needs_parent = "ctor" in flags or "needs_parent" in flags \
+                or (lang, kind) in _NEEDS_PARENT
+            if needs_parent and not (stack and stack[-1][2] in _CLASS_LIKE):
                 break  # bare name(...) outside a class body is a call
             name = m.group("name")
+            if "ctor" in flags and name != stack[-1][0]:
+                break  # a constructor is named after its class
             end = _symbol_end_line(lines, i - 1, lang)
             parent = "::".join(nm for nm, _, _ in stack)
             recv = m.groupdict().get("recv")

@@ -78,8 +78,8 @@ def test_symbols_nesting_and_fallback():
     )
     docs = rd.from_arrow(pa.table({
         "repo": ["r"] * 3,
-        "path": ["c.rs", "w.py", "notes.md"],
-        "lang": ["rust", "python", "markdown"],
+        "path": ["c.rs", "w.py", "notes.txt"],
+        "lang": ["rust", "python", "text"],
         "content": [rust, py, "alpha\nbeta\n"],
     }))
     df = symbols(docs).to_pandas()
@@ -97,7 +97,7 @@ def test_symbols_nesting_and_fallback():
     assert p.loc["Widget", "end_line"] == 3
     assert p.loc["helper", "parent"] == ""
 
-    t = df[df["path"] == "notes.md"]
+    t = df[df["path"] == "notes.txt"]
     assert list(t["kind"].unique()) == ["text"]
     assert list(t["signature"])[:2] == ["alpha", "beta"]
 
@@ -506,3 +506,168 @@ def test_outline_format(t2_index):
 
     headers = re.findall(r"^File: (.+)$", o, re.M)
     assert len(headers) == len(set(headers))
+
+
+def test_symbols_golden_six_more_langs():
+    """Golden table for the round-4 recognizer languages (cpp, csharp,
+    php, swift, markdown, yaml) — kinds mirror each language's
+    is_acceptable_parent node set (cpp.rs:40-49, csharp.rs:28-41,
+    php.rs:28-37, swift.rs:28-41; markdown sections, yaml keys)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from probe_ray.tools import symbols
+
+    fixtures = {
+        ("calc.cpp", "cpp"): (
+            "namespace util {\n"
+            "class Calc {\n"
+            "public:\n"
+            "    explicit Calc(int base)\n"
+            "        : base_(base) {}\n"
+            "    double add(double x, double y) {\n"
+            "        return x + y;\n"
+            "    }\n"
+            "};\n"
+            "double Calc::sub(double x, double y) {\n"
+            "    return x - y;\n"
+            "}\n"
+            "inline int helper(int a) {\n"
+            "    return a;\n"
+            "}\n"
+            "}\n"
+        ),
+        ("Calc.cs", "csharp"): (
+            "namespace App.Core {\n"
+            "    public sealed class Calc {\n"
+            "        public int Count { get; set; }\n"
+            "        public Calc(string name) {\n"
+            "        }\n"
+            "        public double Add(double x, double y) {\n"
+            "            return x + y;\n"
+            "        }\n"
+            "    }\n"
+            "    public interface IOps {\n"
+            "    }\n"
+            "    public enum Mode { A, B }\n"
+            "}\n"
+        ),
+        ("calc.php", "php"): (
+            "<?php\n"
+            "interface Ops {\n"
+            "    public function run($x);\n"
+            "}\n"
+            "class Calc implements Ops {\n"
+            "    public function add($x, $y) {\n"
+            "        return $x + $y;\n"
+            "    }\n"
+            "    final public function reset() {}\n"
+            "}\n"
+            "function helper($a) {\n"
+            "    return $a;\n"
+            "}\n"
+        ),
+        ("calc.swift", "swift"): (
+            "public struct Point {\n"
+            "    var x: Double\n"
+            "    func dist(to other: Point) -> Double {\n"
+            "        return 0\n"
+            "    }\n"
+            "}\n"
+            "class Calc {\n"
+            "    static func build(name: String) -> Calc {\n"
+            "        return Calc()\n"
+            "    }\n"
+            "}\n"
+            "protocol Ops {\n"
+            "    func run()\n"
+            "}\n"
+            "extension Calc {\n"
+            "    func reset() {}\n"
+            "}\n"
+            "typealias Pair = (Int, Int)\n"
+        ),
+        ("README.md", "markdown"): (
+            "# Title\n"
+            "intro\n"
+            "## Install\n"
+            "steps\n"
+            "### Deps\n"
+            "more\n"
+            "## Usage\n"
+            "text\n"
+        ),
+        ("conf.yaml", "yaml"): (
+            "server:\n"
+            "  host: localhost\n"
+            "  port: 8080\n"
+            "logging:\n"
+            "  level: info\n"
+        ),
+    }
+    docs = rd.from_arrow(pa.table({
+        "repo": ["r"] * len(fixtures),
+        "path": [p for p, _ in fixtures],
+        "lang": [l for _, l in fixtures],
+        "content": list(fixtures.values()),
+    }))
+    df = symbols(docs).to_pandas()
+    got = {
+        (r.path, r.kind, r.name, r.parent): r.params
+        for r in df.itertuples()
+    }
+
+    golden = [
+        # (path, kind, name, parent, params)
+        ("calc.cpp", "namespace", "util", "", None),
+        ("calc.cpp", "class", "Calc", "util", None),
+        ("calc.cpp", "function", "Calc", "util::Calc", "int base"),
+        ("calc.cpp", "function", "add", "util::Calc", "double x, double y"),
+        ("calc.cpp", "function", "sub", "util::Calc", "double x, double y"),
+        ("calc.cpp", "function", "helper", "util", "int a"),
+        ("Calc.cs", "namespace", "App.Core", "", None),
+        ("Calc.cs", "class", "Calc", "App.Core", None),
+        ("Calc.cs", "property", "Count", "App.Core::Calc", None),
+        ("Calc.cs", "method", "Calc", "App.Core::Calc", "string name"),
+        ("Calc.cs", "method", "Add", "App.Core::Calc", "double x, double y"),
+        ("Calc.cs", "interface", "IOps", "App.Core", None),
+        ("Calc.cs", "enum", "Mode", "App.Core", None),
+        ("calc.php", "interface", "Ops", "", None),
+        ("calc.php", "method", "run", "Ops", "$x"),
+        ("calc.php", "class", "Calc", "", None),
+        ("calc.php", "method", "add", "Calc", "$x, $y"),
+        ("calc.php", "method", "reset", "Calc", ""),
+        ("calc.php", "function", "helper", "", "$a"),
+        ("calc.swift", "struct", "Point", "", None),
+        ("calc.swift", "function", "dist", "Point", "to other: Point"),
+        ("calc.swift", "class", "Calc", "", None),
+        ("calc.swift", "function", "build", "Calc", "name: String"),
+        ("calc.swift", "protocol", "Ops", "", None),
+        ("calc.swift", "function", "run", "Ops", ""),
+        ("calc.swift", "extension", "Calc", "", None),
+        ("calc.swift", "function", "reset", "Calc", ""),
+        ("calc.swift", "typealias", "Pair", "", None),
+        ("README.md", "section", "Title", "", None),
+        ("README.md", "section", "Install", "Title", None),
+        ("README.md", "section", "Deps", "Title::Install", None),
+        ("README.md", "section", "Usage", "Title", None),
+        ("conf.yaml", "key", "server", "", None),
+        ("conf.yaml", "key", "host", "server", None),
+        ("conf.yaml", "key", "port", "server", None),
+        ("conf.yaml", "key", "logging", "", None),
+        ("conf.yaml", "key", "level", "logging", None),
+    ]
+    for path, kind, name, parent, params in golden:
+        key = (path, kind, name, parent)
+        assert key in got, f"missing {path}:{kind}:{name} under {parent!r}"
+        assert got[key] == params, (
+            f"{path}:{name} params {got[key]!r} != {params!r}"
+        )
+    # markdown section spans: Install runs to the line before Usage
+    md = df[df["path"] == "README.md"].set_index("name")
+    assert (md.loc["Install", "line_no"], md.loc["Install", "end_line"]) == (3, 6)
+    # file ends with "\n" -> 9 split lines; Title spans to EOF
+    assert md.loc["Title", "end_line"] == 9
+    # no false symbols from member/statement lines
+    assert not any(k[0] == "calc.cpp" and k[2] in ("base_", "return") for k in got)
+    assert not any(k[0] == "calc.swift" and k[2] == "x" for k in got)
