@@ -800,6 +800,10 @@ def early_rank_scores(
         if pmask.any():
             score[pos[pmask]] += idf * EARLY_FILENAME_BOOST
         matched[pos] += cmask.astype(np.int64) + pmask.astype(np.int64)
+    # NOTE: a term matching in BOTH content and filename counts twice and
+    # coverage is NOT clamped to 1.0 — this mirrors early_ranker.rs:68-74
+    # exactly (content_matches.len() + filename_matched_terms.len(), no
+    # min), which differs from the FINAL ranker's clamped coverage boost.
     coverage = matched / n_queries if n_queries else np.zeros(n)
     score *= 1.0 + coverage**1.5 * 2.0  # early_ranker.rs:69-75
     return score

@@ -86,7 +86,9 @@ def parse_git_diff(text: str, *, allow_tests: bool = True) -> list[dict]:
                     break
                 if hl.startswith("+") and not hl.startswith("+++"):
                     cur_lines.add(at)
-                if not hl.startswith("-"):
+                if not hl.startswith("-") and not hl.startswith("\\"):
+                    # '\ No newline at end of file' markers are not
+                    # content lines — they must not advance the counter
                     at += 1
                 i += 1
             continue
@@ -258,10 +260,29 @@ _EXTRACT_SCHEMA = pa.schema([
 ])
 
 
+def _expand_braces(pattern: str) -> list[str]:
+    """Expand one level of {a,b,c} alternation into plain fnmatch
+    patterns (the reference's glob crate supports braces; fnmatch does
+    not). NOTE: a comma-separated brace glob survives only the CLI form
+    (parse_file_with_line) — the free-text path regex excludes ',' like
+    the reference's (file_paths.rs:362), so brace alternation in prose
+    splits at the comma there too."""
+    m = re.search(r"\{([^{}]*)\}", pattern)
+    if not m:
+        return [pattern]
+    head, tail = pattern[: m.start()], pattern[m.end():]
+    out: list[str] = []
+    for alt in m.group(1).split(","):
+        out.extend(_expand_braces(head + alt + tail))
+    return out
+
+
 def _ref_matches(ref: dict, path: str) -> bool:
     rp = ref["path"]
     if "*" in rp or "{" in rp:
-        return fnmatch.fnmatchcase(path, rp)
+        return any(
+            fnmatch.fnmatchcase(path, p) for p in _expand_braces(rp)
+        )
     if ref["bare"]:
         # reference requires FS existence for separator-less names
         # (file_paths.rs:668-676); corpus analog: basename match

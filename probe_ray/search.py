@@ -1853,13 +1853,9 @@ class Engine:
         feats_tbl = verify(cand_tbl, cand_mask) if fast else verify(cand_tbl)
 
         if files_only or exact or ctx.ast_all_exact:
-            rows = feats_tbl.to_pylist()
-            rows.sort(key=lambda r: (f"{r['repo']}/{r['path']}", 1))
-            rows = _apply_limits_rows(rows, max_results, max_bytes, max_tokens)
-            pt = sorted(plan.term_indices, key=plan.term_indices.__getitem__)
-            for r in rows:
-                r["matched_terms"] = _bits_to_terms(r.get("matched_bits", b""), pt)
-            return _rows_to_result(rows, ranked=False)
+            return _finish_exact_local(
+                feats_tbl, plan, max_results, max_bytes, max_tokens
+            )
 
         n = feats_tbl.num_rows
         if n == 0 or ranking_ast is None:
@@ -1963,20 +1959,20 @@ class Engine:
         running-total limits are satisfied. Small feats sets short-circuit
         to a driver sort (a Ray Sort job has ~1 s fixed overhead)."""
         if feats_ds.count() <= self.LOCAL_FEATS_MAX:
-            refs = feats_ds.to_arrow_refs()
+            # zero-row blocks keep their upstream schema (Ray forwards
+            # them without calling the UDF) — drop before concat
+            parts = [
+                t for t in
+                (ray.get(r) for r in feats_ds.to_arrow_refs())
+                if t.num_rows > 0
+            ]
             tbl = (
-                pa.concat_tables([ray.get(r) for r in refs])
-                if refs else _FEATS_SCHEMA.empty_table()
+                pa.concat_tables(parts)
+                if parts else _FEATS_SCHEMA.empty_table()
             )
-            rows = tbl.to_pylist()
-            rows.sort(key=lambda r: (f"{r['repo']}/{r['path']}", 1))
-            rows = _apply_limits_rows(rows, max_results, max_bytes, max_tokens)
-            pt = sorted(plan.term_indices, key=plan.term_indices.__getitem__)
-            for r in rows:
-                r["matched_terms"] = _bits_to_terms(
-                    r.get("matched_bits", b""), pt
-                )
-            return _rows_to_result(rows, ranked=False)
+            return _finish_exact_local(
+                tbl, plan, max_results, max_bytes, max_tokens
+            )
         sorted_ds = feats_ds.map_batches(
             self._file_key_column, batch_format="pyarrow"
         ).sort("file_key")
@@ -3169,6 +3165,21 @@ def _score_feats_vectorized(feats_tbl, ranking_ast, ranking_terms, idfs, avgdl,
     cov = np.minimum(but / n_queries, 1.0) if n_queries > 0 else np.zeros(n)
     boosted = bm25 * (1.0 + cov**1.5 * 2.0)
     return np.asarray(bm25, dtype=np.float64), boosted, valid
+
+
+def _finish_exact_local(
+    feats_tbl: pa.Table, plan, max_results, max_bytes, max_tokens
+) -> pa.Table:
+    """Shared files_only/exact finish over driver-sized feats: file-key
+    sort, running-total limits, matched-term decode (used by both the
+    local verify branch and the small-feats distributed shortcut)."""
+    rows = feats_tbl.to_pylist()
+    rows.sort(key=lambda r: f"{r['repo']}/{r['path']}")
+    rows = _apply_limits_rows(rows, max_results, max_bytes, max_tokens)
+    pt = sorted(plan.term_indices, key=plan.term_indices.__getitem__)
+    for r in rows:
+        r["matched_terms"] = _bits_to_terms(r.get("matched_bits", b""), pt)
+    return _rows_to_result(rows, ranked=False)
 
 
 def _rows_to_result(rows, ranked: bool) -> pa.Table:

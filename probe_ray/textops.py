@@ -683,8 +683,15 @@ def minhash_lsh_dedup(
                 ids.tolist(), batch.column("text").to_pylist(), dmap
             )
     else:
-        mt = pa.concat_tables(
-            [ray.get(r) for r in members_mat.to_arrow_refs()]
+        # empty blocks keep their upstream schema — drop before concat
+        parts = [
+            t for t in (ray.get(r) for r in members_mat.to_arrow_refs())
+            if t.num_rows > 0
+        ]
+        mt = (
+            pa.concat_tables(parts) if parts
+            else pa.table({"key": pa.array([], pa.int64()),
+                           "bucket": pa.array([], pa.string())})
         )
         doc_buckets: dict[int, list[str]] = {}
         for did, bk in zip(
@@ -1789,6 +1796,11 @@ def decode_wav_samples(p: bytes) -> np.ndarray:
         body = p[i + 8 : i + 8 + clen]
         if cid == b"fmt " and len(body) >= 16:
             fmt = struct.unpack("<HHIIHH", body[:16])
+            # WAVE_FORMAT_EXTENSIBLE (0xFFFE) wraps the real format code
+            # in the first two bytes of the SubFormat GUID (fmt-ext +6)
+            if fmt[0] == 0xFFFE and len(body) >= 26:
+                sub = struct.unpack("<H", body[24:26])[0]
+                fmt = (sub, *fmt[1:])
         elif cid == b"data":
             data = body
         i += 8 + clen + (clen & 1)
@@ -1813,14 +1825,19 @@ def decode_wav_samples(p: bytes) -> np.ndarray:
                 np.float64
             ) / float(1 << 31)
         else:
-            raise ValueError(f"unsupported PCM bit depth {bits}")
+            raise NotImplementedError(f"unsupported PCM bit depth {bits}")
     elif audio_format == 3:
         w = 4 if bits == 32 else 8
         arr = np.frombuffer(
             data[: len(data) // w * w], "<f4" if bits == 32 else "<f8"
         ).astype(np.float64)
     else:
-        raise ValueError(f"unsupported WAV audio format {audio_format}")
+        # compressed codecs (ADPCM, MP3-in-WAV, ...) are the declared
+        # decode stub — NotImplementedError, same contract as image
+        # pixel decoding (no media libraries in this environment)
+        raise NotImplementedError(
+            f"unsupported WAV audio format {audio_format}"
+        )
     n_ch = max(int(n_ch), 1)
     return arr[: arr.size // n_ch * n_ch].reshape(-1, n_ch)
 

@@ -203,3 +203,30 @@ def test_extract_from_text_diff_glob_and_tests(corpus):
     # no refs -> empty typed table
     empty = extract_from_text(corpus, "nothing here")
     assert empty.num_rows == 0 and "code" in empty.schema.names
+
+
+def test_git_diff_no_newline_marker():
+    r"""'\ No newline at end of file' markers must not advance the
+    new-side line counter (they are metadata, not content)."""
+    diff = (
+        "diff --git a/src/a.txt b/src/a.txt\n"
+        "@@ -1,2 +1,2 @@\n"
+        " keep\n"
+        "-old\n"
+        "\\ No newline at end of file\n"
+        "+new\n"
+        "\\ No newline at end of file\n"
+    )
+    refs = parse_git_diff(diff)
+    assert refs[0]["lines"] == [2]
+
+
+def test_brace_glob_expansion(corpus):
+    """{a,b} alternation (the reference's glob crate supports it; fnmatch
+    needs explicit expansion) via the CLI argument form."""
+    from probe_ray.inputs import _ref_matches, parse_file_with_line
+
+    ref = parse_file_with_line("src/{calc,util}.py:1-1")[0]
+    assert _ref_matches(ref, "src/calc.py")
+    assert _ref_matches(ref, "src/util.py")
+    assert not _ref_matches(ref, "docs/readme.md")

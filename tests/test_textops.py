@@ -418,3 +418,45 @@ def test_corpus_clean_pipeline_crash_midflight(tmp_path):
         out, columns=["doc_id"], file_extensions=["parquet"]
     ).count()
     assert n2 == n1
+
+
+def test_wav_extensible_and_unsupported_formats():
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping PCM decodes like plain
+    PCM; compressed codecs raise the declared NotImplementedError (the
+    decode-stub contract), never ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from probe_ray.textops import decode_wav_samples
+
+    sr = 8000
+    t = np.arange(sr // 10) / sr
+    samples = (np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    data = samples.tobytes()
+
+    def wav(fmt_body: bytes, data: bytes) -> bytes:
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+            + (b"\x00" if len(fmt_body) & 1 else b"")
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    # extensible: format 0xFFFE, 22-byte extension whose SubFormat GUID
+    # starts with the real format code (1 = PCM)
+    ext = struct.pack("<HHIIHH", 0xFFFE, 1, sr, sr * 2, 2, 16)
+    ext += struct.pack("<H", 22)          # cbSize
+    ext += struct.pack("<H", 16)          # valid bits
+    ext += struct.pack("<I", 0x4)         # channel mask
+    ext += struct.pack("<H", 1) + b"\x00" * 14  # SubFormat GUID (PCM)
+    arr = decode_wav_samples(wav(ext, data))
+    plain = decode_wav_samples(
+        wav(struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16), data)
+    )
+    assert np.allclose(arr, plain)
+
+    adpcm = struct.pack("<HHIIHH", 2, 1, sr, sr, 1, 4)
+    with pytest.raises(NotImplementedError):
+        decode_wav_samples(wav(adpcm, b"\x00" * 64))
