@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": T.token_count_bpe,
         "quality_score": T.quality_score,
         "ngram_repetition": T.ngram_repetition,
+        "dup_ngram_fraction": T.dup_ngram_fraction,
         "lang_distribution": T.lang_distribution,
         "grep_count": T.grep_count,
         "structural_matches": T.structural_matches,
@@ -447,6 +448,40 @@ def oracle_sql() -> dict[str, str]:
                    1.0 - len(list_distinct(grams))::DOUBLE / len(grams)
                      AS repetition_ratio
             FROM g
+        """,
+        # cross-document duplicate 8-gram fraction (Gopher rule): an
+        # occurrence is "dup" when its gram appears in >= 2 distinct docs
+        "dup_ngram_fraction": f"""
+            WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, greatest(len(tk) - 6, 1)),
+                       i -> array_to_string(tk[i:i+7], ' ')
+                     )) AS gram
+              FROM t WHERE len(tk) >= 8
+            ),
+            occ AS (
+              SELECT doc_id, gram, count(*) AS occ
+              FROM g GROUP BY doc_id, gram
+            ),
+            gd AS (SELECT gram, count(*) AS n_docs FROM occ GROUP BY gram),
+            dup AS (
+              SELECT o.doc_id,
+                     sum(CASE WHEN gd.n_docs >= 2 THEN o.occ ELSE 0 END)
+                       AS n_dup
+              FROM occ o JOIN gd USING (gram) GROUP BY o.doc_id
+            ),
+            tot AS (
+              SELECT doc_id, greatest(len(tk) - 7, 0) AS n_grams FROM t
+            )
+            SELECT t.doc_id, t.n_grams::BIGINT AS n_grams,
+                   coalesce(d.n_dup, 0)::BIGINT AS n_dup,
+                   CASE WHEN t.n_grams > 0
+                        THEN coalesce(d.n_dup, 0)::DOUBLE / t.n_grams
+                        ELSE 0.0 END AS dup_fraction
+            FROM tot t LEFT JOIN dup d USING (doc_id)
+            ORDER BY t.doc_id
         """,
         "search_and": f"""
             WITH t AS (SELECT doc_id, {toks} AS toks FROM documents)

@@ -259,6 +259,103 @@ def ngram_repetition(sf_dir: str, n: int = 3) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(rep, batch_format="pyarrow")
 
 
+_DUP_GRAM_COARSE = 1024
+
+
+def dup_ngram_fraction(sf_dir: str, n: int = 8) -> rd.Dataset:
+    """CROSS-document duplicate n-gram fraction (the Gopher/MassiveText
+    quality rule: fraction of a doc's word n-grams that also occur in at
+    least one OTHER document — boilerplate and template spam light up).
+    Per doc: n_grams, n_dup (occurrences whose gram appears in >= 2
+    distinct docs corpus-wide), dup_fraction. SQL-checked.
+
+    Shape: (gram, doc_id, occ) rows coarse-partitioned by gram hash
+    (pg = hash % 1024, the minhash bucket pattern) -> one
+    groupby(pg).map_groups where pandas resolves per-gram doc counts and
+    per-doc dup sums inside each partition -> tagged union with the
+    per-doc totals -> one groupby(doc_id) sum. Two shuffles, no joins,
+    no driver state. At 100-TB scale the gram strings would be replaced
+    by 64-bit hashes (collision-tolerant for a fraction metric); strings
+    are kept here for exact SQL parity."""
+    import zlib
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        # one pass emits BOTH the (gram, doc, occ) occurrence rows
+        # (pg >= 0) and the per-doc totals (pg < 0, doc-sharded so no
+        # partition is O(corpus)); the totals ride the same shuffle
+        grams: list[str] = []
+        dids: list[int] = []
+        occs: list[int] = []
+        pgs: list[int] = []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = simple_tokens(text)
+            counts: dict[str, int] = {}
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i : i + n])
+                counts[g] = counts.get(g, 0) + 1
+            for g, c in counts.items():
+                grams.append(g)
+                dids.append(did)
+                occs.append(c)
+                # partition key only (never compared to SQL): crc32 is
+                # deterministic and ~10x cheaper than a crypto hash
+                pgs.append(zlib.crc32(g.encode()) % _DUP_GRAM_COARSE)
+            grams.append("")
+            dids.append(did)
+            occs.append(max(len(toks) - n + 1, 0))  # n_grams total
+            pgs.append(-1 - (did % _DUP_GRAM_COARSE))
+        return pa.table({
+            "pg": pa.array(pgs, pa.int64()),
+            "gram": pa.array(grams, pa.string()),
+            "doc_id": pa.array(dids, pa.int64()),
+            "occ": pa.array(occs, pa.int64()),
+        })
+
+    def resolve_partition(group: pa.Table) -> pa.Table:
+        if group.num_rows and group.column("pg")[0].as_py() < 0:
+            # totals partition: occ carries n_grams
+            return pa.table({
+                "doc_id": group.column("doc_id"),
+                "n_grams": group.column("occ"),
+                "n_dup": pa.array([0] * group.num_rows, pa.int64()),
+            })
+        # one row per (doc, gram): docs-per-gram == rows-per-gram
+        df = group.select(["gram", "doc_id", "occ"]).to_pandas()
+        n_docs = df.groupby("gram")["doc_id"].transform("size")
+        dup = (
+            df[n_docs.to_numpy() >= 2].groupby("doc_id")["occ"].sum()
+        )
+        return pa.table({
+            "doc_id": pa.array(dup.index.to_numpy(), pa.int64()),
+            "n_grams": pa.array([0] * len(dup), pa.int64()),
+            "n_dup": pa.array(dup.to_numpy(), pa.int64()),
+        })
+
+    merged = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(occurrences, batch_format="pyarrow")
+        .groupby("pg")
+        .map_groups(resolve_partition, batch_format="pyarrow")
+        .groupby("doc_id")
+        .sum(["n_grams", "n_dup"])
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ng = batch.column("sum(n_grams)").to_numpy()
+        nd = batch.column("sum(n_dup)").to_numpy()
+        frac = np.where(ng > 0, nd / np.maximum(ng, 1), 0.0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_grams": pa.array(ng, pa.int64()),
+            "n_dup": pa.array(nd, pa.int64()),
+            "dup_fraction": pa.array(frac, pa.float64()),
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
 def langid_heuristic(sf_dir: str) -> rd.Dataset:
     """Character-bigram profile language-ID heuristic (rows-only oracle:
     the sketch is not SQL-expressible). Stateful profile table is built once

@@ -460,3 +460,23 @@ def test_wav_extensible_and_unsupported_formats():
     adpcm = struct.pack("<HHIIHH", 2, 1, sr, sr, 1, 4)
     with pytest.raises(NotImplementedError):
         decode_wav_samples(wav(adpcm, b"\x00" * 64))
+
+
+def test_dup_ngram_fraction_bounds_and_consistency():
+    """Cross-doc duplicate n-gram fraction: bounded in [0,1], n_dup <=
+    n_grams, and a doc whose text duplicates another's must have
+    dup_fraction == 1.0 for every shared window."""
+    from probe_ray import textops as T
+
+    df = T.dup_ngram_fraction(SF).to_pandas()
+    assert len(df) > 0
+    assert (df["n_dup"] <= df["n_grams"]).all()
+    assert ((df["dup_fraction"] >= 0) & (df["dup_fraction"] <= 1)).all()
+    # exact duplicate docs exist in this corpus (exact_dedup groups) —
+    # every gram of a duplicated doc appears in >= 2 docs
+    dups = T.exact_dedup(SF).to_pandas()
+    grp = dups[dups["dup_count"] > 1]
+    if len(grp):
+        ids = set(grp["doc_id"])
+        sub = df[df["doc_id"].isin(ids) & (df["n_grams"] > 0)]
+        assert (sub["dup_fraction"] == 1.0).all()
