@@ -88,8 +88,15 @@ def main(argv=None):
 
     e = sub.add_parser("extract")
     e.add_argument("corpus")
-    e.add_argument("repo")
-    e.add_argument("path")
+    e.add_argument("repo", nargs="?", default=None)
+    e.add_argument("path", nargs="?", default=None)
+    e.add_argument("--stdin", action="store_true",
+                   help="read free text or a git diff from stdin and "
+                        "extract every file reference found "
+                        "(file_paths.rs stdin/--diff modes; git-diff "
+                        "format auto-detected)")
+    e.add_argument("--no-tests", action="store_true",
+                   help="drop references to test files")
     e.add_argument("--line", type=int, default=None)
     e.add_argument("--context", type=int, default=None,
                    help="explicit ±N line slice; default extracts the "
@@ -184,6 +191,21 @@ def main(argv=None):
             from probe_ray.tools import extract
 
             ds = rd.read_parquet(args.corpus)
+            if args.stdin:
+                from probe_ray.inputs import extract_from_text
+
+                tbl = extract_from_text(
+                    ds, sys.stdin.read(), allow_tests=not args.no_tests
+                )
+                for r in tbl.to_pylist():
+                    print(f"{r['repo']}/{r['path']}:"
+                          f"{r['start_line']}-{r['end_line']}")
+                    print(r["code"])
+                return 0
+            if args.repo is None or args.path is None:
+                print("extract needs <repo> <path> (or --stdin)",
+                      file=sys.stderr)
+                return 2
             out = extract(ds, args.repo, args.path, args.line, args.context,
                           symbol=args.symbol)
             if out is None:
