@@ -200,6 +200,9 @@ def run_bench() -> dict:
     t0 = time.time()
     T.knn_cosine(SF_DIR)
     results["docs_knn_cosine"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    T.dup_ngram_fraction(SF_DIR).count()
+    results["docs_dup_ngram_fraction"] = round(time.time() - t0, 3)
 
     total = time.time() - t_total
     ray.shutdown()
