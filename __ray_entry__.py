@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": T.quality_score,
         "ngram_repetition": T.ngram_repetition,
         "dup_ngram_fraction": T.dup_ngram_fraction,
+        "benchmark_contamination": T.benchmark_contamination,
         "lang_distribution": T.lang_distribution,
         "grep_count": T.grep_count,
         "structural_matches": T.structural_matches,
@@ -482,6 +483,36 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS dup_fraction
             FROM tot t LEFT JOIN dup d USING (doc_id)
             ORDER BY t.doc_id
+        """,
+        # decontamination: fraction of a doc's 8-grams present in the
+        # benchmark holdout's (doc_id % 97 == 0) gram set
+        "benchmark_contamination": f"""
+            WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, greatest(len(tk) - 6, 1)),
+                       i -> array_to_string(tk[i:i+7], ' ')
+                     )) AS gram
+              FROM t WHERE len(tk) >= 8
+            ),
+            bg AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+            ),
+            hits AS (
+              SELECT g.doc_id, count(*) AS n_hit
+              FROM g JOIN bg USING (gram) GROUP BY g.doc_id
+            ),
+            tot AS (
+              SELECT doc_id, greatest(len(tk) - 7, 0) AS n_grams FROM t
+            )
+            SELECT tot.doc_id, tot.n_grams::BIGINT AS n_grams,
+                   coalesce(h.n_hit, 0)::BIGINT AS n_contaminated,
+                   CASE WHEN tot.n_grams > 0
+                        THEN coalesce(h.n_hit, 0)::DOUBLE / tot.n_grams
+                        ELSE 0.0 END AS contamination
+            FROM tot LEFT JOIN hits h USING (doc_id)
+            ORDER BY tot.doc_id
         """,
         "search_and": f"""
             WITH t AS (SELECT doc_id, {toks} AS toks FROM documents)

@@ -356,6 +356,67 @@ def dup_ngram_fraction(sf_dir: str, n: int = 8) -> rd.Dataset:
     return merged.map_batches(finish, batch_format="pyarrow").sort("doc_id")
 
 
+def benchmark_contamination(
+    sf_dir: str, n: int = 8, holdout_mod: int = 97
+) -> rd.Dataset:
+    """Decontamination check (the n-gram overlap test every serious
+    training-data pipeline runs against its eval benchmarks): per doc,
+    the fraction of its word n-grams that appear in the BENCHMARK set.
+    The benchmark here is the deterministic holdout doc_id % holdout_mod
+    == 0 (SQL-expressible, so the whole op is oracle-checked); in
+    production it is the eval suites' text.
+
+    Shape: the benchmark is the SMALL side — its gram set is built from
+    a filtered read and broadcast once via ray.put; the corpus
+    pass is one map_batches against the in-memory set. No shuffle at
+    all. At 100-TB corpus scale the benchmark side stays eval-suite
+    sized (MBs), which is exactly why broadcast beats a join here."""
+    import ray as _ray
+
+    bench = _docs(sf_dir, ["doc_id", "text"]).filter(
+        lambda r: r["doc_id"] % holdout_mod == 0
+    )
+    bench_grams: set = set()
+    for b in bench.iter_batches(batch_format="pyarrow"):
+        for text in b.column("text").to_pylist():
+            toks = simple_tokens(text)
+            for i in range(len(toks) - n + 1):
+                bench_grams.add(" ".join(toks[i : i + n]))
+    grams_ref = _ray.put(bench_grams)
+
+    def overlap(batch: pa.Table) -> pa.Table:
+        gset = _ray.get(grams_ref)
+        dids, ngs, hits = [], [], []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = simple_tokens(text)
+            total = max(len(toks) - n + 1, 0)
+            h = sum(
+                1
+                for i in range(total)
+                if " ".join(toks[i : i + n]) in gset
+            )
+            dids.append(did)
+            ngs.append(total)
+            hits.append(h)
+        frac = [
+            (h / t if t else 0.0) for h, t in zip(hits, ngs)
+        ]
+        return pa.table({
+            "doc_id": pa.array(dids, pa.int64()),
+            "n_grams": pa.array(ngs, pa.int64()),
+            "n_contaminated": pa.array(hits, pa.int64()),
+            "contamination": pa.array(frac, pa.float64()),
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(overlap, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
 def langid_heuristic(sf_dir: str) -> rd.Dataset:
     """Character-bigram profile language-ID heuristic (rows-only oracle:
     the sketch is not SQL-expressible). Stateful profile table is built once

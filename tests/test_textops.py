@@ -480,3 +480,15 @@ def test_dup_ngram_fraction_bounds_and_consistency():
         ids = set(grp["doc_id"])
         sub = df[df["doc_id"].isin(ids) & (df["n_grams"] > 0)]
         assert (sub["dup_fraction"] == 1.0).all()
+
+
+def test_benchmark_contamination_holdout_is_fully_contaminated():
+    """The holdout docs (doc_id % 97 == 0) ARE the benchmark, so every
+    gram-bearing holdout doc scores 1.0; everything is bounded [0,1]."""
+    from probe_ray import textops as T
+
+    df = T.benchmark_contamination(SF).to_pandas()
+    assert ((df["contamination"] >= 0) & (df["contamination"] <= 1)).all()
+    hold = df[(df["doc_id"] % 97 == 0) & (df["n_grams"] > 0)]
+    assert len(hold) > 0 and (hold["contamination"] == 1.0).all()
+    assert (df["n_contaminated"] <= df["n_grams"]).all()
