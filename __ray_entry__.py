@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_repetition": T.ngram_repetition,
         "dup_ngram_fraction": T.dup_ngram_fraction,
         "benchmark_contamination": T.benchmark_contamination,
+        "hashed_bow": T.hashed_bow,
         "lang_distribution": T.lang_distribution,
         "grep_count": T.grep_count,
         "structural_matches": T.structural_matches,
@@ -483,6 +484,16 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS dup_fraction
             FROM tot t LEFT JOIN dup d USING (doc_id)
             ORDER BY t.doc_id
+        """,
+        # hashing-trick bag-of-words: bucket = md5(token) % 64, long form
+        "hashed_bow": f"""
+            WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+            tok AS (SELECT doc_id, unnest(tk) AS tok FROM t)
+            SELECT doc_id,
+                   (('0x' || substr(md5(tok), 1, 8))::UBIGINT % 64)::BIGINT
+                     AS bucket,
+                   count(*)::BIGINT AS cnt
+            FROM tok GROUP BY doc_id, bucket ORDER BY doc_id, bucket
         """,
         # decontamination: fraction of a doc's 8-grams present in the
         # benchmark holdout's (doc_id % 97 == 0) gram set

@@ -417,6 +417,58 @@ def benchmark_contamination(
     )
 
 
+def hashed_bow(sf_dir: str, dim: int = 64) -> rd.Dataset:
+    """Hashing-trick bag-of-words features, long form (doc_id, bucket,
+    cnt) — the input a fastText-style quality classifier consumes at
+    pipeline scale. Bucket = md5(token) % dim (md5 so the DuckDB oracle
+    can reproduce it exactly); token->bucket is memoized ONCE PER ACTOR
+    (vocabularies are Zipfian, so the memo hits almost always) — the
+    stateful-stage pattern. Per-doc work only: zero shuffles. SQL-checked."""
+
+    class Hasher:
+        def __init__(self):
+            import hashlib
+
+            self._md5 = hashlib.md5
+            self._memo: dict[str, int] = {}
+
+        def _bucket(self, tok: str) -> int:
+            b = self._memo.get(tok)
+            if b is None:
+                b = int(self._md5(tok.encode()).hexdigest()[:8], 16) % dim
+                self._memo[tok] = b
+            return b
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            dids, bks, cnts = [], [], []
+            for did, text in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("text").to_pylist(),
+            ):
+                counts: dict[int, int] = {}
+                for tok in simple_tokens(text):
+                    bk = self._bucket(tok)
+                    counts[bk] = counts.get(bk, 0) + 1
+                for bk in sorted(counts):
+                    dids.append(did)
+                    bks.append(bk)
+                    cnts.append(counts[bk])
+            return pa.table({
+                "doc_id": pa.array(dids, pa.int64()),
+                "bucket": pa.array(bks, pa.int64()),
+                "cnt": pa.array(cnts, pa.int64()),
+            })
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        # autoscaling (1, 8) actor pool: a FIXED pool the size of a small
+        # test cluster can reserve every CPU and deadlock the downstream
+        # sort; min=1 always leaves scheduler headroom
+        .map_batches(Hasher, batch_format="pyarrow", concurrency=(1, 8))
+        .sort(["doc_id", "bucket"])
+    )
+
+
 def langid_heuristic(sf_dir: str) -> rd.Dataset:
     """Character-bigram profile language-ID heuristic (rows-only oracle:
     the sketch is not SQL-expressible). Stateful profile table is built once

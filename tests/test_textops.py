@@ -492,3 +492,20 @@ def test_benchmark_contamination_holdout_is_fully_contaminated():
     hold = df[(df["doc_id"] % 97 == 0) & (df["n_grams"] > 0)]
     assert len(hold) > 0 and (hold["contamination"] == 1.0).all()
     assert (df["n_contaminated"] <= df["n_grams"]).all()
+
+
+def test_hashed_bow_counts_match_token_totals():
+    """Hashing-trick features: per-doc bucket counts must sum to the
+    doc's token count, buckets bounded by dim."""
+    from probe_ray import textops as T
+    from probe_ray.textops import simple_tokens
+    import pyarrow.parquet as pq
+
+    df = T.hashed_bow(SF).to_pandas()
+    assert ((df["bucket"] >= 0) & (df["bucket"] < 64)).all()
+    totals = df.groupby("doc_id")["cnt"].sum()
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    for did, text in zip(
+        docs.column("doc_id").to_pylist()[:20], docs.column("text").to_pylist()[:20]
+    ):
+        assert totals.get(did, 0) == len(simple_tokens(text))
