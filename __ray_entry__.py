@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_fraction": T.dup_ngram_fraction,
         "benchmark_contamination": T.benchmark_contamination,
         "hashed_bow": T.hashed_bow,
+        "token_chunks": T.token_chunks,
         "lang_distribution": T.lang_distribution,
         "grep_count": T.grep_count,
         "structural_matches": T.structural_matches,
@@ -484,6 +485,27 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS dup_fraction
             FROM tot t LEFT JOIN dup d USING (doc_id)
             ORDER BY t.doc_id
+        """,
+        # sliding-window token chunks: size 64, stride 56; chunk c starts
+        # at c*56 and the last chunk is the first reaching the doc's end
+        "token_chunks": f"""
+            WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+            nz AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0),
+            c AS (
+              SELECT doc_id, tk, n,
+                     unnest(range(0,
+                       CASE WHEN n <= 64 THEN 1
+                            ELSE 1 + (n - 64 + 55) // 56 END
+                     )) AS chunk_id
+              FROM nz
+            )
+            SELECT doc_id, chunk_id,
+                   len(tk[chunk_id * 56 + 1 : least(chunk_id * 56 + 64, n)])
+                     ::BIGINT AS n_tokens,
+                   array_to_string(
+                     tk[chunk_id * 56 + 1 : least(chunk_id * 56 + 64, n)], ' '
+                   ) AS chunk
+            FROM c ORDER BY doc_id, chunk_id
         """,
         # hashing-trick bag-of-words: bucket = md5(token) % 64, long form
         "hashed_bow": f"""

@@ -469,6 +469,51 @@ def hashed_bow(sf_dir: str, dim: int = 64) -> rd.Dataset:
     )
 
 
+def token_chunks(
+    sf_dir: str, size: int = 64, overlap: int = 8
+) -> rd.Dataset:
+    """Sliding-window token chunking (the sequence-prep step before
+    embedding or pretraining packing): each doc becomes chunks of
+    ``size`` tokens with ``overlap`` tokens carried over, stride =
+    size - overlap; the final partial chunk is kept if non-empty and not
+    fully contained in the previous one. Pure per-doc map (zero
+    shuffles), deterministic chunk ids. SQL-checked."""
+    stride = size - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than size")
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        dids, cids, lens, texts = [], [], [], []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = simple_tokens(text)
+            if not toks:
+                continue
+            cid = 0
+            for start in range(0, len(toks), stride):
+                part = toks[start : start + size]
+                dids.append(did)
+                cids.append(cid)
+                lens.append(len(part))
+                texts.append(" ".join(part))
+                cid += 1
+                if start + size >= len(toks):
+                    break  # this chunk reached the end of the doc
+        return pa.table({
+            "doc_id": pa.array(dids, pa.int64()),
+            "chunk_id": pa.array(cids, pa.int64()),
+            "n_tokens": pa.array(lens, pa.int64()),
+            "chunk": pa.array(texts, pa.string()),
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(chunk, batch_format="pyarrow")
+        .sort(["doc_id", "chunk_id"])
+    )
+
+
 def langid_heuristic(sf_dir: str) -> rd.Dataset:
     """Character-bigram profile language-ID heuristic (rows-only oracle:
     the sketch is not SQL-expressible). Stateful profile table is built once

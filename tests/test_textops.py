@@ -509,3 +509,33 @@ def test_hashed_bow_counts_match_token_totals():
         docs.column("doc_id").to_pylist()[:20], docs.column("text").to_pylist()[:20]
     ):
         assert totals.get(did, 0) == len(simple_tokens(text))
+
+
+def test_token_chunks_cover_and_overlap():
+    """Chunks cover every token exactly once modulo the 8-token overlap:
+    chunk c starts at c*56; consecutive chunks share 8 tokens; the last
+    chunk reaches the doc's end."""
+    from probe_ray import textops as T
+    from probe_ray.textops import simple_tokens
+    import pyarrow.parquet as pq
+
+    df = T.token_chunks(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toks = {
+        d: simple_tokens(t)
+        for d, t in zip(
+            docs.column("doc_id").to_pylist()[:30],
+            docs.column("text").to_pylist()[:30],
+        )
+    }
+    for did, tk in toks.items():
+        sub = df[df["doc_id"] == did].sort_values("chunk_id")
+        if not tk:
+            assert len(sub) == 0
+            continue
+        chunks = [c.split(" ") for c in sub["chunk"]]
+        # reconstruction: first chunk + stride-suffixes of the rest
+        rebuilt = chunks[0] + [w for c in chunks[1:] for w in c[8:]]
+        assert rebuilt == tk, did
+        for a, b in zip(chunks, chunks[1:]):
+            assert a[-8:] == b[:8] or len(a) < 64  # shared overlap
