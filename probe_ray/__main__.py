@@ -192,6 +192,13 @@ def main(argv=None):
 
             ds = rd.read_parquet(args.corpus)
             if args.stdin:
+                if (args.repo is not None or args.path is not None
+                        or args.line is not None or args.context is not None
+                        or args.symbol is not None):
+                    print("--stdin conflicts with repo/path/--line/"
+                          "--context/--symbol (references come from the "
+                          "piped text)", file=sys.stderr)
+                    return 2
                 from probe_ray.inputs import extract_from_text
 
                 tbl = extract_from_text(

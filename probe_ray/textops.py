@@ -42,6 +42,13 @@ def simple_tokens(text: str) -> list[str]:
     return [t for t in _WORD_SPLIT.split(text.lower()) if t]
 
 
+def _word_ngrams(toks: list[str], n: int) -> list[str]:
+    """Space-joined word n-gram windows — the ONE gram definition shared
+    by ngram_repetition / dup_ngram_fraction / benchmark_contamination
+    (and mirrored by their DuckDB oracles' array_to_string slices)."""
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
 def _emb_matrix(col) -> np.ndarray:
     """list<float> column -> (n, d) float64 matrix without a Python-object
     round trip: flatten the Arrow list values buffer straight to numpy and
@@ -241,7 +248,7 @@ def ngram_repetition(sf_dir: str, n: int = 3) -> rd.Dataset:
             toks = simple_tokens(text)
             if len(toks) < n:
                 continue
-            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            grams = _word_ngrams(toks, n)
             nd = len(set(grams))
             out_id.append(did)
             out_n.append(len(grams))
@@ -292,8 +299,7 @@ def dup_ngram_fraction(sf_dir: str, n: int = 8) -> rd.Dataset:
         ):
             toks = simple_tokens(text)
             counts: dict[str, int] = {}
-            for i in range(len(toks) - n + 1):
-                g = " ".join(toks[i : i + n])
+            for g in _word_ngrams(toks, n):
                 counts[g] = counts.get(g, 0) + 1
             for g, c in counts.items():
                 grams.append(g)
@@ -367,52 +373,55 @@ def benchmark_contamination(
     production it is the eval suites' text.
 
     Shape: the benchmark is the SMALL side — its gram set is built from
-    a filtered read and broadcast once via ray.put; the corpus
-    pass is one map_batches against the in-memory set. No shuffle at
-    all. At 100-TB corpus scale the benchmark side stays eval-suite
-    sized (MBs), which is exactly why broadcast beats a join here."""
+    a vectorized-mask filtered read and broadcast once via ray.put; the
+    corpus pass is one map_batches whose actors deserialize the set ONCE
+    in __init__ (a pickled set is not zero-copy — a per-batch ray.get
+    would unpickle it every call). The only data movement besides the
+    broadcast is the deterministic output sort. At 100-TB corpus scale
+    the benchmark side stays eval-suite sized (MBs), which is exactly
+    why broadcast beats a join here."""
     import ray as _ray
 
-    bench = _docs(sf_dir, ["doc_id", "text"]).filter(
-        lambda r: r["doc_id"] % holdout_mod == 0
+    def pick_holdout(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return batch.filter(pa.array(ids % holdout_mod == 0))
+
+    bench = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        pick_holdout, batch_format="pyarrow"
     )
     bench_grams: set = set()
     for b in bench.iter_batches(batch_format="pyarrow"):
         for text in b.column("text").to_pylist():
-            toks = simple_tokens(text)
-            for i in range(len(toks) - n + 1):
-                bench_grams.add(" ".join(toks[i : i + n]))
+            bench_grams.update(_word_ngrams(simple_tokens(text), n))
     grams_ref = _ray.put(bench_grams)
 
-    def overlap(batch: pa.Table) -> pa.Table:
-        gset = _ray.get(grams_ref)
-        dids, ngs, hits = [], [], []
-        for did, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            toks = simple_tokens(text)
-            total = max(len(toks) - n + 1, 0)
-            h = sum(
-                1
-                for i in range(total)
-                if " ".join(toks[i : i + n]) in gset
-            )
-            dids.append(did)
-            ngs.append(total)
-            hits.append(h)
-        frac = [
-            (h / t if t else 0.0) for h, t in zip(hits, ngs)
-        ]
-        return pa.table({
-            "doc_id": pa.array(dids, pa.int64()),
-            "n_grams": pa.array(ngs, pa.int64()),
-            "n_contaminated": pa.array(hits, pa.int64()),
-            "contamination": pa.array(frac, pa.float64()),
-        })
+    class Overlap:
+        def __init__(self):
+            self.gset = _ray.get(grams_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            dids, ngs, hits = [], [], []
+            for did, text in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("text").to_pylist(),
+            ):
+                grams = _word_ngrams(simple_tokens(text), n)
+                dids.append(did)
+                ngs.append(len(grams))
+                hits.append(sum(1 for g in grams if g in self.gset))
+            frac = [
+                (h / t if t else 0.0) for h, t in zip(hits, ngs)
+            ]
+            return pa.table({
+                "doc_id": pa.array(dids, pa.int64()),
+                "n_grams": pa.array(ngs, pa.int64()),
+                "n_contaminated": pa.array(hits, pa.int64()),
+                "contamination": pa.array(frac, pa.float64()),
+            })
 
     return (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(overlap, batch_format="pyarrow")
+        .map_batches(Overlap, batch_format="pyarrow", concurrency=(1, 8))
         .sort("doc_id")
     )
 
@@ -423,7 +432,8 @@ def hashed_bow(sf_dir: str, dim: int = 64) -> rd.Dataset:
     pipeline scale. Bucket = md5(token) % dim (md5 so the DuckDB oracle
     can reproduce it exactly); token->bucket is memoized ONCE PER ACTOR
     (vocabularies are Zipfian, so the memo hits almost always) — the
-    stateful-stage pattern. Per-doc work only: zero shuffles. SQL-checked."""
+    stateful-stage pattern. Per-doc compute; the only data movement is
+    the deterministic output sort. SQL-checked."""
 
     class Hasher:
         def __init__(self):
@@ -475,9 +485,9 @@ def token_chunks(
     """Sliding-window token chunking (the sequence-prep step before
     embedding or pretraining packing): each doc becomes chunks of
     ``size`` tokens with ``overlap`` tokens carried over, stride =
-    size - overlap; the final partial chunk is kept if non-empty and not
-    fully contained in the previous one. Pure per-doc map (zero
-    shuffles), deterministic chunk ids. SQL-checked."""
+    size - overlap; the final chunk is the first one reaching the doc's
+    end. Pure per-doc map; the only data movement is the deterministic
+    output sort. SQL-checked."""
     stride = size - overlap
     if stride <= 0:
         raise ValueError("overlap must be smaller than size")
