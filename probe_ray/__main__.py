@@ -97,6 +97,10 @@ def main(argv=None):
                         "format auto-detected)")
     e.add_argument("--no-tests", action="store_true",
                    help="drop references to test files")
+    e.add_argument("--format", default="plain",
+                   choices=["plain", "outline-diff"],
+                   help="--stdin output: plain spans+code, or the "
+                        "outline-diff unified-diff rendering")
     e.add_argument("--line", type=int, default=None)
     e.add_argument("--context", type=int, default=None,
                    help="explicit ±N line slice; default extracts the "
@@ -201,9 +205,18 @@ def main(argv=None):
                     return 2
                 from probe_ray.inputs import extract_from_text
 
+                text = sys.stdin.read()
                 tbl = extract_from_text(
-                    ds, sys.stdin.read(), allow_tests=not args.no_tests
+                    ds, text, allow_tests=not args.no_tests
                 )
+                if args.format == "outline-diff":
+                    from probe_ray.inputs import is_git_diff_format
+                    from probe_ray.output import format_outline_diff
+
+                    print(format_outline_diff(
+                        tbl, text if is_git_diff_format(text) else None
+                    ))
+                    return 0
                 for r in tbl.to_pylist():
                     print(f"{r['repo']}/{r['path']}:"
                           f"{r['start_line']}-{r['end_line']}")

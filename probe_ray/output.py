@@ -130,11 +130,164 @@ def format_outline(table: pa.Table) -> str:
     return "\n".join(out)
 
 
+def _parse_diff_lines(diff_text: str) -> dict[str, list[dict]]:
+    """outline_diff_formatter.rs:445-560 parse_diff: per file, the hunk
+    lines as dicts (kind, old_no, new_no, text) with BOTH counters
+    tracked ('\\' markers skipped)."""
+    import re
+
+    header = re.compile(r"^diff --git a/(.*) b/(.*)$")
+    hunk = re.compile(r"^@@ -(\d+)(?:,(\d+))? \+(\d+)(?:,(\d+))? @@")
+    out: dict[str, list[dict]] = {}
+    cur: list[dict] | None = None
+    old_no = new_no = 0
+    in_hunk = False
+    for line in diff_text.split("\n"):
+        m = header.match(line)
+        if m:
+            cur = out.setdefault(m.group(2), [])
+            in_hunk = False
+            continue
+        h = hunk.match(line)
+        if h and cur is not None:
+            old_no, new_no = int(h.group(1)), int(h.group(3))
+            in_hunk = True
+            continue
+        if not in_hunk or cur is None:
+            continue
+        if line.startswith("\\"):
+            continue  # '\ No newline at end of file'
+        if line.startswith("+"):
+            cur.append(dict(kind="add", old_no=None, new_no=new_no,
+                            text=line[1:]))
+            new_no += 1
+        elif line.startswith("-"):
+            cur.append(dict(kind="remove", old_no=old_no, new_no=None,
+                            text=line[1:]))
+            old_no += 1
+        elif line.startswith(" ") or line == "":
+            cur.append(dict(kind="context", old_no=old_no, new_no=new_no,
+                            text=line[1:] if line else ""))
+            old_no += 1
+            new_no += 1
+        else:
+            in_hunk = False  # trailer (e.g. next file's ---/+++ header)
+    return out
+
+
+def _coalesce_replacements(lines: list[dict]) -> list[tuple]:
+    """outline_diff_formatter.rs:52-105: pair contiguous removes with the
+    adds that follow into ('replace', old, new) ops; leftovers stay
+    plain ('remove', dl) / ('add', dl); context passes through."""
+    ops: list[tuple] = []
+    i = 0
+    while i < len(lines):
+        if lines[i]["kind"] == "remove":
+            r0 = i
+            while i < len(lines) and lines[i]["kind"] == "remove":
+                i += 1
+            a0 = i
+            while i < len(lines) and lines[i]["kind"] == "add":
+                i += 1
+            removes, adds = lines[r0:a0], lines[a0:i]
+            k = min(len(removes), len(adds))
+            ops.extend(("replace", removes[j], adds[j]) for j in range(k))
+            ops.extend(("remove", r) for r in removes[k:])
+            ops.extend(("add", a) for a in adds[k:])
+        elif lines[i]["kind"] == "add":
+            ops.append(("add", lines[i]))
+            i += 1
+        else:
+            ops.append(("context", lines[i]))
+            i += 1
+    return ops
+
+
+def format_outline_diff(table: pa.Table, raw_diff: str | None = None) -> str:
+    """Outline-diff view (src/extract/outline_diff_formatter.rs:112-255):
+    the extracted blocks re-rendered AS a unified diff — per file a
+    `diff --git` header, per block a `@@` hunk whose context is the
+    block's first code line, and a line-numbered gutter where changed
+    lines carry +/- (contiguous remove/add runs coalesced into
+    replacement pairs). Without ``raw_diff`` every line renders as
+    context (test_outline_diff_with_no_diff semantics)."""
+    from collections import defaultdict
+
+    if table.num_rows == 0:
+        return "No results found.\n"
+    diff_by_file = _parse_diff_lines(raw_diff) if raw_diff else {}
+
+    by_file: dict[str, list[dict]] = defaultdict(list)
+    for r in _rows(table):
+        by_file[r["path"]].append(r)
+
+    out: list[str] = []
+    for path in sorted(by_file):
+        out.append(f"diff --git a/{path} b/{path}")
+        out.append("index 00000000..11111111 100644")
+        out.append(f"--- a/{path}")
+        out.append(f"+++ b/{path}")
+        dlines = diff_by_file.get(path, [])
+        ops = _coalesce_replacements(dlines)
+        # index render ops by the NEW line they anchor to (a leftover
+        # remove anchors to the next op's new line so it prints in place)
+        by_new: dict[int, list[tuple]] = defaultdict(list)
+        pending: list[tuple] = []
+        for op in ops:
+            anchor = op[2]["new_no"] if op[0] == "replace" else op[1]["new_no"]
+            if anchor is None:
+                pending.append(op)
+                continue
+            by_new[anchor].extend(pending)
+            pending = []
+            by_new[anchor].append(op)
+        width = max(
+            (r["end_line"] for r in by_file[path]),
+            default=1,
+        )
+        width = max(width, max(
+            (dl["old_no"] or 0 for dl in dlines), default=0
+        ))
+        width = len(str(width))
+
+        def emit(num, prefix, text):
+            out.append(f"{num:>{width}}{prefix} {text}")
+
+        for r in sorted(by_file[path], key=lambda x: x["start_line"]):
+            code_lines = r["code"].split("\n") if r["code"] else []
+            span = r["end_line"] - r["start_line"] + 1
+            context = code_lines[0].strip() if code_lines else ""
+            out.append(
+                f"@@ -{r['start_line']},{span} +{r['start_line']},{span} "
+                f"@@ {context}"
+            )
+            for off in range(span):
+                n = r["start_line"] + off
+                rendered = False
+                for op in by_new.get(n, []):
+                    if op[0] == "replace":
+                        emit(op[1]["old_no"], "-", op[1]["text"])
+                        emit(op[2]["new_no"], "+", op[2]["text"])
+                        rendered = True
+                    elif op[0] == "remove":
+                        emit(op[1]["old_no"], "-", op[1]["text"])
+                    elif op[0] == "add":
+                        emit(op[1]["new_no"], "+", op[1]["text"])
+                        rendered = True
+                    else:
+                        emit(op[1]["new_no"], " ", op[1]["text"])
+                        rendered = True
+                if not rendered and off < len(code_lines):
+                    emit(n, " ", code_lines[off])
+    return "\n".join(out)
+
+
 FORMATS = {
     "json": format_json,
     "xml": format_xml,
     "terminal": format_terminal,
     "outline": format_outline,
+    "outline-diff": format_outline_diff,
 }
 
 

@@ -230,3 +230,42 @@ def test_brace_glob_expansion(corpus):
     assert _ref_matches(ref, "src/calc.py")
     assert _ref_matches(ref, "src/util.py")
     assert not _ref_matches(ref, "docs/readme.md")
+
+
+def test_outline_diff_formatter(corpus):
+    """outline_diff_formatter.rs: extraction results re-rendered as a
+    unified diff — per-file headers, per-block @@ hunks, numbered gutter
+    with +/- on changed lines and remove/add runs coalesced into
+    replacement pairs."""
+    from probe_ray.output import format_outline_diff, format_results
+
+    diff = (
+        "diff --git a/src/util.py b/src/util.py\n"
+        "--- a/src/util.py\n"
+        "+++ b/src/util.py\n"
+        "@@ -4,3 +4,3 @@\n"
+        "-line 4\n"
+        "+line four\n"
+        " line 5\n"
+        "-line 6\n"
+        "+line six\n"
+    )
+    tbl = extract_from_text(corpus, diff)
+    out = format_outline_diff(tbl, diff)
+    assert "diff --git a/src/util.py b/src/util.py" in out
+    assert "--- a/src/util.py" in out and "+++ b/src/util.py" in out
+    assert "@@ " in out
+    # replacement pairs: old line with '-', new with '+', same number
+    assert "4- line 4" in out and "4+ line four" in out
+    assert "6- line 6" in out and "6+ line six" in out
+    # interior context carries the plain gutter
+    assert "5  line 5" in out
+    # no diff -> all context lines (test_outline_diff_with_no_diff)
+    ctx = format_outline_diff(tbl)
+    assert "+" not in ctx.split("@@")[-1] or "+++ b/" in ctx
+    # registered in FORMATS
+    assert "diff --git" in format_results(tbl, "outline-diff")
+    # empty result
+    import pyarrow as pa
+    from probe_ray.inputs import _EXTRACT_SCHEMA
+    assert format_outline_diff(_EXTRACT_SCHEMA.empty_table()) == "No results found.\n"
