@@ -247,9 +247,17 @@ def extract(docs: rd.Dataset, repo: str, path: str, line: int | None = None,
     search path uses). An explicit ``context`` gives a plain ±context line
     slice. ``symbol`` extracts the NAMED symbol's span via the symbol
     recognizers (the file.rs#symbol form)."""
-    rows = docs.filter(
-        lambda r: r["repo"] == repo and r["path"] == path
-    ).take(1)
+    import pyarrow.compute as pc
+
+    def pick(batch: pa.Table) -> pa.Table:
+        # vectorized point lookup — a per-row Python lambda filter walks
+        # the whole corpus in the interpreter
+        return batch.filter(pc.and_(
+            pc.equal(batch.column("repo"), repo),
+            pc.equal(batch.column("path"), path),
+        ))
+
+    rows = docs.map_batches(pick, batch_format="pyarrow").take(1)
     if not rows:
         return None
     row = rows[0]

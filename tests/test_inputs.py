@@ -269,3 +269,38 @@ def test_outline_diff_formatter(corpus):
     import pyarrow as pa
     from probe_ray.inputs import _EXTRACT_SCHEMA
     assert format_outline_diff(_EXTRACT_SCHEMA.empty_table()) == "No results found.\n"
+
+
+def test_inputs_property_fuzz():
+    """Property fuzz: parse_file_references never crashes on arbitrary
+    text, and a well-formed reference injected into arbitrary noise is
+    always recovered with its line info intact."""
+    from hypothesis import given, settings, strategies as st
+
+    noise = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(noise)
+    def never_crashes(text):
+        refs = parse_file_references(text)
+        for r in refs:
+            assert r["path"]
+
+    never_crashes()
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        noise,
+        st.integers(min_value=1, max_value=9999),
+        st.integers(min_value=1, max_value=9999),
+    )
+    def injected_ref_recovered(text, a, b):
+        lo, hi = min(a, b), max(a, b)
+        ref = f"pkg/mod_x.py:{lo}-{hi}"
+        refs = parse_file_references(f"{text} {ref} ")
+        mine = [r for r in refs if r["path"] == "pkg/mod_x.py"]
+        assert mine and (mine[0]["start_line"], mine[0]["end_line"]) == (lo, hi)
+
+    injected_ref_recovered()
