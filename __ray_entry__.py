@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": T.exact_dedup,                  # SQL-checked
         "corpus_clean": T.corpus_clean,                # SQL-checked
         "near_dup_word_jaccard": T.near_dup_word_jaccard,  # SQL-checked
+        "dedup_clusters": T.dedup_clusters,            # SQL-checked
         "doc_fingerprint": T.doc_fingerprint,          # SQL-checked
         "minhash_lsh_dedup": T.minhash_lsh_dedup,      # rows-only (sketch)
         "simhash64": T.simhash64,                      # rows-only (sketch)
@@ -621,6 +622,37 @@ def oracle_sql() -> dict[str, str]:
               ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
             WHERE len(list_distinct(a.s || b.s)) > 0
               AND len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.5
+        """,
+        # connected components over the near-dup pair graph: every doc
+        # labeled with its component's min doc_id (recursive CTE; the
+        # pair predicate is near_dup_word_jaccard's)
+        "dedup_clusters": f"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id, list_distinct({toks}) AS s FROM documents
+            ),
+            pairs AS (
+              SELECT a.doc_id AS pa, b.doc_id AS pb
+              FROM t a JOIN t b
+                ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+              WHERE len(list_distinct(a.s || b.s)) > 0
+                AND len(list_intersect(a.s, b.s))::DOUBLE
+                    / len(list_distinct(a.s || b.s)) >= 0.5
+            ),
+            e(a, b) AS (
+              SELECT pa, pb FROM pairs UNION ALL SELECT pb, pa FROM pairs
+            ),
+            n(id) AS (SELECT DISTINCT a FROM e),
+            cc(id, label) AS (
+              SELECT id, id FROM n
+              UNION
+              SELECT e.b, cc.label FROM cc JOIN e ON e.a = cc.id
+              WHERE cc.label < e.b
+            ),
+            m AS (SELECT id, min(label) AS cluster FROM cc GROUP BY id)
+            SELECT d.doc_id,
+                   coalesce(m.cluster, d.doc_id)::BIGINT AS cluster_id
+            FROM documents d LEFT JOIN m ON m.id = d.doc_id
+            ORDER BY d.doc_id
         """,
         "doc_fingerprint": r"""
             SELECT doc_id,

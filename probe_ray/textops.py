@@ -1166,6 +1166,67 @@ def near_dup_word_jaccard(sf_dir: str, window: int = 5, threshold: float = 0.5) 
     )
 
 
+def dedup_clusters(
+    sf_dir: str, window: int = 5, threshold: float = 0.5
+) -> rd.Dataset:
+    """Duplicate-cluster assignment: connected components over the
+    near-dup pair graph (near_dup_word_jaccard edges), every doc labeled
+    with its component's MIN doc_id (singletons label themselves). The
+    end product a dedup stage actually consumes — keep one doc per
+    cluster_id. SQL-checked (DuckDB recursive CTE computes the same
+    components).
+
+    Shape: union-find runs on the DRIVER over the pair list — bounded by
+    the near-dup edge count (the pair op's own output size), not the
+    corpus; past ~10^8 edges this step would become distributed
+    min-label propagation (documented swap point). Assignment back to
+    the full corpus is a tagged union + one groupby(doc_id).min — no
+    broadcast of per-doc state."""
+    pairs = near_dup_word_jaccard(sf_dir, window, threshold).to_pandas()
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    if len(pairs) and "doc_id_a" in pairs.columns:
+        for a, b in zip(pairs["doc_id_a"], pairs["doc_id_b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+
+    labeled = pa.table({
+        "doc_id": pa.array([int(x) for x in parent], pa.int64()),
+        "cluster_id": pa.array(
+            [find(int(x)) for x in parent], pa.int64()
+        ),
+    })
+
+    def self_label(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        return pa.table({"doc_id": ids, "cluster_id": ids})
+
+    merged = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(self_label, batch_format="pyarrow")
+        .union(rd.from_arrow(labeled))
+        .groupby("doc_id")
+        .min("cluster_id")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "cluster_id": batch.column("min(cluster_id)"),
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
 def doc_fingerprint(sf_dir: str) -> rd.Dataset:
     """md5 fingerprint of whitespace-normalized lowercase text."""
 

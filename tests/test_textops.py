@@ -539,3 +539,19 @@ def test_token_chunks_cover_and_overlap():
         assert rebuilt == tk, did
         for a, b in zip(chunks, chunks[1:]):
             assert a[-8:] == b[:8] or len(a) < 64  # shared overlap
+
+
+def test_dedup_clusters_structure():
+    """Cluster labels: every doc labeled, label = min doc_id of its
+    component, labels are themselves cluster members, and both ends of
+    every near-dup pair share a label."""
+    from probe_ray import textops as T
+
+    df = T.dedup_clusters(SF).to_pandas().set_index("doc_id")
+    pairs = T.near_dup_word_jaccard(SF).to_pandas()
+    assert (df["cluster_id"] <= df.index).all()
+    for a, b in zip(pairs["doc_id_a"], pairs["doc_id_b"]):
+        assert df.loc[a, "cluster_id"] == df.loc[b, "cluster_id"]
+    # every cluster label is a member of its own cluster
+    labels = set(df["cluster_id"])
+    assert all(df.loc[l, "cluster_id"] == l for l in labels)
