@@ -222,6 +222,10 @@ def main(argv=None):
                           f"{r['start_line']}-{r['end_line']}")
                     print(r["code"])
                 return 0
+            if args.format != "plain":
+                print("--format applies to --stdin extraction only",
+                      file=sys.stderr)
+                return 2
             if args.repo is None or args.path is None:
                 print("extract needs <repo> <path> (or --stdin)",
                       file=sys.stderr)

@@ -133,45 +133,52 @@ def format_outline(table: pa.Table) -> str:
 def _parse_diff_lines(diff_text: str) -> dict[str, list[dict]]:
     """outline_diff_formatter.rs:445-560 parse_diff: per file, the hunk
     lines as dicts (kind, old_no, new_no, text) with BOTH counters
-    tracked ('\\' markers skipped)."""
-    import re
+    tracked. The hunk header's old/new line COUNTS bound each hunk
+    (exactly how git disambiguates '-'-leading content from trailers);
+    '\\ No newline' markers are skipped."""
+    from probe_ray.inputs import _DIFF_HEADER_RE, _HUNK_HEADER_RE
 
-    header = re.compile(r"^diff --git a/(.*) b/(.*)$")
-    hunk = re.compile(r"^@@ -(\d+)(?:,(\d+))? \+(\d+)(?:,(\d+))? @@")
     out: dict[str, list[dict]] = {}
     cur: list[dict] | None = None
     old_no = new_no = 0
-    in_hunk = False
+    rem_old = rem_new = 0
     for line in diff_text.split("\n"):
-        m = header.match(line)
+        m = _DIFF_HEADER_RE.match(line)
         if m:
             cur = out.setdefault(m.group(2), [])
-            in_hunk = False
+            rem_old = rem_new = 0
             continue
-        h = hunk.match(line)
+        h = _HUNK_HEADER_RE.match(line)
         if h and cur is not None:
             old_no, new_no = int(h.group(1)), int(h.group(3))
-            in_hunk = True
+            rem_old = int(h.group(2) or 1)
+            rem_new = int(h.group(4) or 1)
             continue
-        if not in_hunk or cur is None:
-            continue
+        if cur is None or (rem_old <= 0 and rem_new <= 0):
+            continue  # outside any hunk
         if line.startswith("\\"):
             continue  # '\ No newline at end of file'
         if line.startswith("+"):
             cur.append(dict(kind="add", old_no=None, new_no=new_no,
                             text=line[1:]))
             new_no += 1
+            rem_new -= 1
         elif line.startswith("-"):
             cur.append(dict(kind="remove", old_no=old_no, new_no=None,
                             text=line[1:]))
             old_no += 1
-        elif line.startswith(" ") or line == "":
+            rem_old -= 1
+        elif line.startswith(" ") or (
+            line == "" and rem_old > 0 and rem_new > 0
+        ):
+            # "" inside a counted hunk = an empty context line whose
+            # trailing space was stripped by an editor/transport
             cur.append(dict(kind="context", old_no=old_no, new_no=new_no,
                             text=line[1:] if line else ""))
             old_no += 1
             new_no += 1
-        else:
-            in_hunk = False  # trailer (e.g. next file's ---/+++ header)
+            rem_old -= 1
+            rem_new -= 1
     return out
 
 
@@ -210,39 +217,53 @@ def format_outline_diff(table: pa.Table, raw_diff: str | None = None) -> str:
     block's first code line, and a line-numbered gutter where changed
     lines carry +/- (contiguous remove/add runs coalesced into
     replacement pairs). Without ``raw_diff`` every line renders as
-    context (test_outline_diff_with_no_diff semantics)."""
+    context (test_outline_diff_with_no_diff semantics).
+
+    Contract: like the reference (which reads the WORKING TREE after the
+    diff was applied), the corpus is expected to hold the POST-diff
+    content, so extracted code lines align with the diff's new-side line
+    numbers; removed lines exist only in the diff and render from its
+    ops. Files are grouped per (repo, path) — the same path in two repos
+    yields two diff sections."""
     from collections import defaultdict
 
     if table.num_rows == 0:
         return "No results found.\n"
     diff_by_file = _parse_diff_lines(raw_diff) if raw_diff else {}
 
-    by_file: dict[str, list[dict]] = defaultdict(list)
+    by_file: dict[tuple[str, str], list[dict]] = defaultdict(list)
     for r in _rows(table):
-        by_file[r["path"]].append(r)
+        by_file[(r["repo"], r["path"])].append(r)
 
     out: list[str] = []
-    for path in sorted(by_file):
+    for repo, path in sorted(by_file):
         out.append(f"diff --git a/{path} b/{path}")
         out.append("index 00000000..11111111 100644")
         out.append(f"--- a/{path}")
         out.append(f"+++ b/{path}")
         dlines = diff_by_file.get(path, [])
         ops = _coalesce_replacements(dlines)
-        # index render ops by the NEW line they anchor to (a leftover
-        # remove anchors to the next op's new line so it prints in place)
+        # index render ops by the NEW line they anchor to: a leftover
+        # remove anchors AFTER the previous rendered line (trailing
+        # removes then print inside the block instead of vanishing);
+        # leading removes anchor to the next op's line
         by_new: dict[int, list[tuple]] = defaultdict(list)
         pending: list[tuple] = []
+        last_new: int | None = None
         for op in ops:
             anchor = op[2]["new_no"] if op[0] == "replace" else op[1]["new_no"]
             if anchor is None:
-                pending.append(op)
+                if last_new is not None:
+                    by_new[last_new].append(op)
+                else:
+                    pending.append(op)
                 continue
             by_new[anchor].extend(pending)
             pending = []
             by_new[anchor].append(op)
+            last_new = anchor
         width = max(
-            (r["end_line"] for r in by_file[path]),
+            (r["end_line"] for r in by_file[(repo, path)]),
             default=1,
         )
         width = max(width, max(
@@ -253,7 +274,7 @@ def format_outline_diff(table: pa.Table, raw_diff: str | None = None) -> str:
         def emit(num, prefix, text):
             out.append(f"{num:>{width}}{prefix} {text}")
 
-        for r in sorted(by_file[path], key=lambda x: x["start_line"]):
+        for r in sorted(by_file[(repo, path)], key=lambda x: x["start_line"]):
             code_lines = r["code"].split("\n") if r["code"] else []
             span = r["end_line"] - r["start_line"] + 1
             context = code_lines[0].strip() if code_lines else ""

@@ -1104,7 +1104,17 @@ def simhash64(sf_dir: str) -> rd.Dataset:
 def near_dup_word_jaccard(sf_dir: str, window: int = 5, threshold: float = 0.5) -> rd.Dataset:
     """Word-set Jaccard for doc pairs within a doc_id window (the
     SQL-checkable near-dup variant; the unrestricted version is
-    minhash_lsh_dedup). Windowed self-join via overlap-replicated buckets."""
+    minhash_lsh_dedup). Windowed self-join via overlap-replicated buckets;
+    output sorted inside Ray (it can be corpus-scale)."""
+    return _near_dup_pairs(sf_dir, window, threshold).sort(
+        ["doc_id_a", "doc_id_b"]
+    )
+
+
+def _near_dup_pairs(sf_dir: str, window: int = 5, threshold: float = 0.5) -> rd.Dataset:
+    """Unsorted near-dup pair pipeline shared by near_dup_word_jaccard
+    (which sorts for its deterministic public output) and dedup_clusters
+    (whose union-find is order-independent — no sort needed)."""
     bucket = 64
 
     def to_buckets(batch: pa.Table) -> pa.Table:
@@ -1155,14 +1165,12 @@ def near_dup_word_jaccard(sf_dir: str, window: int = 5, threshold: float = 0.5) 
         )
 
     # each pair is emitted exactly once (from the larger-id endpoint's
-    # bucket), so no driver-side dedup is needed; sort INSIDE Ray and
-    # return the Dataset (output can be corpus-scale)
+    # bucket), so no driver-side dedup is needed
     return (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(to_buckets, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(pair_group, batch_format="pandas")
-        .sort(["doc_id_a", "doc_id_b"])
     )
 
 
@@ -1182,7 +1190,7 @@ def dedup_clusters(
     min-label propagation (documented swap point). Assignment back to
     the full corpus is a tagged union + one groupby(doc_id).min — no
     broadcast of per-doc state."""
-    pairs = near_dup_word_jaccard(sf_dir, window, threshold).to_pandas()
+    pairs = _near_dup_pairs(sf_dir, window, threshold).to_pandas()
 
     parent: dict[int, int] = {}
 
@@ -1210,21 +1218,19 @@ def dedup_clusters(
         ids = batch.column("doc_id")
         return pa.table({"doc_id": ids, "cluster_id": ids})
 
-    merged = (
+    from ray.data.aggregate import Min
+
+    # alias_name keeps the output column 'cluster_id' without a rename
+    # map stage (whose UDF zero-row blocks would skip, leaving mixed
+    # schemas — the documented Ray empty-block gotcha)
+    return (
         _docs(sf_dir, ["doc_id"])
         .map_batches(self_label, batch_format="pyarrow")
         .union(rd.from_arrow(labeled))
         .groupby("doc_id")
-        .min("cluster_id")
+        .aggregate(Min("cluster_id", alias_name="cluster_id"))
+        .sort("doc_id")
     )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "cluster_id": batch.column("min(cluster_id)"),
-        })
-
-    return merged.map_batches(finish, batch_format="pyarrow").sort("doc_id")
 
 
 def doc_fingerprint(sf_dir: str) -> rd.Dataset:

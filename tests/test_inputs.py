@@ -260,9 +260,12 @@ def test_outline_diff_formatter(corpus):
     assert "6- line 6" in out and "6+ line six" in out
     # interior context carries the plain gutter
     assert "5  line 5" in out
-    # no diff -> all context lines (test_outline_diff_with_no_diff)
+    # no diff -> all context lines (test_outline_diff_with_no_diff):
+    # no numbered gutter line carries a +/- marker
+    import re
+
     ctx = format_outline_diff(tbl)
-    assert "+" not in ctx.split("@@")[-1] or "+++ b/" in ctx
+    assert not re.search(r"^\s*\d+[+-] ", ctx, re.M), ctx
     # registered in FORMATS
     assert "diff --git" in format_results(tbl, "outline-diff")
     # empty result
@@ -304,3 +307,28 @@ def test_inputs_property_fuzz():
         assert mine and (mine[0]["start_line"], mine[0]["end_line"]) == (lo, hi)
 
     injected_ref_recovered()
+
+
+def test_outline_diff_trailing_removes_render(corpus):
+    """A hunk that deletes more than it adds: the unpaired removed lines
+    must still render with '-' (anchored after the previous rendered
+    line), not silently vanish."""
+    from probe_ray.output import format_outline_diff
+
+    diff = (
+        "diff --git a/src/util.py b/src/util.py\n"
+        "--- a/src/util.py\n"
+        "+++ b/src/util.py\n"
+        "@@ -4,4 +4,2 @@\n"
+        " line 4\n"
+        "+line A\n"
+        "-line 5\n"
+        "-line 6\n"
+        " line 7\n"
+    )
+    tbl = extract_from_text(corpus, diff)
+    out = format_outline_diff(tbl, diff)
+    # the replace pair and the surviving extra remove both render
+    assert "+ line A" in out
+    assert "- line 5" in out
+    assert "- line 6" in out
