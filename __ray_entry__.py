@@ -183,6 +183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean": T.corpus_clean,                # SQL-checked
         "near_dup_word_jaccard": T.near_dup_word_jaccard,  # SQL-checked
         "dedup_clusters": T.dedup_clusters,            # SQL-checked
+        "stratified_sample": T.stratified_sample,      # SQL-checked
+        "filter_report": T.filter_report,              # SQL-checked
         "doc_fingerprint": T.doc_fingerprint,          # SQL-checked
         "minhash_lsh_dedup": T.minhash_lsh_dedup,      # rows-only (sketch)
         "simhash64": T.simhash64,                      # rows-only (sketch)
@@ -653,6 +655,50 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(m.cluster, d.doc_id)::BIGINT AS cluster_id
             FROM documents d LEFT JOIN m ON m.id = d.doc_id
             ORDER BY d.doc_id
+        """,
+        # deterministic hash-based stratified sample: md5(doc_id) % 1000
+        # under the stratum's permille (en boosted to 300, default 100)
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  ::UBIGINT % 1000
+                  < CASE WHEN lang = 'en' THEN 300 ELSE 100 END
+            ORDER BY doc_id
+        """,
+        # reason-labeled quality filter: short / repetitive (3-gram) /
+        # non-english (langid_stopwords' exact vote)
+        "filter_report": f"""
+            WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+            c AS (
+              SELECT doc_id, len(tk) AS n_tok,
+                CASE WHEN len(tk) >= 3 THEN
+                  1.0 - len(list_distinct(list_transform(
+                        range(1, len(tk) - 1),
+                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                      )))::DOUBLE / (len(tk) - 2)
+                ELSE 0.0 END AS rep_ratio,
+                len(list_filter(tk, x -> x IN ('der','die','das','und','ist','von','mit','den','nicht','ein'))) AS c_de,
+                len(list_filter(tk, x -> x IN ('the','and','of','to','in','is','that','it','for','with'))) AS c_en,
+                len(list_filter(tk, x -> x IN ('el','los','las','que','y','en','un','para','con','por'))) AS c_es,
+                len(list_filter(tk, x -> x IN ('le','la','les','des','et','une','que','pour','dans','est'))) AS c_fr
+              FROM t
+            )
+            SELECT doc_id,
+                   (n_tok < 20) AS too_short,
+                   (rep_ratio > 0.2) AS too_repetitive,
+                   (CASE
+                      WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                      WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                      WHEN c_es >= c_fr THEN 'es'
+                      ELSE 'fr'
+                    END) <> 'en' AS non_english,
+                   NOT ((n_tok < 20) OR (rep_ratio > 0.2) OR (CASE
+                      WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                      WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                      WHEN c_es >= c_fr THEN 'es'
+                      ELSE 'fr'
+                    END) <> 'en') AS keep
+            FROM c ORDER BY doc_id
         """,
         "doc_fingerprint": r"""
             SELECT doc_id,

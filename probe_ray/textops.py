@@ -1233,6 +1233,83 @@ def dedup_clusters(
     )
 
 
+def stratified_sample(
+    sf_dir: str, default_permille: int = 100, boosts: dict | None = None
+) -> rd.Dataset:
+    """Deterministic stratified sampling (the data-mixing step: sample
+    each language stratum at its own rate). A doc is kept iff
+    md5(doc_id) % 1000 < its stratum's permille — hash-based so the
+    sample is REPRODUCIBLE and resumable (no RNG state), the property a
+    100-TB mixing run needs. Default 10% everywhere, 'en' boosted to
+    30%. Pure per-doc map + output sort. SQL-checked (DuckDB md5
+    parity, as in hashed_bow)."""
+    import hashlib
+
+    rates = {"en": 300}
+    rates.update(boosts or {})
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        mask = [
+            int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 1000
+            < rates.get(lang, default_permille)
+            for d, lang in zip(ids, langs)
+        ]
+        return batch.filter(pa.array(mask))
+
+    return (
+        _docs(sf_dir, ["doc_id", "lang"])
+        .map_batches(keep, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+def filter_report(sf_dir: str, min_tokens: int = 20, max_rep: float = 0.2) -> rd.Dataset:
+    """Reason-labeled quality filtering (what a pipeline operator reads
+    when tuning rules): per doc, one boolean per rule — too_short
+    (token count < min_tokens), too_repetitive (within-doc 3-gram
+    repetition > max_rep), non_english (stop-word vote != 'en') — and
+    the final keep. The rules are corpus_clean's family, surfaced with
+    reasons instead of silently dropping (non_english uses
+    langid_stopwords' exact vote). Pure per-doc map + output sort.
+    SQL-checked."""
+    langs = sorted(LANGID_STOPWORDS)
+    sets = {l: frozenset(LANGID_STOPWORDS[l]) for l in langs}
+
+    def judge(batch: pa.Table) -> pa.Table:
+        dids, short, rep, noneng, keep = [], [], [], [], []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = simple_tokens(text)
+            is_short = len(toks) < min_tokens
+            grams = _word_ngrams(toks, 3)
+            ratio = (1.0 - len(set(grams)) / len(grams)) if grams else 0.0
+            is_rep = ratio > max_rep
+            counts = [sum(1 for t in toks if t in sets[l]) for l in langs]
+            best = langs[int(np.argmax(counts))]  # first max == alpha tie
+            is_noneng = best != "en"
+            dids.append(did)
+            short.append(is_short)
+            rep.append(is_rep)
+            noneng.append(is_noneng)
+            keep.append(not (is_short or is_rep or is_noneng))
+        return pa.table({
+            "doc_id": pa.array(dids, pa.int64()),
+            "too_short": pa.array(short, pa.bool_()),
+            "too_repetitive": pa.array(rep, pa.bool_()),
+            "non_english": pa.array(noneng, pa.bool_()),
+            "keep": pa.array(keep, pa.bool_()),
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(judge, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
 def doc_fingerprint(sf_dir: str) -> rd.Dataset:
     """md5 fingerprint of whitespace-normalized lowercase text."""
 

@@ -555,3 +555,35 @@ def test_dedup_clusters_structure():
     # every cluster label is a member of its own cluster
     labels = set(df["cluster_id"])
     assert all(df.loc[l, "cluster_id"] == l for l in labels)
+
+
+def test_stratified_sample_deterministic_and_rates():
+    """Hash-based sampling: reproducible across runs; the boosted 'en'
+    stratum keeps roughly 3x the default rate."""
+    from probe_ray import textops as T
+    import pyarrow.parquet as pq
+
+    a = T.stratified_sample(SF).to_pandas()
+    b = T.stratified_sample(SF).to_pandas()
+    assert a.equals(b)
+    totals = pq.read_table(f"{SF}/documents.parquet", columns=["lang"]) \
+        .to_pandas()["lang"].value_counts()
+    kept = a["lang"].value_counts()
+    en_rate = kept.get("en", 0) / totals["en"]
+    other = sum(kept.get(l, 0) for l in totals.index if l != "en") / \
+        sum(totals[l] for l in totals.index if l != "en")
+    assert 0.15 < en_rate < 0.45 and 0.03 < other < 0.2
+
+
+def test_filter_report_consistency():
+    """keep == NOT any(reason); every doc reported; non_english matches
+    langid_stopwords' vote exactly."""
+    from probe_ray import textops as T
+
+    df = T.filter_report(SF).to_pandas()
+    assert len(df) == 500
+    flagged = df["too_short"] | df["too_repetitive"] | df["non_english"]
+    assert (df["keep"] == ~flagged).all()
+    votes = T.langid_stopwords(SF).to_pandas().set_index("doc_id")
+    joined = df.set_index("doc_id").join(votes)
+    assert ((joined["lang_guess"] != "en") == joined["non_english"]).all()
