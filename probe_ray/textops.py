@@ -204,23 +204,34 @@ LANGID_STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
+_LANGID_LANGS = sorted(LANGID_STOPWORDS)
+_LANGID_SETS = {l: frozenset(LANGID_STOPWORDS[l]) for l in _LANGID_LANGS}
+
+
+def _stopword_vote(toks: list[str]) -> tuple[str, int]:
+    """THE stop-word language vote (occurrence counts, most hits wins,
+    alpha tie-break) — single definition shared by langid_stopwords and
+    filter_report, mirrored by both DuckDB oracles."""
+    counts = [
+        sum(1 for t in toks if t in _LANGID_SETS[l]) for l in _LANGID_LANGS
+    ]
+    best = int(np.argmax(counts))  # first max wins == alpha order
+    return _LANGID_LANGS[best], counts[best]
+
+
 def langid_stopwords(sf_dir: str) -> rd.Dataset:
     """Deterministic SQL-checkable language ID: per-language stop-word hit
     counts over the simple tokens; the language with the most hits wins,
     ties broken alphabetically (the exact vote the DuckDB oracle
     reproduces). The heavier char-bigram classifier is langid_heuristic
     (rows-only)."""
-    langs = sorted(LANGID_STOPWORDS)
-    sets = {l: frozenset(LANGID_STOPWORDS[l]) for l in langs}
 
     def vote(batch: pa.Table) -> pa.Table:
         out_lang, out_hits = [], []
         for text in batch.column("text").to_pylist():
-            toks = simple_tokens(text)
-            counts = [sum(1 for t in toks if t in sets[l]) for l in langs]
-            best = int(np.argmax(counts))  # first max wins == alpha order
-            out_lang.append(langs[best])
-            out_hits.append(counts[best])
+            lang, hits = _stopword_vote(simple_tokens(text))
+            out_lang.append(lang)
+            out_hits.append(hits)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -1241,11 +1252,13 @@ def stratified_sample(
     md5(doc_id) % 1000 < its stratum's permille — hash-based so the
     sample is REPRODUCIBLE and resumable (no RNG state), the property a
     100-TB mixing run needs. Default 10% everywhere, 'en' boosted to
-    30%. Pure per-doc map + output sort. SQL-checked (DuckDB md5
-    parity, as in hashed_bow)."""
+    3x the default (30%). Pure per-doc map + output sort. SQL-checked
+    (DuckDB md5 parity, as in hashed_bow)."""
     import hashlib
 
-    rates = {"en": 300}
+    # the en boost scales WITH default_permille (a hardcoded 300 would
+    # silently turn into a penalty for default_permille > 300)
+    rates = {"en": min(default_permille * 3, 1000)}
     rates.update(boosts or {})
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -1265,17 +1278,19 @@ def stratified_sample(
     )
 
 
-def filter_report(sf_dir: str, min_tokens: int = 20, max_rep: float = 0.2) -> rd.Dataset:
+def filter_report(
+    sf_dir: str, min_tokens: int | None = None, max_rep: float = 0.2
+) -> rd.Dataset:
     """Reason-labeled quality filtering (what a pipeline operator reads
     when tuning rules): per doc, one boolean per rule — too_short
-    (token count < min_tokens), too_repetitive (within-doc 3-gram
-    repetition > max_rep), non_english (stop-word vote != 'en') — and
-    the final keep. The rules are corpus_clean's family, surfaced with
-    reasons instead of silently dropping (non_english uses
-    langid_stopwords' exact vote). Pure per-doc map + output sort.
-    SQL-checked."""
-    langs = sorted(LANGID_STOPWORDS)
-    sets = {l: frozenset(LANGID_STOPWORDS[l]) for l in langs}
+    (token count < min_tokens, default = corpus_clean's
+    CLEAN_MIN_TOKENS so the two stay in lockstep), too_repetitive
+    (within-doc 3-gram repetition > max_rep — ngram_repetition's
+    signal, which corpus_clean does NOT gate on), non_english
+    (langid_stopwords' exact vote) — and the final keep. Pure per-doc
+    map + output sort. SQL-checked."""
+    if min_tokens is None:
+        min_tokens = CLEAN_MIN_TOKENS
 
     def judge(batch: pa.Table) -> pa.Table:
         dids, short, rep, noneng, keep = [], [], [], [], []
@@ -1287,9 +1302,7 @@ def filter_report(sf_dir: str, min_tokens: int = 20, max_rep: float = 0.2) -> rd
             grams = _word_ngrams(toks, 3)
             ratio = (1.0 - len(set(grams)) / len(grams)) if grams else 0.0
             is_rep = ratio > max_rep
-            counts = [sum(1 for t in toks if t in sets[l]) for l in langs]
-            best = langs[int(np.argmax(counts))]  # first max == alpha tie
-            is_noneng = best != "en"
+            is_noneng = _stopword_vote(toks)[0] != "en"
             dids.append(did)
             short.append(is_short)
             rep.append(is_rep)
