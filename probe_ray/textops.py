@@ -2130,11 +2130,63 @@ def corpus_clean_pipeline(
 # Multimodal plumbing (binary columns; decode stubbed — no media libs here)
 # ---------------------------------------------------------------------------
 
+def _parse_mp4(p: bytes) -> dict:
+    """ISO BMFF (MP4/MOV) box walk — stdlib only: mvhd gives timescale +
+    duration (→ duration_ms), the first video trak's tkhd gives width /
+    height (16.16 fixed point). Handles 64-bit largesize boxes and v0/v1
+    header variants."""
+    import struct
+
+    out = dict(width=None, height=None, duration_ms=None)
+
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
+        i = lo
+        while i + 8 <= hi and depth < 6:
+            size = struct.unpack(">I", p[i : i + 4])[0]
+            btype = p[i + 4 : i + 8]
+            body = i + 8
+            if size == 1:
+                if i + 16 > hi:
+                    return
+                size = struct.unpack(">Q", p[i + 8 : i + 16])[0]
+                body = i + 16
+            elif size == 0:
+                size = hi - i
+            if size < 8 or i + size > hi:
+                return
+            if btype in (b"moov", b"trak"):
+                walk(body, i + size, depth + 1)
+            elif btype == b"mvhd" and out["duration_ms"] is None:
+                ver = p[body]
+                if ver == 1 and body + 32 <= hi:
+                    ts = struct.unpack(">I", p[body + 20 : body + 24])[0]
+                    dur = struct.unpack(">Q", p[body + 24 : body + 32])[0]
+                elif body + 24 <= hi:
+                    ts = struct.unpack(">I", p[body + 12 : body + 16])[0]
+                    dur = struct.unpack(">I", p[body + 16 : body + 20])[0]
+                else:
+                    ts = dur = 0
+                if ts:
+                    out["duration_ms"] = int(dur * 1000 // ts)
+            elif btype == b"tkhd" and out["width"] is None:
+                ver = p[body]
+                at = body + (88 if ver == 1 else 76)
+                if at + 8 <= hi:
+                    w, h = struct.unpack(">II", p[at : at + 8])
+                    w, h = w >> 16, h >> 16  # 16.16 fixed point
+                    if w and h:
+                        out["width"], out["height"] = int(w), int(h)
+            i += size
+
+    walk(0, len(p))
+    return out
+
+
 def sniff_media(p: bytes) -> dict:
     """Stdlib container-header parser for the common media formats: kind +
-    dimensions (images) or channels/sample-rate/duration (WAV). Pure
-    byte-level parsing — no media libraries needed. Unknown magic ->
-    kind='unknown' with null metadata."""
+    dimensions (images/video) or channels/sample-rate/duration (WAV),
+    duration for MP4/MOV. Pure byte-level parsing — no media libraries
+    needed. Unknown magic -> kind='unknown' with null metadata."""
     import struct
 
     out = dict(kind="unknown", width=None, height=None, n_channels=None,
@@ -2195,9 +2247,21 @@ def sniff_media(p: bytes) -> dict:
                     out["duration_ms"] = int(
                         data_len / block_align / rate * 1000
                     )
+        elif len(p) >= 12 and p[4:8] == b"ftyp":
+            out.update(kind="mp4", **_parse_mp4(p))
     except (struct.error, IndexError):
         pass
     return out
+
+
+def frame_sample_times(duration_ms: int | None, n: int = 4) -> list[int]:
+    """Deterministic frame-sampling plan for a video payload: n evenly
+    spaced timestamps (ms), midpoints of equal intervals — what a real
+    decoder would seek to. The SAMPLING plan is real pipeline plumbing;
+    pixel decode of the frames is the documented codec stub."""
+    if not duration_ms or n <= 0:
+        return []
+    return [int(duration_ms * (2 * i + 1) / (2 * n)) for i in range(n)]
 
 
 def decode_wav_samples(p: bytes) -> np.ndarray:
@@ -2290,7 +2354,7 @@ class MediaFeatureExtractor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        n_bytes, sha, feats, rms_col = [], [], [], []
+        n_bytes, sha, feats, rms_col, frames_col = [], [], [], [], []
         kinds, widths, heights, chans, rates, durs = [], [], [], [], [], []
         for p in payloads:
             meta = sniff_media(p)
@@ -2303,9 +2367,16 @@ class MediaFeatureExtractor:
                         if frames.size
                         else []
                     )
-                else:
+                elif meta["kind"] != "mp4":
                     self._decode(p, meta["kind"])
             rms_col.append(rms)
+            # frame-sampling PLAN for video (real plumbing: the seek
+            # timestamps a decoder would use; pixel decode = codec stub)
+            frames_col.append(
+                frame_sample_times(meta["duration_ms"])
+                if meta["kind"] == "mp4"
+                else None
+            )
             n_bytes.append(len(p))
             digest = hashlib.sha256(p).digest()
             sha.append(digest.hex())
@@ -2330,6 +2401,9 @@ class MediaFeatureExtractor:
                 "sample_rate": pa.array(rates, pa.int32()),
                 "duration_ms": pa.array(durs, pa.int64()),
                 "rms_per_channel": pa.array(rms_col, pa.list_(pa.float64())),
+                "frame_sample_ms": pa.array(
+                    frames_col, pa.list_(pa.int64())
+                ),
             }
         )
 

@@ -587,3 +587,48 @@ def test_filter_report_consistency():
     votes = T.langid_stopwords(SF).to_pandas().set_index("doc_id")
     joined = df.set_index("doc_id").join(votes)
     assert ((joined["lang_guess"] != "en") == joined["non_english"]).all()
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def test_mp4_container_parsing_and_frame_plan():
+    """ISO BMFF byte-level parsing: mvhd duration (timescale units ->
+    ms), tkhd 16.16 dimensions; frame_sample_times yields evenly spaced
+    midpoint seek stamps."""
+    import struct
+
+    from probe_ray.textops import frame_sample_times, sniff_media
+
+    # mvhd v0: version/flags + ctime + mtime + timescale(1000) +
+    # duration(2500ms)
+    mvhd = _mp4_box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + b"\x00" * 8
+        + struct.pack(">II", 1000, 2500) + b"\x00" * 80,
+    )
+    # tkhd v0: 76 bytes of header fields, then 16.16 width/height
+    tkhd = _mp4_box(
+        b"tkhd",
+        b"\x00" * 76 + struct.pack(">II", 640 << 16, 360 << 16),
+    )
+    moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd))
+    p = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+    meta = sniff_media(p)
+    assert meta["kind"] == "mp4"
+    assert meta["duration_ms"] == 2500
+    assert (meta["width"], meta["height"]) == (640, 360)
+    assert frame_sample_times(2000, 4) == [250, 750, 1250, 1750]
+    assert frame_sample_times(None) == []
+    # the media stage surfaces the plan and does NOT raise for mp4
+    from probe_ray.textops import MediaFeatureExtractor
+    import pyarrow as pa
+
+    ext = MediaFeatureExtractor(decode=True)
+    out = ext(pa.table({"doc_id": pa.array([1]), "payload": pa.array([p])}))
+    row = out.to_pylist()[0]
+    assert row["media_kind"] == "mp4"
+    assert row["frame_sample_ms"] == [312, 937, 1562, 2187]
