@@ -250,6 +250,94 @@ def parse_file_with_line(arg: str, *, allow_tests: bool = True) -> list[dict]:
 
 
 # ---------------------------------------------------------------------------
+# dependency-path resolver (src/path_resolver/mod.rs:81-200)
+# ---------------------------------------------------------------------------
+
+_DEP_HOSTS = {"github.com", "gitlab.com", "bitbucket.org"}
+
+
+def split_dep_reference(ref: str) -> dict | None:
+    """M16 path resolver: parse ``go:...``, ``js:...``, ``rust:...`` and
+    ``/dep/<lang>/...`` dependency references into (lang, module,
+    subpath) with each language's module-boundary rules (go.rs:29-75:
+    external-host modules are host/user/repo, stdlib paths split a
+    trailing file; javascript.rs:109-150: scoped @scope/pkg keeps two
+    segments, else one; rust.rs:156-167: the whole identifier is the
+    crate). The reference resolves modules against GOPATH/node_modules/
+    the cargo registry; the cluster analog of "installed dependencies"
+    is the CORPUS's repo column (resolve_dep_refs). Returns None for
+    non-dependency paths."""
+    if ref.startswith("/dep/"):
+        parts = ref[len("/dep/"):].split("/", 1)
+        lang = {"go": "go", "js": "js", "rust": "rust"}.get(parts[0])
+        if lang is None or len(parts) < 2 or not parts[1]:
+            return None
+        ref = f"{lang}:{parts[1]}"
+    for prefix in ("go:", "js:", "rust:"):
+        if not ref.startswith(prefix):
+            continue
+        lang = prefix[:-1]
+        rest = ref[len(prefix):].rstrip("/")
+        if not rest or ".." in rest:
+            return None
+        if lang == "go":
+            parts = rest.split("/")
+            external = len(parts) >= 3 and (
+                parts[0] in _DEP_HOSTS
+                or (parts[0] == "golang.org" and parts[1] == "x")
+            )
+            if external:
+                return dict(lang="go", module="/".join(parts[:3]),
+                            subpath="/".join(parts[3:]) or None)
+            if len(parts) > 1 and "." in parts[-1]:
+                return dict(lang="go", module="/".join(parts[:-1]),
+                            subpath=parts[-1])
+            return dict(lang="go", module=rest, subpath=None)
+        if lang == "js":
+            if rest.startswith("@"):
+                parts = rest.split("/", 2)
+                if len(parts) < 2 or len(parts[0]) <= 1 or not parts[1]:
+                    return None
+                return dict(lang="js", module=f"{parts[0]}/{parts[1]}",
+                            subpath=parts[2] if len(parts) > 2 else None)
+            parts = rest.split("/", 1)
+            return dict(lang="js", module=parts[0],
+                        subpath=parts[1] if len(parts) > 1 else None)
+        return dict(lang="rust", module=rest, subpath=None)
+    return None
+
+
+def resolve_dep_refs(docs: rd.Dataset, ref: str) -> rd.Dataset:
+    """Resolve a dependency reference against the corpus: rows whose
+    ``repo`` is the module (exact, or its last path segments) and, with
+    a subpath, whose ``path`` is that file or lies under that
+    directory. One vectorized filter pass — the corpus-native analog of
+    the reference's filesystem lookup."""
+    import pyarrow.compute as pc
+
+    parsed = split_dep_reference(ref)
+    if parsed is None:
+        raise ValueError(f"not a dependency reference: {ref!r}")
+    module, subpath = parsed["module"], parsed["subpath"]
+
+    def pick(batch: pa.Table) -> pa.Table:
+        repo = batch.column("repo")
+        m = pc.or_(
+            pc.equal(repo, module),
+            pc.ends_with(repo, pattern="/" + module),
+        )
+        if subpath:
+            path = batch.column("path")
+            m = pc.and_(m, pc.or_(
+                pc.equal(path, subpath),
+                pc.starts_with(path, pattern=subpath + "/"),
+            ))
+        return batch.filter(m)
+
+    return docs.map_batches(pick, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # corpus resolution (one broadcast semi-join pass)
 # ---------------------------------------------------------------------------
 

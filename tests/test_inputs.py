@@ -332,3 +332,55 @@ def test_outline_diff_trailing_removes_render(corpus):
     assert "+ line A" in out
     assert "- line 5" in out
     assert "- line 6" in out
+
+
+def test_split_dep_reference_forms():
+    """path_resolver/mod.rs + go.rs/javascript.rs/rust.rs split rules."""
+    from probe_ray.inputs import split_dep_reference as S
+
+    assert S("go:github.com/gin-gonic/gin") == dict(
+        lang="go", module="github.com/gin-gonic/gin", subpath=None)
+    assert S("go:github.com/gin-gonic/gin/examples/basic") == dict(
+        lang="go", module="github.com/gin-gonic/gin", subpath="examples/basic")
+    assert S("go:golang.org/x/tools/cmd") == dict(
+        lang="go", module="golang.org/x/tools", subpath="cmd")
+    assert S("go:net/http") == dict(lang="go", module="net/http", subpath=None)
+    assert S("go:net/http/server.go") == dict(
+        lang="go", module="net/http", subpath="server.go")
+    assert S("js:lodash") == dict(lang="js", module="lodash", subpath=None)
+    assert S("js:lodash/get") == dict(lang="js", module="lodash", subpath="get")
+    assert S("js:@types/node/fs") == dict(
+        lang="js", module="@types/node", subpath="fs")
+    assert S("js:@types") is None  # scope without package
+    assert S("rust:serde") == dict(lang="rust", module="serde", subpath=None)
+    assert S("/dep/go/fmt") == dict(lang="go", module="fmt", subpath=None)
+    assert S("/dep/py/requests") is None  # unknown language id
+    assert S("go:a/../b") is None  # '..' rejected (go.rs:36-38)
+    assert S("src/plain.rs") is None
+
+
+def test_resolve_dep_refs_against_corpus():
+    """The corpus's repo column is the 'installed dependency' space."""
+    from probe_ray.inputs import resolve_dep_refs
+
+    docs = rd.from_arrow(pa.table({
+        "repo": ["github.com/gin-gonic/gin", "github.com/gin-gonic/gin",
+                 "vendor/lodash", "corpus/web"],
+        "path": ["examples/basic/main.go", "gin.go", "get.js", "doc.txt"],
+        "lang": ["go", "go", "javascript", "text"],
+        "content": ["package main\n", "package gin\n", "module.exports\n",
+                    "hello\n"],
+    }))
+    rows = resolve_dep_refs(
+        docs, "go:github.com/gin-gonic/gin/examples/basic"
+    ).take_all()
+    assert [r["path"] for r in rows] == ["examples/basic/main.go"]
+    rows = resolve_dep_refs(docs, "go:github.com/gin-gonic/gin").take_all()
+    assert len(rows) == 2
+    # module matches the repo's trailing segments (vendor/lodash)
+    rows = resolve_dep_refs(docs, "js:lodash").take_all()
+    assert [r["path"] for r in rows] == ["get.js"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resolve_dep_refs(docs, "not/a/dep.rs")
