@@ -401,6 +401,156 @@ def extract_fallback_blocks(
     return blocks
 
 
+def extract_ast_blocks(
+    lines: list[str],
+    path: str,
+    term_matches: dict[int, set[int]],
+    plan: qp.QueryPlan,
+    specials: frozenset[str],
+    *,
+    extension: str,
+    allow_tests: bool = True,
+) -> tuple[list[dict], set[int]]:
+    """AST-covered block extraction for supported languages (M8): matched
+    lines resolve to structural spans via structparse.resolve_blocks
+    (parser.rs:898-1260 semantics), then each block is built exactly as the
+    reference's AST result path (file_processing.rs:1272-1590):
+
+    - code = effective lines[start..end] (long lines already blanked);
+    - tokenization ALWAYS includes the filename
+      (preprocess_text_with_filename, file_processing.rs:1337-1344 —
+      unlike the fallback path, which adds the filename only in exact
+      mode);
+    - query terms substring-contained in the lowercased code are injected
+      into the block's terms (file_processing.rs:1165-1173);
+    - compound matching runs for every query term (file_processing.rs:
+      1444-1461 — NOT gated on '_'/'-' presence like the fallback);
+    - the block filter is filter_code_block_with_ast over line-level term
+      matches (file_processing.rs:1376-1390);
+    - covered lines are marked for EVERY resolved block, filtered or not
+      (file_processing.rs:1404-1410), so they never re-enter the fallback.
+
+    Returns (blocks, covered_lines)."""
+    from probe_ray import structparse as spx
+
+    all_lines: set[int] = set()
+    for ls in term_matches.values():
+        all_lines.update(ls)
+    if not all_lines:
+        return [], set()
+    resolved, covered = spx.resolve_blocks(
+        lines, extension, all_lines, allow_tests=allow_tests
+    )
+    if not resolved:
+        return [], covered
+    query_terms_lower = set(plan.term_indices)
+    compound_parts = {
+        t: parts
+        for t in plan.term_indices
+        if len(parts := tok.split_compound_word_for_filtering(t, specials)) > 1
+    }
+    blocks: list[dict] = []
+    for start, end, node_type in resolved:
+        if not filter_block(start, end, term_matches, plan):
+            continue
+        code = "\n".join(lines[start - 1 : end])
+        context_terms = tok.tokenize(code, specials) + tok.tokenize(path, specials)
+        code_lower = code.lower()
+        terms_set = set(context_terms)
+        for term in query_terms_lower:
+            if term in code_lower and term not in terms_set:
+                context_terms.append(term)
+                terms_set.add(term)
+        direct = {t for t in query_terms_lower if t in terms_set}
+        compound = set()
+        for t in query_terms_lower - direct:
+            parts = compound_parts.get(t)
+            if parts and all(p in terms_set for p in parts):
+                compound.add(t)
+        but = len(direct) + len(compound)
+        matched_keywords = set(direct) | set(compound)
+        matched_idx = block_matched_for_range(start, end, term_matches)
+        for term, idx in plan.term_indices.items():
+            if idx in matched_idx and term not in plan.excluded_terms:
+                matched_keywords.add(term)
+        matched_line_offsets = sorted(
+            {
+                l - start
+                for ls in term_matches.values()
+                for l in ls
+                if start <= l <= end
+            }
+        )
+        blocks.append(
+            dict(
+                path=path,
+                start=start,
+                end=end,
+                node_type=node_type,
+                code=code,
+                tokenized=context_terms,
+                but=but,
+                total=but,
+                matched_keywords=sorted(matched_keywords),
+                matched_lines=matched_line_offsets,
+            )
+        )
+    return blocks, covered
+
+
+def extract_blocks(
+    lines: list[str],
+    path: str,
+    term_matches: dict[int, set[int]],
+    plan: qp.QueryPlan,
+    specials: frozenset[str],
+    *,
+    extension: str | None = None,
+    allow_tests: bool = True,
+    exact: bool = False,
+    is_test_file_flag: bool = False,
+) -> list[dict]:
+    """Block extraction router (process_file_with_results,
+    file_processing.rs:1072-1707): supported languages run the AST path
+    first (extract_ast_blocks), then matched lines NOT covered by any AST
+    block fall through to the fallback context extractor
+    (file_processing.rs:1675-1700); unsupported extensions go straight to
+    the fallback — the reference's own behavior for languages without a
+    grammar.  Output is in canonical (start, end) order per file."""
+    from probe_ray import structparse as spx
+
+    if extension is None:
+        extension = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+    if extension not in spx.SUPPORTED_EXTS:
+        return extract_fallback_blocks(
+            lines, path, term_matches, plan, specials,
+            extension=extension, allow_tests=allow_tests, exact=exact,
+            is_test_file_flag=is_test_file_flag,
+        )
+    if not allow_tests and is_test_file_flag:
+        return []  # file_processing.rs:532-540
+    ast_blocks, covered = extract_ast_blocks(
+        lines, path, term_matches, plan, specials,
+        extension=extension, allow_tests=allow_tests,
+    )
+    out = ast_blocks
+    if covered:
+        residual = {
+            idx: rem
+            for idx, ls in term_matches.items()
+            if (rem := {l for l in ls if l not in covered})
+        }
+    else:
+        residual = term_matches
+    if residual:
+        out = out + extract_fallback_blocks(
+            lines, path, residual, plan, specials,
+            extension=extension, allow_tests=allow_tests, exact=exact,
+        )
+    out.sort(key=lambda b: (b["start"], b["end"], b["node_type"]))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Ranking boosts (result_ranking.rs:8-103)
 # ---------------------------------------------------------------------------

@@ -464,7 +464,7 @@ def oracle_search_blocks(
             term_map = blk.remove_cached_lines(term_map, cached_ranges)
             if not term_map:
                 return
-        for b in blk.extract_fallback_blocks(
+        for b in blk.extract_blocks(
             lines, doc.path, term_map, plan, specials,
             allow_tests=allow_tests, exact=exact,
         ):

@@ -2511,7 +2511,7 @@ def _make_block_extractor(ctx, patterns, fname_matches, ranking_terms, lang_exts
                 term_map = blk.remove_cached_lines(term_map, cached_ranges)
                 if not term_map:
                     continue
-            for b in blk.extract_fallback_blocks(
+            for b in blk.extract_blocks(
                 lines, path, term_map, plan, specials,
                 allow_tests=allow_tests, exact=exact,
             ):

@@ -1,0 +1,676 @@
+"""Lightweight structural parser for language-aware block extraction (M8).
+
+The reference extracts code blocks for matched lines by walking a
+tree-sitter AST: each matched line resolves to its nearest enclosing
+"acceptable parent" node (parser.rs:898-1160 process_sparse_line_map over
+the sparse line map built in parser.rs:521-740), comments merge with their
+context node (parser.rs:366-470 find_comment_context_node), and the
+resulting blocks are deduplicated with an important-type/priority table
+(parser.rs:14-25, 1165-1260).  tree-sitter grammar wheels are not
+available in this environment, so this module reproduces those span
+semantics with a deterministic regex + brace/indent scanner for the
+corpus languages.  It is NOT a parser clone; the approximations are:
+
+- node spans are derived from declaration-line regexes plus balanced-brace
+  (or indentation) scanning over string/comment-stripped text, not from a
+  grammar;
+- the per-line "smallest node" is modeled directly as the innermost
+  acceptable span containing the line (the observable outcome of the
+  reference's smallest-token + nearest-acceptable-ancestor walk);
+- python module-level non-definition lines map to one-logical-line
+  statement spans rather than the whole `module` node (the reference's
+  acceptable set at python.rs:28-39 would cover them with `module`,
+  i.e. the entire file — deliberately truncated here: whole-file blocks
+  defeat byte/token limits at corpus scale);
+- compound-statement headers (`if`/`for`/…) also resolve to
+  one-logical-line statement spans instead of the enclosing suite.
+
+Acceptable-parent sets ported per language:
+  rust.rs:28-43   function/struct/impl/trait/enum/mod/macro_rules
+  go.rs:28-43     func/method/type declarations (struct/interface types)
+  python.rs:28-39 def/class/decorated + statement-level acceptance
+  javascript.rs:28-49  functions/classes/methods/arrows + statement-level
+  typescript.rs:36-57  functions/classes/interfaces/types/enums — NO
+                       statement-level acceptance (asymmetry vs js kept)
+Test-node detection mirrors each language's is_test_node
+(rust #[test] attributes, python test_ prefix, go Test prefix,
+js/ts test-name functions and describe/it/test/expect calls).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+# extension -> language key (factory.rs get_language_impl routing for the
+# languages this module models)
+SUPPORTED_EXTS = {
+    "rs": "rust",
+    "py": "python",
+    "go": "go",
+    "js": "javascript",
+    "jsx": "javascript",
+    "ts": "typescript",
+    "tsx": "typescript",
+}
+
+
+@dataclass(frozen=True)
+class Span:
+    start: int  # 1-based inclusive
+    end: int    # 1-based inclusive
+    node_type: str
+    is_test: bool = False
+    statement: bool = False  # statement-level acceptance (py/js)
+
+
+# ---------------------------------------------------------------------------
+# Line scanner: strings/comments stripped per line + comment-only flags
+# ---------------------------------------------------------------------------
+
+_PY_TRIPLE = ("'''", '"""')
+
+
+def scan_lines(lines: list[str], ext: str) -> tuple[list[str], list[bool], list[bool]]:
+    """Per line: (code with string/comment text blanked, comment_only flag,
+    in_string flag for lines fully inside a multi-line string).
+
+    Handles // and /* */ comments plus ' " ` strings for brace languages,
+    # comments plus ' " and triple-quoted strings for python.  Escapes are
+    honored; raw-string edge cases degrade to treating the line as code,
+    which only widens spans (never drops a matched line)."""
+    python = ext == "py"
+    code_lines: list[str] = []
+    comment_only: list[bool] = []
+    in_str_line: list[bool] = []
+    in_block_comment = False
+    str_delim: str | None = None  # multi-line string delimiter (py triple / js `)
+    for raw in lines:
+        out = []
+        i = 0
+        n = len(raw)
+        saw_code = False
+        saw_comment = in_block_comment
+        fully_in_string = str_delim is not None
+        while i < n:
+            if str_delim is not None:
+                # inside a multi-line string: look for the closing delimiter
+                j = raw.find(str_delim, i)
+                if j < 0:
+                    out.append(" " * (n - i))
+                    i = n
+                else:
+                    out.append(" " * (j + len(str_delim) - i))
+                    i = j + len(str_delim)
+                    str_delim = None
+                    fully_in_string = False
+                continue
+            if in_block_comment:
+                j = raw.find("*/", i)
+                if j < 0:
+                    out.append(" " * (n - i))
+                    i = n
+                else:
+                    out.append(" " * (j + 2 - i))
+                    i = j + 2
+                    in_block_comment = False
+                continue
+            c = raw[i]
+            if python:
+                if c == "#":
+                    saw_comment = True
+                    out.append(" " * (n - i))
+                    break
+                if raw.startswith(("'''", '"""'), i):
+                    delim = raw[i : i + 3]
+                    j = raw.find(delim, i + 3)
+                    if j < 0:
+                        str_delim = delim
+                        out.append(" " * (n - i))
+                        i = n
+                    else:
+                        out.append(" " * (j + 3 - i))
+                        i = j + 3
+                    saw_code = True  # a docstring is an expression_statement
+                    continue
+            else:
+                if raw.startswith("//", i):
+                    saw_comment = True
+                    out.append(" " * (n - i))
+                    break
+                if raw.startswith("/*", i):
+                    saw_comment = True
+                    j = raw.find("*/", i + 2)
+                    if j < 0:
+                        in_block_comment = True
+                        out.append(" " * (n - i))
+                        i = n
+                    else:
+                        out.append(" " * (j + 2 - i))
+                        i = j + 2
+                    continue
+            if c in "'\"" or (not python and c == "`"):
+                # single-line (or template) string; scan to the close
+                j = i + 1
+                while j < n:
+                    if raw[j] == "\\":
+                        j += 2
+                        continue
+                    if raw[j] == c:
+                        break
+                    j += 1
+                if j >= n:
+                    if c == "`" or python is False and c in "'\"":
+                        # unterminated on this line: js template literals
+                        # span lines; ' / " in rust&co shouldn't, but treat
+                        # uniformly as multi-line to stay safe
+                        str_delim = c
+                    out.append(c + " " * (n - i - 1))
+                    i = n
+                else:
+                    out.append(c + " " * (j - i - 1) + c)
+                    i = j + 1
+                saw_code = True
+                continue
+            if not c.isspace():
+                saw_code = True
+            out.append(c)
+            i += 1
+        code_lines.append("".join(out))
+        comment_only.append(saw_comment and not saw_code)
+        in_str_line.append(fully_in_string and not saw_code and not saw_comment)
+    return code_lines, comment_only, in_str_line
+
+
+def comment_runs(lines: list[str], ext: str) -> list[tuple[int, int]]:
+    """Maximal runs of comment-only lines (1-based inclusive)."""
+    _, comment_only, _ = scan_lines(lines, ext)
+    runs = []
+    start = None
+    for i, flag in enumerate(comment_only):
+        if flag and start is None:
+            start = i + 1
+        elif not flag and start is not None:
+            runs.append((start, i))
+            start = None
+    if start is not None:
+        runs.append((start, len(lines)))
+    return runs
+
+
+# ---------------------------------------------------------------------------
+# Construct headers per language (node_type = tree-sitter kind names the
+# ranking boost table understands, result_ranking.rs:21-104)
+# ---------------------------------------------------------------------------
+
+_RUST_HEADERS = [
+    ("function_item", re.compile(
+        r"^\s*(?:pub(?:\([^)]*\))?\s+)?(?:default\s+)?(?:const\s+)?"
+        r"(?:async\s+)?(?:unsafe\s+)?(?:extern\s+\"[^\"]*\"\s+)?fn\s+\w+")),
+    ("struct_item", re.compile(r"^\s*(?:pub(?:\([^)]*\))?\s+)?struct\s+\w+")),
+    ("enum_item", re.compile(r"^\s*(?:pub(?:\([^)]*\))?\s+)?enum\s+\w+")),
+    ("trait_item", re.compile(r"^\s*(?:pub(?:\([^)]*\))?\s+)?(?:unsafe\s+)?trait\s+\w+")),
+    ("impl_item", re.compile(r"^\s*(?:unsafe\s+)?impl\b")),
+    ("mod_item", re.compile(r"^\s*(?:pub(?:\([^)]*\))?\s+)?mod\s+\w+")),
+    ("macro_definition", re.compile(r"^\s*macro_rules!\s*\w+")),
+]
+
+_GO_HEADERS = [
+    ("method_declaration", re.compile(r"^\s*func\s+\(")),
+    ("function_declaration", re.compile(r"^\s*func\s+\w+")),
+    ("type_declaration", re.compile(r"^\s*type\s+\w+")),
+]
+
+_PY_DEF = re.compile(r"^\s*(?:async\s+)?def\s+\w+")
+_PY_CLASS = re.compile(r"^\s*class\s+\w+")
+_PY_DECOR = re.compile(r"^\s*@\w")
+
+_JS_HEADERS = [
+    ("function_declaration", re.compile(
+        r"^\s*(?:export\s+)?(?:default\s+)?(?:async\s+)?function[\s*]+\w+")),
+    ("class_declaration", re.compile(r"^\s*(?:export\s+)?(?:default\s+)?(?:abstract\s+)?class\s+\w+")),
+    ("arrow_function", re.compile(
+        r"^\s*(?:export\s+)?(?:const|let|var)\s+\w+(?:\s*:[^=]*)?\s*=\s*"
+        r"(?:async\s*)?(?:\([^)]*\)|\w+)\s*(?::[^=]*)?=>")),
+    ("function_expression", re.compile(
+        r"^\s*(?:export\s+)?(?:const|let|var)\s+\w+\s*=\s*(?:async\s+)?function\b")),
+]
+
+_TS_EXTRA = [
+    ("interface_declaration", re.compile(r"^\s*(?:export\s+)?(?:declare\s+)?interface\s+\w+")),
+    ("type_alias_declaration", re.compile(r"^\s*(?:export\s+)?(?:declare\s+)?type\s+\w+\s*=")),
+    ("enum_declaration", re.compile(r"^\s*(?:export\s+)?(?:declare\s+)?(?:const\s+)?enum\s+\w+")),
+    ("namespace_declaration", re.compile(r"^\s*(?:export\s+)?(?:declare\s+)?namespace\s+\w+")),
+]
+
+_JS_METHOD = re.compile(
+    r"^\s*(?:public\s+|private\s+|protected\s+)?(?:static\s+)?(?:async\s+)?"
+    r"(?:get\s+|set\s+)?"
+    r"(?!if\b|for\b|while\b|switch\b|catch\b|return\b|else\b|do\b|new\b|function\b|const\b|let\b|var\b)"
+    r"(?P<name>\w+)\s*\([^)]*\)?\s*(?::[^;{]*)?\{\s*$")
+
+_RUST_TEST_ATTR = re.compile(r"^\s*#\[\s*(?:\w+(?:::\w+)*\s*::\s*)?(?:tokio::)?test\b")
+_RUST_CFG_TEST = re.compile(r"^\s*#\[\s*cfg\s*\(\s*test\s*\)")
+_JS_TEST_CALL = re.compile(r"^\s*(?:describe|it|test|expect)\s*\(")
+
+
+def _brace_end(code_lines: list[str], start_i: int) -> int:
+    """0-based end line of the brace block opening at/after line start_i,
+    scanning string/comment-stripped text.  Declarations that hit a `;`
+    before any `{` end at that line (trait method decls, `struct S;`,
+    `type T = ...;`)."""
+    depth = 0
+    opened = False
+    n = len(code_lines)
+    for j in range(start_i, n):
+        for c in code_lines[j]:
+            if c == "{":
+                depth += 1
+                opened = True
+            elif c == "}":
+                depth -= 1
+                if opened and depth <= 0:
+                    return j
+                if not opened and depth < 0:
+                    return start_i  # enclosing close hit first: single line
+        if not opened and ";" in code_lines[j]:
+            return j
+        if not opened and j - start_i > 11:
+            return start_i  # no block near the declaration: header only
+    return n - 1 if opened else start_i
+
+
+def _indent_end(lines: list[str], in_str: list[bool], start_i: int) -> int:
+    """0-based end line of a python suite: last line more-indented than the
+    header, skipping blanks and lines inside multi-line strings."""
+    indent = len(lines[start_i]) - len(lines[start_i].lstrip())
+    end = start_i
+    for j in range(start_i + 1, len(lines)):
+        if not lines[j].strip():
+            continue
+        if in_str[j]:
+            end = j
+            continue
+        if len(lines[j]) - len(lines[j].lstrip()) <= indent:
+            break
+        end = j
+    return end
+
+
+def _logical_lines(code_lines: list[str], comment_only: list[bool],
+                   in_str: list[bool], candidates: list[int]) -> list[tuple[int, int]]:
+    """Group candidate 0-based line indices into bracket-balanced logical
+    statements (trailing-\\ and open-bracket continuation)."""
+    out = []
+    taken = set()
+    for i in candidates:
+        if i in taken:
+            continue
+        depth = 0
+        j = i
+        while j < len(code_lines):
+            taken.add(j)
+            for c in code_lines[j]:
+                if c in "([{":
+                    depth += 1
+                elif c in ")]}":
+                    depth -= 1
+            cont = (
+                depth > 0
+                or code_lines[j].rstrip().endswith("\\")
+                or (j + 1 < len(code_lines) and in_str[j + 1])
+            )
+            if not cont:
+                break
+            j += 1
+        out.append((i, min(j, len(code_lines) - 1)))
+    return out
+
+
+def structural_spans(lines: list[str], ext: str) -> list[Span]:
+    """All acceptable-parent spans for the file, sorted by (start, -end)."""
+    lang = SUPPORTED_EXTS.get(ext)
+    if lang is None:
+        return []
+    code_lines, comment_only, in_str = scan_lines(lines, ext)
+    spans: list[Span] = []
+    n = len(lines)
+
+    if lang == "python":
+        # defs/classes with decorator absorption (decorated_definition)
+        construct_lines: set[int] = set()
+        for i in range(n):
+            if in_str[i] or comment_only[i]:
+                continue
+            line = code_lines[i]
+            kind = None
+            if _PY_DEF.match(line):
+                kind = "function_definition"
+            elif _PY_CLASS.match(line):
+                kind = "class_definition"
+            if kind is None:
+                continue
+            end = _indent_end(lines, in_str, i)
+            start = i
+            # decorators directly above join the span (decorated_definition)
+            k = i - 1
+            while k >= 0 and _PY_DECOR.match(code_lines[k]):
+                start = k
+                construct_lines.add(k)
+                k -= 1
+            name = re.search(r"(?:def|class)\s+(\w+)", line)
+            is_test = kind == "function_definition" and bool(
+                name and name.group(1).startswith("test_")
+            )
+            spans.append(Span(start + 1, end + 1, kind, is_test))
+            construct_lines.update(range(i, i + 1))
+        # statement-level acceptance (python.rs:28-39): every other logical
+        # line is an expression_statement / assignment span
+        cands = [
+            i for i in range(n)
+            if code_lines[i].strip()
+            and not comment_only[i]
+            and not in_str[i]
+            and i not in construct_lines
+            and not _PY_DEF.match(code_lines[i])
+            and not _PY_CLASS.match(code_lines[i])
+            and not _PY_DECOR.match(code_lines[i])
+        ]
+        for s, e in _logical_lines(code_lines, comment_only, in_str, cands):
+            stripped = code_lines[s]
+            node = "assignment" if re.search(r"[^=<>!]=(?!=)", stripped) else "expression_statement"
+            spans.append(Span(s + 1, e + 1, node, False, statement=True))
+
+    elif lang in ("rust", "go"):
+        headers = _RUST_HEADERS if lang == "rust" else _GO_HEADERS
+        for i in range(n):
+            if comment_only[i] or in_str[i]:
+                continue
+            for kind, rx in headers:
+                if rx.match(code_lines[i]):
+                    end = _brace_end(code_lines, i)
+                    is_test = False
+                    if lang == "rust":
+                        k = i - 1
+                        while k >= 0 and code_lines[k].lstrip().startswith("#["):
+                            if _RUST_TEST_ATTR.match(code_lines[k]) or (
+                                kind == "mod_item" and _RUST_CFG_TEST.match(code_lines[k])
+                            ):
+                                is_test = True
+                            k -= 1
+                    elif kind == "function_declaration":
+                        name = re.search(r"func\s+(\w+)", code_lines[i])
+                        is_test = bool(name and re.match(r"Test[A-Z0-9_]", name.group(1)))
+                    spans.append(Span(i + 1, end + 1, kind, is_test))
+                    break
+
+    else:  # javascript / typescript
+        headers = list(_JS_HEADERS) + (_TS_EXTRA if lang == "typescript" else [])
+        construct_lines: set[int] = set()
+        class_spans: list[tuple[int, int]] = []
+        for i in range(n):
+            if comment_only[i] or in_str[i]:
+                continue
+            for kind, rx in headers:
+                if rx.match(code_lines[i]):
+                    end = _brace_end(code_lines, i)
+                    name = re.search(r"(?:function[\s*]+|class\s+|interface\s+|enum\s+|namespace\s+|type\s+|(?:const|let|var)\s+)(\w+)", code_lines[i])
+                    is_test = bool(
+                        name and kind in ("function_declaration", "arrow_function",
+                                          "function_expression")
+                        and ("test" in name.group(1) or "Test" in name.group(1))
+                    )
+                    spans.append(Span(i + 1, end + 1, kind, is_test))
+                    construct_lines.add(i)
+                    if kind in ("class_declaration", "interface_declaration"):
+                        class_spans.append((i, end))
+                    break
+        # method_definition inside class bodies
+        for cs, ce in class_spans:
+            for i in range(cs + 1, ce):
+                if i in construct_lines or comment_only[i] or in_str[i]:
+                    continue
+                m = _JS_METHOD.match(code_lines[i])
+                if m:
+                    end = _brace_end(code_lines, i)
+                    nm = m.group("name")
+                    spans.append(Span(
+                        i + 1, end + 1, "method_definition",
+                        "test" in nm or "Test" in nm))
+                    construct_lines.add(i)
+        if lang == "javascript":
+            # statement-level acceptance (javascript.rs:28-49); typescript
+            # deliberately has none (typescript.rs:36-57)
+            closer = re.compile(r"^\s*[}\])]+[;,]?\s*$")
+            cands = [
+                i for i in range(n)
+                if code_lines[i].strip()
+                and not comment_only[i]
+                and not in_str[i]
+                and i not in construct_lines
+                and not closer.match(code_lines[i])
+                and not any(rx.match(code_lines[i]) for _, rx in headers)
+            ]
+            # only lines at bracket depth 0 relative to file start START a
+            # statement; deeper lines are continuations picked up by the
+            # logical grouping below
+            depth = 0
+            depth_at: list[int] = []
+            for i in range(n):
+                depth_at.append(depth)
+                for c in code_lines[i]:
+                    if c in "([{":
+                        depth += 1
+                    elif c in ")]}":
+                        depth -= 1
+            enclosing = _span_index(spans)
+            starters = []
+            for i in cands:
+                base = 0
+                sp = _innermost(enclosing, i + 1)
+                if sp is not None and not sp.statement:
+                    # body lines of a construct sit one brace deeper per
+                    # nesting level; compute the construct's own depth
+                    base = depth_at[sp.start - 1] + 1
+                if depth_at[i] <= base:
+                    starters.append(i)
+            for s, e in _logical_lines(code_lines, comment_only, in_str, starters):
+                stripped = code_lines[s].strip()
+                is_test = bool(_JS_TEST_CALL.match(stripped))
+                spans.append(Span(s + 1, e + 1, "expression_statement", is_test,
+                                  statement=True))
+
+    spans.sort(key=lambda s: (s.start, -s.end))
+    return spans
+
+
+def _span_index(spans: list[Span]) -> list[Span]:
+    return sorted(spans, key=lambda s: (s.end - s.start, -s.start))
+
+
+def _innermost(ordered: list[Span], line: int) -> Span | None:
+    """Innermost (smallest, then latest-starting) span containing line —
+    the observable result of the reference's smallest-node +
+    nearest-acceptable-ancestor resolution (parser.rs:640-655)."""
+    for sp in ordered:
+        if sp.start <= line <= sp.end:
+            return sp
+    return None
+
+
+_IMPORTANT_BLOCK_TYPES = frozenset({
+    "function_declaration", "method_declaration", "function_item",
+    "impl_item", "type_declaration", "struct_item", "block_comment",
+    "compilation_unit", "global_attribute",
+})  # parser.rs:1183-1193
+
+_NODE_TYPE_PRIORITY = [
+    "compilation_unit", "function_declaration", "method_declaration",
+    "function_item", "impl_item", "type_declaration", "struct_item",
+    "class", "class_declaration", "global_attribute",
+]  # parser.rs:14-25
+
+_FUNCTION_LIKE = frozenset({
+    "function_item", "function_declaration", "method_declaration",
+    "function_definition", "method_definition", "arrow_function",
+    "function_expression",
+})
+
+
+def _comment_context(run: tuple[int, int], spans: list[Span]) -> Span | None:
+    """find_comment_context_node (parser.rs:366-470): next acceptable
+    sibling after the comment (outermost span starting after the run inside
+    the same enclosing construct), else the previous sibling, else the
+    enclosing construct."""
+    cs, ce = run
+    ordered = _span_index(spans)
+    enclosing = None
+    for sp in ordered:
+        if sp.start <= cs and ce <= sp.end and not sp.statement:
+            enclosing = sp
+            break
+    lo = enclosing.start if enclosing else 1
+    hi = enclosing.end if enclosing else 10 ** 12
+    following = [
+        sp for sp in spans
+        if sp.start > ce and lo <= sp.start and sp.end <= hi
+        and (enclosing is None or sp != enclosing)
+    ]
+    if following:
+        # outermost at the earliest position (sibling; an unacceptable
+        # sibling's acceptable child collapses to the same span here)
+        first = min(sp.start for sp in following)
+        at = [sp for sp in following if sp.start == first]
+        return max(at, key=lambda s: s.end)
+    preceding = [
+        sp for sp in spans
+        if sp.end < cs and lo <= sp.start and sp.end <= hi
+        and (enclosing is None or sp != enclosing)
+    ]
+    if preceding:
+        last = max(sp.end for sp in preceding)
+        at = [sp for sp in preceding if sp.end == last]
+        return max(at, key=lambda s: s.end - s.start)
+    return enclosing
+
+
+def resolve_blocks(
+    lines: list[str],
+    ext: str,
+    matched_lines: set[int],
+    *,
+    allow_tests: bool = True,
+) -> tuple[list[tuple[int, int, str]], set[int]]:
+    """Matched lines -> deduplicated (start, end, node_type) blocks plus the
+    set of covered line numbers (process_sparse_line_map,
+    parser.rs:898-1160; final dedup parser.rs:1165-1260).  Lines that
+    resolve to no span are left uncovered for the fallback extractor
+    (file_processing.rs:1675-1700)."""
+    spans = structural_spans(lines, ext)
+    if not spans and not matched_lines:
+        return [], set()
+    runs = comment_runs(lines, ext)
+    run_of = {}
+    for r in runs:
+        for ln in range(r[0], r[1] + 1):
+            run_of[ln] = r
+    ordered_idx = _span_index(spans)
+    seen: set[tuple[int, int]] = set()
+    blocks: list[tuple[int, int, str]] = []
+    for ln in sorted(matched_lines):
+        if ln > len(lines):
+            continue
+        run = run_of.get(ln)
+        if run is not None:
+            ctx = _comment_context(run, spans)
+            if ctx is None:
+                key = run
+                if key not in seen:
+                    seen.add(key)
+                    blocks.append((run[0], run[1], "comment"))
+                continue
+            merged = (min(run[0], ctx.start), max(run[1], ctx.end))
+            if merged in seen:
+                continue
+            seen.add(merged)
+            seen.add(run)
+            # complete-test-function filter (parser.rs:1005-1023): drop
+            # only large merged blocks that ARE the test function
+            if (
+                not allow_tests
+                and ctx.is_test
+                and ctx.node_type in _FUNCTION_LIKE
+                and merged[0] <= ctx.start
+                and merged[1] == ctx.end
+                and ctx.end - ctx.start > 10
+            ):
+                continue
+            blocks.append((merged[0], merged[1], ctx.node_type))
+            continue
+        sp = _innermost(ordered_idx, ln)
+        if sp is None:
+            continue  # uncovered -> fallback path
+        if not allow_tests and sp.is_test:
+            continue  # parser.rs:1052-1066 skip test nodes
+        key = (sp.start, sp.end)
+        if key not in seen:
+            seen.add(key)
+            blocks.append((sp.start, sp.end, sp.node_type))
+
+    # final containment/priority dedup (parser.rs:1165-1260): comments
+    # first, then non-comments checked against the accepted list
+    blocks.sort(key=lambda b: b[0])
+    final: list[tuple[int, int, str]] = [
+        b for b in blocks if "comment" in b[2] or b[2] in ("/*", "*/")
+    ]
+    for b in blocks:
+        if "comment" in b[2] or b[2] in ("/*", "*/"):
+            continue
+        should_add = True
+        remove: list[int] = []
+        b_imp = b[2] in _IMPORTANT_BLOCK_TYPES
+        for idx, prev in enumerate(final):
+            if "comment" in prev[2] or prev[2] in ("/*", "*/"):
+                continue
+            if not (b[0] <= prev[1] and b[1] >= prev[0]):
+                continue  # no overlap
+            p_imp = prev[2] in _IMPORTANT_BLOCK_TYPES
+            contained = b[0] >= prev[0] and b[1] <= prev[1]
+            contains = prev[0] >= b[0] and prev[1] <= b[1]
+            if contained or contains:
+                if b_imp and not p_imp:
+                    continue  # keep both
+                if not b_imp and p_imp:
+                    should_add = False
+                    break
+                cur_pri = (
+                    _NODE_TYPE_PRIORITY.index(b[2])
+                    if b[2] in _NODE_TYPE_PRIORITY else None
+                )
+                prev_pri = (
+                    _NODE_TYPE_PRIORITY.index(prev[2])
+                    if prev[2] in _NODE_TYPE_PRIORITY else None
+                )
+                if cur_pri is not None and prev_pri is not None:
+                    if cur_pri > prev_pri:
+                        remove.append(idx)
+                    else:
+                        should_add = False
+                        break
+                elif contained:
+                    remove.append(idx)
+                else:
+                    should_add = False
+                    break
+            else:
+                should_add = False  # partial overlap: skip current
+                break
+        for idx in reversed(remove):
+            final.pop(idx)
+        if should_add:
+            final.append(b)
+    final.sort(key=lambda b: b[0])
+    covered = set()
+    for s, e, _ in final:
+        covered.update(range(s, e + 1))
+    return final, covered

@@ -163,7 +163,9 @@ def test_block_session_granularity(t2_rows, t2_index):
     queries = ["keywordAlpha OR keywordBeta"]
     first = engine.search_blocks(queries, max_results=3, session="bs1")
     frows = first.to_pylist()
-    assert len(frows) == 3
+    # AST-path blocks (M8) can coalesce in the post-limit adjacent merge
+    # (block_merging.rs:131-360), so a 3-row page may shrink
+    assert 2 <= len(frows) <= 3
     first_ids = {
         (f"{r['repo']}/{r['path']}", r["start_line"], r["end_line"])
         for r in frows
@@ -359,7 +361,8 @@ def test_block_early_termination_session(t2_rows, t2_index):
         q, max_results=3, session="bs_early", early_termination=True
     )
     frows = first.to_pylist()
-    assert len(frows) == 3
+    # AST-path blocks (M8) can coalesce in the post-limit adjacent merge
+    assert 2 <= len(frows) <= 3
     seen_blocks: dict[str, list[tuple[int, int]]] = {}
     for r in frows:
         seen_blocks.setdefault(f"{r['repo']}/{r['path']}", []).append(
