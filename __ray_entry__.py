@@ -228,11 +228,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "spark OR vector", max_results=25, mode="global"),
         "probe_search_blocks_early": probe_search_blocks(
             "spark OR vector", max_results=25, early_termination=True),
+        "probe_search_blocks_ast": _probe_search_blocks_ast,
         "probe_search_global_topk": probe_search_global("spark join", max_results=50),
         # --- input-source layer (file references from free text —
         #     src/extract/file_paths.rs; SQL-checked) ---
         "extract_from_text_refs": _extract_from_text_refs,
     }
+
+
+def _probe_search_blocks_ast(sf_dir: str):
+    """Block search over the deterministic synthetic CODE corpus
+    (probe_ray.corpus.generate_rows — rust/go/python/js/ts sources),
+    exercising the language-aware AST block extractor (M8,
+    probe_ray/structparse.py): results are function/struct/class/statement
+    spans with tree-sitter kind names, comment runs merged into their
+    context construct (parser.rs:898-1260 semantics). rows-only by design
+    (ranked block output); rank identity vs the in-repo oracle is pinned
+    in tests/test_blocks.py and span goldens in tests/test_structparse.py.
+    The sf_dir argument is unused: the corpus is seed-fixed, synthesized at
+    small scale per the task brief (no external data)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from probe_ray.build import build_index
+    from probe_ray.corpus import generate_rows
+    from probe_ray.search import Engine
+
+    out = "/tmp/probe_ray_ast_corpus_t1.parquet"
+    if not os.path.exists(out):
+        tmp = f"{out}.tmp{os.getpid()}"
+        pq.write_table(pa.Table.from_pylist(generate_rows("t1")), tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            os.unlink(tmp)
+    eng = Engine(build_index(out, "/tmp/probe_ray_ast_index_t1"))
+    tbl = eng.search_blocks(["keywordAlpha OR keywordBeta"])
+    return tbl.drop_columns(["code"])
 
 
 def _extract_from_text_refs(sf_dir: str):

@@ -401,6 +401,33 @@ def extract_fallback_blocks(
     return blocks
 
 
+# worker-local cache of per-file structural analysis, keyed by content
+# hash + extension — the reference's LINE_MAP_CACHE / tree cache analog
+# (parser.rs:1862-1900 cache_key = f"{ext}_{content_hash}_{allow_tests}";
+# allow_tests is resolved at block level here, so the key drops it)
+_STRUCT_CACHE: dict = {}
+_STRUCT_CACHE_MAX = 512
+
+
+def _file_structure(lines: list[str], extension: str):
+    import hashlib
+
+    from probe_ray import structparse as spx
+
+    key = (
+        extension,
+        hashlib.md5(
+            "\n".join(lines).encode("utf-8", "surrogatepass")
+        ).hexdigest(),
+    )
+    st = _STRUCT_CACHE.get(key)
+    if st is None:
+        if len(_STRUCT_CACHE) >= _STRUCT_CACHE_MAX:
+            _STRUCT_CACHE.clear()
+        st = _STRUCT_CACHE[key] = spx.analyze(lines, extension)
+    return st
+
+
 def extract_ast_blocks(
     lines: list[str],
     path: str,
@@ -439,7 +466,8 @@ def extract_ast_blocks(
     if not all_lines:
         return [], set()
     resolved, covered = spx.resolve_blocks(
-        lines, extension, all_lines, allow_tests=allow_tests
+        lines, extension, all_lines, allow_tests=allow_tests,
+        struct=_file_structure(lines, extension),
     )
     if not resolved:
         return [], covered

@@ -69,6 +69,8 @@ class Span:
 # ---------------------------------------------------------------------------
 
 _PY_TRIPLE = ("'''", '"""')
+_PY_SPECIAL_RE = re.compile(r"[#'\"\\]")
+_BRACE_SPECIAL_RE = re.compile(r"[/'\"`\\]")
 
 
 def scan_lines(lines: list[str], ext: str) -> tuple[list[str], list[bool], list[bool]]:
@@ -85,7 +87,19 @@ def scan_lines(lines: list[str], ext: str) -> tuple[list[str], list[bool], list[
     in_str_line: list[bool] = []
     in_block_comment = False
     str_delim: str | None = None  # multi-line string delimiter (py triple / js `)
+    # fast path: a line with no quote/comment/escape characters needs no
+    # character scan (the overwhelming majority of code lines)
+    special = _PY_SPECIAL_RE if python else _BRACE_SPECIAL_RE
     for raw in lines:
+        if (
+            not in_block_comment
+            and str_delim is None
+            and special.search(raw) is None
+        ):
+            code_lines.append(raw)
+            comment_only.append(False)
+            in_str_line.append(False)
+            continue
         out = []
         i = 0
         n = len(raw)
@@ -182,9 +196,12 @@ def scan_lines(lines: list[str], ext: str) -> tuple[list[str], list[bool], list[
     return code_lines, comment_only, in_str_line
 
 
-def comment_runs(lines: list[str], ext: str) -> list[tuple[int, int]]:
+def comment_runs(
+    lines: list[str], ext: str,
+    scanned: tuple[list[str], list[bool], list[bool]] | None = None,
+) -> list[tuple[int, int]]:
     """Maximal runs of comment-only lines (1-based inclusive)."""
-    _, comment_only, _ = scan_lines(lines, ext)
+    _, comment_only, _ = scanned if scanned is not None else scan_lines(lines, ext)
     runs = []
     start = None
     for i, flag in enumerate(comment_only):
@@ -327,12 +344,17 @@ def _logical_lines(code_lines: list[str], comment_only: list[bool],
     return out
 
 
-def structural_spans(lines: list[str], ext: str) -> list[Span]:
+def structural_spans(
+    lines: list[str], ext: str,
+    scanned: tuple[list[str], list[bool], list[bool]] | None = None,
+) -> list[Span]:
     """All acceptable-parent spans for the file, sorted by (start, -end)."""
     lang = SUPPORTED_EXTS.get(ext)
     if lang is None:
         return []
-    code_lines, comment_only, in_str = scan_lines(lines, ext)
+    code_lines, comment_only, in_str = (
+        scanned if scanned is not None else scan_lines(lines, ext)
+    )
     spans: list[Span] = []
     n = len(lines)
 
@@ -554,35 +576,74 @@ def _comment_context(run: tuple[int, int], spans: list[Span]) -> Span | None:
     return enclosing
 
 
+class FileStructure:
+    """Per-file structural analysis, independent of the query: spans,
+    comment runs, and the painted per-line innermost-span array.  The
+    reference caches the analog (sparse line map) per content hash
+    (parser.rs LINE_MAP_CACHE, cache key ext_contenthash_allowtests);
+    blocks.extract_blocks keeps a worker-local cache of these."""
+
+    __slots__ = ("spans", "runs", "run_of", "line_span")
+
+    def __init__(self, lines: list[str], ext: str):
+        scanned = scan_lines(lines, ext)  # ONE scan shared by both passes
+        self.spans = structural_spans(lines, ext, scanned)
+        self.runs = comment_runs(lines, ext, scanned)
+        self.run_of: dict[int, tuple[int, int]] = {}
+        for r in self.runs:
+            for ln in range(r[0], r[1] + 1):
+                self.run_of[ln] = r
+        # paint outermost -> innermost so the final owner of each line is
+        # the smallest (then latest-starting) span — the observable result
+        # of the reference's smallest-node + nearest-acceptable-ancestor
+        # resolution (parser.rs:640-655)
+        n = len(lines)
+        owner: list[Span | None] = [None] * (n + 2)
+        for sp in sorted(
+            self.spans, key=lambda s: (-(s.end - s.start), s.start)
+        ):
+            hi = min(sp.end, n)
+            for ln in range(sp.start, hi + 1):
+                owner[ln] = sp
+        self.line_span = owner
+
+
+def analyze(lines: list[str], ext: str) -> FileStructure:
+    return FileStructure(lines, ext)
+
+
 def resolve_blocks(
     lines: list[str],
     ext: str,
     matched_lines: set[int],
     *,
     allow_tests: bool = True,
+    struct: FileStructure | None = None,
 ) -> tuple[list[tuple[int, int, str]], set[int]]:
     """Matched lines -> deduplicated (start, end, node_type) blocks plus the
     set of covered line numbers (process_sparse_line_map,
     parser.rs:898-1160; final dedup parser.rs:1165-1260).  Lines that
     resolve to no span are left uncovered for the fallback extractor
     (file_processing.rs:1675-1700)."""
-    spans = structural_spans(lines, ext)
+    if struct is None:
+        struct = analyze(lines, ext)
+    spans = struct.spans
     if not spans and not matched_lines:
         return [], set()
-    runs = comment_runs(lines, ext)
-    run_of = {}
-    for r in runs:
-        for ln in range(r[0], r[1] + 1):
-            run_of[ln] = r
-    ordered_idx = _span_index(spans)
+    run_of = struct.run_of
+    line_span = struct.line_span
     seen: set[tuple[int, int]] = set()
     blocks: list[tuple[int, int, str]] = []
+    ctx_memo: dict[tuple[int, int], Span | None] = {}
     for ln in sorted(matched_lines):
         if ln > len(lines):
             continue
         run = run_of.get(ln)
         if run is not None:
-            ctx = _comment_context(run, spans)
+            if run in ctx_memo:
+                ctx = ctx_memo[run]
+            else:
+                ctx = ctx_memo[run] = _comment_context(run, spans)
             if ctx is None:
                 key = run
                 if key not in seen:
@@ -607,7 +668,7 @@ def resolve_blocks(
                 continue
             blocks.append((merged[0], merged[1], ctx.node_type))
             continue
-        sp = _innermost(ordered_idx, ln)
+        sp = line_span[ln]
         if sp is None:
             continue  # uncovered -> fallback path
         if not allow_tests and sp.is_test:

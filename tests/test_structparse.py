@@ -1,0 +1,271 @@
+"""Structural-span parser + AST block extraction (M8).
+
+Goldens model the reference's tree-sitter block semantics:
+parser.rs:898-1160 (line -> nearest acceptable parent), parser.rs:366-470
+(comment context attachment), parser.rs:1165-1260 (containment/priority
+dedup), file_processing.rs:1272-1590 (AST result building) and
+file_processing.rs:1675-1700 (uncovered lines -> fallback)."""
+
+from probe_ray import blocks as blk
+from probe_ray import queryparse as qp
+from probe_ray import structparse as sp
+
+RUST = """\
+// doc comment for the loader
+pub fn load_config(path: &str) -> Config {
+    let raw = read(path);
+    parse(raw)
+}
+
+pub struct Config {
+    pub name: String,
+}
+
+impl Config {
+    pub fn merge(&mut self, other: Config) {
+        self.name = other.name;
+    }
+}
+
+#[test]
+fn test_merge() {
+    let mut a = Config::default();
+    a.merge(Config::default());
+    assert!(true);
+    // filler to exceed the 10-line filter threshold
+    let b = 1;
+    let c = 2;
+    let d = 3;
+    let e = 4;
+    let f = 5;
+    assert_eq!(b + c + d + e + f, 15);
+}
+"""
+
+GO = """\
+// Package util does things
+func UseAlpha() {
+    // alpha marker
+}
+
+type Server struct {
+    Addr string
+}
+
+func (s *Server) Handle(req Request) {
+    route(req)
+}
+
+func TestHandle(t *testing.T) {
+    check(t)
+}
+"""
+
+PY = """\
+# module comment
+import os
+
+CONSTANT = 42
+
+def handle_request(req):
+    body = parse(req)
+    return respond(body)
+
+@retry
+def flaky_call():
+    return attempt()
+
+class Worker:
+    def run(self):
+        return handle_request(self.req)
+"""
+
+JS = """\
+// entry point
+function parseJSONToHTML5(input) {
+  const out = convert(input);
+  return out;
+}
+
+const handler = async (req) => {
+  return respond(req);
+};
+
+class Api {
+  fetch(id) {
+    return this.get(id);
+  }
+}
+
+describe("api", () => {});
+"""
+
+TS = """\
+export interface Shape {
+  area(): number;
+}
+
+type Alias = Shape | null;
+
+export function computeArea(s: Shape): number {
+  const a = s.area();
+  return a;
+}
+"""
+
+
+def _lines(src):
+    return src.split("\n")
+
+
+def _spans(src, ext):
+    return {
+        (s.start, s.end, s.node_type): s
+        for s in sp.structural_spans(_lines(src), ext)
+    }
+
+
+def test_rust_spans():
+    spans = _spans(RUST, "rs")
+    assert (2, 5, "function_item") in spans
+    assert (7, 9, "struct_item") in spans
+    assert (11, 15, "impl_item") in spans
+    assert (12, 14, "function_item") in spans
+    # #[test] attribute marks the fn as a test node (rust is_test_node)
+    test_fns = [s for s in spans.values() if s.is_test]
+    assert len(test_fns) == 1 and test_fns[0].node_type == "function_item"
+
+
+def test_go_spans_and_test_prefix():
+    spans = _spans(GO, "go")
+    assert (2, 4, "function_declaration") in spans
+    assert (6, 8, "type_declaration") in spans
+    assert (10, 12, "method_declaration") in spans
+    tests = [s for s in spans.values() if s.is_test]
+    assert [(s.start, s.end) for s in tests] == [(14, 16)]
+
+
+def test_python_spans_statements_and_decorators():
+    spans = _spans(PY, "py")
+    assert (6, 8, "function_definition") in spans
+    # decorated_definition absorbs the decorator line
+    assert (10, 12, "function_definition") in spans
+    assert (14, 16, "class_definition") in spans
+    assert (15, 16, "function_definition") in spans
+    # statement-level acceptance: imports and assignments are spans
+    assert (2, 2, "expression_statement") in spans
+    assert (4, 4, "assignment") in spans
+
+
+def test_js_spans_constructs_and_statements():
+    spans = _spans(JS, "js")
+    assert (2, 5, "function_declaration") in spans
+    assert (7, 9, "arrow_function") in spans
+    assert (11, 15, "class_declaration") in spans
+    assert (12, 14, "method_definition") in spans
+    # describe(...) call is a test statement (javascript is_test_node)
+    assert any(
+        s.is_test and s.statement for s in spans.values() if s.start == 17
+    )
+
+
+def test_ts_no_statement_acceptance():
+    spans = _spans(TS, "ts")
+    assert (1, 3, "interface_declaration") in spans
+    assert (5, 5, "type_alias_declaration") in spans
+    assert (7, 10, "function_declaration") in spans
+    # typescript.rs:36-57 has NO statement-level acceptance: body lines
+    # resolve to the enclosing function, never to a statement span
+    assert not any(s.statement for s in spans.values())
+    blocks, covered = sp.resolve_blocks(_lines(TS), "ts", {8})
+    assert blocks == [(7, 10, "function_declaration")]
+
+
+def test_comment_merges_with_following_construct():
+    # parser.rs:366-470 strategy 1: next acceptable sibling
+    blocks, covered = sp.resolve_blocks(_lines(RUST), "rs", {1})
+    assert blocks == [(1, 5, "function_item")]
+    assert covered == set(range(1, 6))
+
+
+def test_inner_comment_resolves_to_enclosing_function():
+    blocks, _ = sp.resolve_blocks(_lines(GO), "go", {3})
+    assert blocks == [(2, 4, "function_declaration")]
+
+
+def test_innermost_span_wins():
+    # line 13 is inside both impl_item (11-15) and function_item (12-14)
+    blocks, _ = sp.resolve_blocks(_lines(RUST), "rs", {13})
+    assert blocks == [(12, 14, "function_item")]
+
+
+def test_containment_dedup_priority():
+    # both the merged comment+fn (1-5) and the inner fn body line resolve;
+    # the contained duplicate is dropped (parser.rs:1165-1260)
+    blocks, _ = sp.resolve_blocks(_lines(RUST), "rs", {1, 3})
+    assert blocks == [(1, 5, "function_item")]
+
+
+def test_allow_tests_false_skips_test_spans():
+    blocks, _ = sp.resolve_blocks(
+        _lines(GO), "go", {15}, allow_tests=False
+    )
+    assert blocks == []  # parser.rs:1052-1066: test node skipped
+    blocks, _ = sp.resolve_blocks(_lines(GO), "go", {15}, allow_tests=True)
+    assert blocks == [(14, 16, "function_declaration")]
+
+
+def test_uncovered_lines_fall_back():
+    # rust top-level `use` lines resolve to no acceptable span
+    src = "use std::fs;\n\npub fn read_all() {\n    body();\n}\n"
+    lines = src.split("\n")
+    blocks, covered = sp.resolve_blocks(lines, "rs", {1})
+    assert blocks == [] and covered == set()
+    plan, _ = qp.plan_query(["std"])
+    out = blk.extract_blocks(
+        lines, "src/io.rs", {0: {1}}, plan, plan.specials
+    )
+    # the fallback context-window extractor produced the block
+    assert len(out) == 1 and out[0]["node_type"] == "import"
+
+
+def test_extract_blocks_ast_tokenizes_with_filename():
+    # file_processing.rs:1337-1344: AST-path tokenization always includes
+    # the filename (the fallback adds it only in exact mode)
+    lines = _lines(RUST)
+    plan, _ = qp.plan_query(["merge"])
+    out = blk.extract_blocks(
+        lines, "src/special_marker_name.rs", {0: {13}}, plan, plan.specials
+    )
+    assert len(out) == 1
+    assert out[0]["node_type"] == "function_item"
+    assert "special" in out[0]["tokenized"]  # filename tokens present
+
+
+def test_extract_blocks_substring_injection():
+    # file_processing.rs:1165-1173: a query term substring-contained in the
+    # block code joins the block terms even if tokenization missed it
+    lines = _lines(JS)
+    plan, _ = qp.plan_query(["respond"])
+    out = blk.extract_blocks(lines, "app.js", {0: {8}}, plan, plan.specials)
+    assert len(out) == 1
+    assert "respond" in out[0]["tokenized"]
+    assert out[0]["but"] >= 1
+
+
+def test_multiline_string_does_not_open_span():
+    src = 'MSG = """\ndef not_a_function():\n    pass\n"""\n\ndef real():\n    return MSG\n'
+    lines = src.split("\n")
+    spans = sp.structural_spans(lines, "py")
+    fns = [s for s in spans if s.node_type == "function_definition"]
+    assert [(s.start, s.end) for s in fns] == [(6, 7)]
+
+
+def test_block_comment_not_code():
+    src = "/*\nfn fake_in_comment() {\n}\n*/\npub fn real_one() {\n    body();\n}\n"
+    lines = src.split("\n")
+    spans = sp.structural_spans(lines, "rs")
+    assert [(s.start, s.end) for s in spans] == [(5, 7)]
+    # the block comment run attaches to the following real function
+    blocks, _ = sp.resolve_blocks(lines, "rs", {2})
+    assert blocks == [(1, 7, "function_item")]
