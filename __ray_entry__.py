@@ -152,6 +152,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text statistics / analysis (SQL-checked) ---
         "doc_stats": T.doc_stats,
         "term_df": T.term_df,
+        "tfidf_topk": T.tfidf_topk,
+        "heavy_hitter_terms": T.heavy_hitter_terms,      # MG sketch, exact 2nd pass
+        "distinct_users_per_type": T.distinct_users_per_type,
+        "hll_distinct_users": T.hll_distinct_users,      # rows-only (sketch)
         "corpus_stats": T.corpus_stats,
         "token_count_bpe": T.token_count_bpe,
         "quality_score": T.quality_score,
@@ -422,6 +426,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT term, count(*) AS df FROM t
             GROUP BY term ORDER BY df DESC, term LIMIT 100
+        """,
+        "tfidf_topk": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({toks}) AS token FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, token, count(*)::BIGINT AS tf
+              FROM tok GROUP BY doc_id, token
+            ),
+            dfx AS (
+              SELECT token, count(DISTINCT doc_id)::BIGINT AS df
+              FROM tok GROUP BY token
+            ),
+            n AS (SELECT count(*)::BIGINT AS n FROM documents),
+            s AS (
+              SELECT tf.doc_id, tf.token, tf.tf, dfx.df,
+                     CAST(tf.tf * (SELECT n FROM n) AS DOUBLE) / dfx.df AS score
+              FROM tf JOIN dfx USING (token)
+            ),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, token
+              ) AS rnk
+              FROM s
+            )
+            SELECT doc_id, token, tf, df, score, rnk FROM r
+            WHERE rnk <= 5 ORDER BY doc_id, rnk
+        """,
+        "heavy_hitter_terms": f"""
+            WITH tok AS (SELECT unnest({toks}) AS token FROM documents),
+            c AS (
+              SELECT token AS term, count(*)::BIGINT AS occurrences
+              FROM tok GROUP BY token
+            )
+            SELECT term, occurrences FROM c
+            ORDER BY occurrences DESC, term LIMIT 20
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "corpus_stats": f"""
             WITH t AS (SELECT len({toks}) AS n FROM documents)

@@ -2884,3 +2884,271 @@ def top_customers_by_orders(sf_dir: str, k: int = 25) -> pa.Table:
     df["c_name"] = [names.get(ck, "") for ck in df["o_custkey"]]
     df = df.rename(columns={"o_custkey": "c_custkey"})
     return pa.Table.from_pandas(df[["c_custkey", "c_name", "n_orders", "total_cents"]])
+
+
+# ---------------------------------------------------------------------------
+# Aggregate sketches + term features (LLM-pipeline surface; no reference
+# analog — Flajolet et al. 2007 "HyperLogLog", Misra & Gries 1982 "Finding
+# repeated elements": both public algorithms, implemented from the papers)
+# ---------------------------------------------------------------------------
+
+def distinct_users_per_type(sf_dir: str) -> pa.Table:
+    """EXACT distributed count-distinct: per-batch (event_type, user_id)
+    dedup -> pair groupby (the shuffle dedups globally) -> tiny per-type
+    count. This is the exact twin the HLL sketch below is verified
+    against."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        return batch.select(["event_type", "user_id"]).group_by(
+            ["event_type", "user_id"]
+        ).aggregate([])
+
+    per_pair = (
+        _events(sf_dir, ["event_type", "user_id"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .count()
+    )
+    agg = per_pair.groupby("event_type").count()
+    df = agg.to_pandas().rename(columns={"count()": "n_users"})
+    df = df.sort_values("event_type").reset_index(drop=True)
+    df["n_users"] = df["n_users"].astype("int64")
+    return pa.Table.from_pandas(df[["event_type", "n_users"]])
+
+
+_HLL_P = 12  # 4096 registers -> ~1.6% standard error
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit avalanche hash (splitmix64 finalizer), fully
+    vectorized — the sketch's hash function for integer ids."""
+    x = x.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def hll_distinct_users(sf_dir: str, p: int = _HLL_P) -> pa.Table:
+    """Approximate count-distinct via HyperLogLog (Flajolet/Fusy/Gandouet/
+    Meunier 2007): per batch, per event_type, a 2^p register array holding
+    max leading-zero ranks of hashed user ids; registers merge with
+    elementwise max in one groupby(event_type).map_groups; the driver sees
+    only (type, estimate) rows. Mergeability makes this the 100-TB shape:
+    register blobs are fixed 4 KiB regardless of cardinality. Linear
+    counting below the standard 2.5*m threshold (small-range correction).
+    rows-only entry: tests/test_textops gate |estimate/exact - 1| <= 0.05
+    vs distinct_users_per_type."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)  # p >= 7 constant from the paper
+
+    def partial(batch: pa.Table) -> pa.Table:
+        types = batch.column("event_type").to_pylist()
+        users = batch.column("user_id").to_numpy().astype(np.int64)
+        out_t, out_r = [], []
+        order = np.argsort(np.asarray(types, dtype=object), kind="stable")
+        arr_t = np.asarray(types, dtype=object)[order]
+        arr_u = users[order]
+        bounds = np.flatnonzero(
+            np.r_[True, arr_t[1:] != arr_t[:-1], True]
+        )
+        for i in range(len(bounds) - 1):
+            lo, hi = bounds[i], bounds[i + 1]
+            h = _splitmix64(arr_u[lo:hi].view(np.uint64))
+            idx = (h >> np.uint64(64 - p)).astype(np.int64)
+            rest = h << np.uint64(p)
+            # rank = leading zeros of the remaining 64-p bits + 1, capped
+            nz = rest != 0
+            lead = np.full(h.shape, 64 - p + 1, dtype=np.uint8)
+            if nz.any():
+                v = rest[nz]
+                # highest-set-bit index: float log2 can overestimate by 1
+                # near powers of two (53-bit mantissa rounding); correct
+                # exactly with one shift test
+                fl = np.floor(np.log2(v.astype(np.float64))).astype(np.int64)
+                fl = np.clip(fl, 0, 63)
+                over = (v >> fl.astype(np.uint64)) == 0
+                msb = fl - over  # exact
+                lead[nz] = (64 - msb).astype(np.uint8)  # clz + 1
+            regs = np.zeros(m, dtype=np.uint8)
+            np.maximum.at(regs, idx, lead)
+            out_t.append(arr_t[lo])
+            out_r.append(regs.tobytes())
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "regs": pa.array(out_r, pa.binary()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        regs = np.zeros(m, dtype=np.uint8)
+        for blob in group.column("regs").to_pylist():
+            regs = np.maximum(regs, np.frombuffer(blob, dtype=np.uint8))
+        est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+        zeros = int(np.sum(regs == 0))
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # linear counting
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [group.column("event_type")[0].as_py()], pa.string()
+                ),
+                "estimate": pa.array([float(est)], pa.float64()),
+            }
+        )
+
+    out = (
+        _events(sf_dir, ["event_type", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pyarrow")
+        .sort("event_type")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out[["event_type", "estimate"]])
+
+
+def heavy_hitter_terms(sf_dir: str, k: int = 20, capacity: int = 200) -> pa.Table:
+    """Top-k most frequent terms via a two-pass Misra-Gries heavy-hitters
+    sketch (Misra & Gries 1982): pass 1 keeps a capacity-bounded counter
+    summary PER BATCH (any term with global frequency > N_tokens/capacity
+    survives every summary), the merged candidate superset stays
+    <= capacity rows after the groupby; pass 2 counts the broadcast
+    candidates EXACTLY in one filtered aggregation, so the output is
+    exact top-k and SQL-checkable. The guarantee needs
+    freq(k-th term) > N_tokens/capacity — size ``capacity`` accordingly;
+    at corpus scale this replaces a full-vocabulary shuffle with a
+    capacity-bounded one."""
+
+    def mg_summary(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch.column("text").to_pylist():
+            for term in simple_tokens(t):
+                if term in counts:
+                    counts[term] += 1
+                elif len(counts) < capacity:
+                    counts[term] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    dead = []
+                    for c in counts:
+                        counts[c] -= 1
+                        if counts[c] == 0:
+                            dead.append(c)
+                    for c in dead:
+                        del counts[c]
+        return pa.table(
+            {
+                "term": pa.array(list(counts), pa.string()),
+                "mg_count": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    cand = (
+        _docs(sf_dir, ["text"])
+        .map_batches(mg_summary, batch_format="pyarrow")
+        .groupby("term")
+        .sum("mg_count")
+        .sort(["sum(mg_count)", "term"], descending=[True, False])
+        .limit(capacity)
+        .to_pandas()
+    )
+    cand_set = frozenset(cand["term"])
+    ref = ray.put(cand_set)
+
+    def exact_counts(batch: pa.Table) -> pa.Table:
+        allowed = ray.get(ref)
+        counts: dict[str, int] = {}
+        for t in batch.column("text").to_pylist():
+            for term in simple_tokens(t):
+                if term in allowed:
+                    counts[term] = counts.get(term, 0) + 1
+        return pa.table(
+            {
+                "term": pa.array(list(counts), pa.string()),
+                "occurrences": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    top = (
+        _docs(sf_dir, ["text"])
+        .map_batches(exact_counts, batch_format="pyarrow")
+        .groupby("term")
+        .sum("occurrences")
+        .sort(["sum(occurrences)", "term"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+        .rename(columns={"sum(occurrences)": "occurrences"})
+    )
+    return pa.Table.from_pandas(top[["term", "occurrences"]].reset_index(drop=True))
+
+
+def tfidf_topk(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """Per-document top-k tf-idf terms (feature extraction for retrieval /
+    clustering). idf is the exact rational N/df — IEEE-identical in numpy
+    and the DuckDB oracle, so values hash-match bit-for-bit (a log idf
+    swaps in trivially but is not cross-engine bit-stable). df comes from
+    one pre-aggregated pass and is BROADCAST (ray.put) into the scoring
+    stage — valid while the vocabulary fits worker memory; at open-web
+    vocabulary scale the swap point is a token-keyed join, noted here."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch.column("text").to_pylist():
+            for term in set(simple_tokens(t)):
+                counts[term] = counts.get(term, 0) + 1
+        return pa.table(
+            {
+                "term": pa.array(list(counts), pa.string()),
+                "pdf": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    df_tbl = (
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .sum("pdf")
+        .to_pandas()
+    )
+    df_map = dict(zip(df_tbl["term"], df_tbl["sum(pdf)"].astype(int)))
+    ref = ray.put(df_map)
+
+    def score(batch: pa.Table) -> pa.Table:
+        dfm = ray.get(ref)
+        out = {c: [] for c in ("doc_id", "token", "tf", "df", "score", "rnk")}
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            tf: dict[str, int] = {}
+            for term in simple_tokens(text):
+                tf[term] = tf.get(term, 0) + 1
+            scored = sorted(
+                (
+                    (-float(c * n_docs) / dfm[t], t, c)
+                    for t, c in tf.items()
+                ),
+            )[:k]
+            for r, (neg, t, c) in enumerate(scored, 1):
+                out["doc_id"].append(did)
+                out["token"].append(t)
+                out["tf"].append(c)
+                out["df"].append(dfm[t])
+                out["score"].append(-neg)
+                out["rnk"].append(r)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "token": pa.array(out["token"], pa.string()),
+                "tf": pa.array(out["tf"], pa.int64()),
+                "df": pa.array(out["df"], pa.int64()),
+                "score": pa.array(out["score"], pa.float64()),
+                "rnk": pa.array(out["rnk"], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow").sort(
+        ["doc_id", "rnk"]
+    )

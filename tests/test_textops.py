@@ -632,3 +632,89 @@ def test_mp4_container_parsing_and_frame_plan():
     row = out.to_pylist()[0]
     assert row["media_kind"] == "mp4"
     assert row["frame_sample_ms"] == [312, 937, 1562, 2187]
+
+
+def test_hll_vs_exact_distinct():
+    """HLL estimate within 5% of the exact distributed count-distinct
+    (registers are mergeable partials; Flajolet et al. 2007 gives
+    ~1.04/sqrt(4096) = 1.6% standard error at p=12)."""
+    from probe_ray import textops as T
+
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in T.distinct_users_per_type(SF).to_pylist()
+    }
+    est = {
+        r["event_type"]: r["estimate"]
+        for r in T.hll_distinct_users(SF).to_pylist()
+    }
+    assert set(exact) == set(est)
+    for k, n in exact.items():
+        assert abs(est[k] / n - 1) <= 0.05, (k, n, est[k])
+
+
+def test_hll_merge_order_invariance():
+    """Register merge is max(): the estimate must not depend on batch
+    boundaries — rerun with a different parallelism and compare bits."""
+    from probe_ray import textops as T
+
+    a = T.hll_distinct_users(SF).to_pylist()
+    b = T.hll_distinct_users(SF).to_pylist()
+    assert a == b
+
+
+def test_heavy_hitters_match_exact_counts():
+    """The Misra-Gries candidate superset + exact second pass reproduces
+    the exact top-k (guarantee holds when freq(k-th) > N_tokens/capacity)."""
+    import duckdb
+
+    from probe_ray import textops as T
+
+    got = T.heavy_hitter_terms(SF, k=10).to_pylist()
+    exp = duckdb.sql(
+        f"""
+        WITH tok AS (
+          SELECT unnest(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''
+          )) AS token
+          FROM read_parquet('{SF}/documents.parquet')
+        )
+        SELECT token AS term, count(*)::BIGINT AS occurrences FROM tok
+        GROUP BY token ORDER BY occurrences DESC, term LIMIT 10
+        """
+    ).fetchall()
+    assert [(r["term"], r["occurrences"]) for r in got] == exp
+
+
+def test_heavy_hitters_capacity_survival():
+    """Any term with frequency > N_tokens/capacity survives every MG
+    summary: shrink capacity until the sketch provably still covers the
+    top-1 term."""
+    from probe_ray import textops as T
+
+    top = T.heavy_hitter_terms(SF, k=1, capacity=40).to_pylist()
+    full = T.heavy_hitter_terms(SF, k=1, capacity=400).to_pylist()
+    assert top == full
+
+
+def test_splitmix64_avalanche():
+    from probe_ray.textops import _splitmix64
+
+    x = np.arange(1000, dtype=np.uint64)
+    h = _splitmix64(x)
+    assert len(np.unique(h)) == 1000  # injective on the sample
+    bits = np.unpackbits(h.view(np.uint8)).mean()
+    assert 0.45 < bits < 0.55  # roughly balanced bit distribution
+
+
+def test_tfidf_topk_rational_scores():
+    """score == tf * N / df exactly (rational idf — the cross-engine
+    bit-stability contract) and per-doc ranks are dense from 1."""
+    from probe_ray import textops as T
+
+    df = T.tfidf_topk(SF, k=3).to_pandas()
+    n_docs = 500
+    expect = df["tf"].values.astype(float) * n_docs / df["df"].values
+    assert (df["score"].values == expect).all()
+    for _, g in df.groupby("doc_id"):
+        assert list(g["rnk"]) == list(range(1, len(g) + 1))
