@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benchmark_contamination": T.benchmark_contamination,
         "hashed_bow": T.hashed_bow,
         "token_chunks": T.token_chunks,
+        "sequence_pack": T.sequence_pack,
+        "props_json_stats": T.props_json_stats,
         "lang_distribution": T.lang_distribution,
         "grep_count": T.grep_count,
         "structural_matches": T.structural_matches,
@@ -188,7 +190,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_word_jaccard": T.near_dup_word_jaccard,  # SQL-checked
         "dedup_clusters": T.dedup_clusters,            # SQL-checked
         "stratified_sample": T.stratified_sample,      # SQL-checked
+        "temperature_sample": T.temperature_sample,    # SQL-checked
         "filter_report": T.filter_report,              # SQL-checked
+        # --- cleaning / privacy / normalization (all SQL-checked) ---
+        "pii_redact": T.pii_redact,
+        "c4_line_filter": T.c4_line_filter,
+        "unicode_normalize": T.unicode_normalize,
         "doc_fingerprint": T.doc_fingerprint,          # SQL-checked
         "minhash_lsh_dedup": T.minhash_lsh_dedup,      # rows-only (sketch)
         "simhash64": T.simhash64,                      # rows-only (sketch)
@@ -585,6 +592,149 @@ def oracle_sql() -> dict[str, str]:
                      tk[chunk_id * 56 + 1 : least(chunk_id * 56 + 64, n)], ' '
                    ) AS chunk
             FROM c ORDER BY doc_id, chunk_id
+        """,
+        # greedy within-doc packing of the size-64/stride-56 chunks into
+        # <=150-token sequences; the recursive CTE replays the same fill
+        "sequence_pack": f"""
+            WITH RECURSIVE t AS (SELECT doc_id, {toks} AS tk FROM documents),
+            nz AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0),
+            c AS (
+              SELECT doc_id,
+                     unnest(range(0,
+                       CASE WHEN n <= 64 THEN 1
+                            ELSE 1 + (n - 64 + 55) // 56 END
+                     )) AS chunk_id,
+                     tk, n
+              FROM nz
+            ),
+            ch AS (
+              SELECT doc_id, chunk_id,
+                     len(tk[chunk_id * 56 + 1 : least(chunk_id * 56 + 64, n)])
+                       AS n_tokens,
+                     array_to_string(
+                       tk[chunk_id * 56 + 1 : least(chunk_id * 56 + 64, n)],
+                       ' '
+                     ) AS chunk
+              FROM c
+            ),
+            p AS (
+              SELECT doc_id, chunk_id, n_tokens, chunk,
+                     0 AS seq_id, n_tokens AS fill
+              FROM ch WHERE chunk_id = 0
+              UNION ALL
+              SELECT ch.doc_id, ch.chunk_id, ch.n_tokens, ch.chunk,
+                     CASE WHEN p.fill + ch.n_tokens > 150
+                          THEN p.seq_id + 1 ELSE p.seq_id END,
+                     CASE WHEN p.fill + ch.n_tokens > 150
+                          THEN ch.n_tokens ELSE p.fill + ch.n_tokens END
+              FROM p JOIN ch
+                ON ch.doc_id = p.doc_id AND ch.chunk_id = p.chunk_id + 1
+            )
+            SELECT doc_id, seq_id, count(*)::BIGINT AS n_chunks,
+                   sum(n_tokens)::BIGINT AS n_tokens,
+                   string_agg(chunk, ' ' ORDER BY chunk_id) AS seq_text
+            FROM p GROUP BY doc_id, seq_id ORDER BY doc_id, seq_id
+        """,
+        # JSON field extraction + per-type aggregate; avg is one exact
+        # integer division so both engines agree bit-for-bit
+        "props_json_stats": r"""
+            WITH k AS (
+              SELECT event_type,
+                     NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '')
+                       ::BIGINT AS k
+              FROM events
+            )
+            SELECT event_type, count(k)::BIGINT AS n_events,
+                   sum(k)::BIGINT AS sum_k, min(k)::BIGINT AS min_k,
+                   max(k)::BIGINT AS max_k,
+                   sum(k)::DOUBLE / count(k) AS avg_k
+            FROM k WHERE k IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
+        """,
+        # sequential email -> ipv4 -> phone redaction, RE2 on both sides
+        "pii_redact": r"""
+            WITH s1 AS (
+              SELECT doc_id,
+                len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+                  AS n_emails,
+                regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '[EMAIL]', 'g') AS t1
+              FROM documents
+            ), s2 AS (
+              SELECT doc_id, n_emails,
+                len(regexp_extract_all(t1,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+                regexp_replace(t1,
+                  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id,
+                regexp_replace(t2,
+                  '\+\d{9,15}|\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g')
+                  AS redacted,
+                n_emails, n_ips,
+                len(regexp_extract_all(t2,
+                  '\+\d{9,15}|\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::BIGINT
+                  AS n_phones
+            FROM s2 ORDER BY doc_id
+        """,
+        # C4 line rules: terminal punctuation + >=3 words + no javascript;
+        # page drop on lorem ipsum / curly brace / nothing kept
+        "c4_line_filter": r"""
+            WITH f AS (
+              SELECT doc_id, text,
+                     string_split(text, chr(10)) AS ls,
+                     list_filter(string_split(text, chr(10)),
+                       x -> regexp_matches(x, '[.!?]["]?\s*$')
+                        AND len(regexp_extract_all(x, '\S+')) >= 3
+                        AND NOT contains(lower(x), 'javascript')) AS kept
+              FROM documents
+            )
+            SELECT doc_id,
+                   coalesce(array_to_string(kept, chr(10)), '') AS kept_text,
+                   len(ls)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept,
+                   (NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(text, '{')
+                    AND len(kept) >= 1) AS doc_keep
+            FROM f ORDER BY doc_id
+        """,
+        # NFC -> control strip -> horizontal-whitespace collapse -> trim,
+        # in exactly the engine's kernel order
+        "unicode_normalize": r"""
+            WITH n AS (
+              SELECT doc_id, text,
+                trim(
+                  regexp_replace(
+                    regexp_replace(nfc_normalize(text),
+                      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                    '[ \t]+', ' ', 'g'),
+                  ' ' || chr(9) || chr(13) || chr(10)) AS norm_text
+              FROM documents
+            )
+            SELECT doc_id, norm_text, norm_text <> text AS changed
+            FROM n ORDER BY doc_id
+        """,
+        # alpha=0.5 temperature mixing: integer isqrt weights, md5 keep
+        "temperature_sample": """
+            WITH c AS (
+              SELECT source, count(*)::BIGINT AS n,
+                     CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+              FROM documents GROUP BY source
+            ),
+            t AS (SELECT sum(n) AS n_total, sum(w) AS sum_w FROM c),
+            r AS (
+              SELECT source,
+                     least(1000, (200 * w * (SELECT n_total FROM t))
+                                 // ((SELECT sum_w FROM t) * n)) AS rate
+              FROM c
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r USING (source)
+            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                  ::UBIGINT % 1000 < r.rate
+            ORDER BY d.doc_id
         """,
         # hashing-trick bag-of-words: bucket = md5(token) % 64, long form
         "hashed_bow": f"""

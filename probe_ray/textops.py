@@ -3152,3 +3152,315 @@ def tfidf_topk(sf_dir: str, k: int = 5) -> rd.Dataset:
     return docs.map_batches(score, batch_format="pyarrow").sort(
         ["doc_id", "rnk"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Cleaning / privacy / normalization stages (round 4): the scrubbing ops a
+# web-scale pretraining pipeline runs between raw ingest and tokenization.
+# All of them are pure per-doc map_batches stages over Arrow batches with
+# RE2 kernels (pyarrow.compute uses RE2, exactly like the DuckDB oracle's
+# regexp_* functions — the parity that makes them SQL-checkable); no
+# shuffles, no driver state.
+
+# PII patterns, applied SEQUENTIALLY (email -> ipv4 -> phone) so a category
+# never re-matches inside an earlier replacement. Leftmost-first semantics
+# are identical in RE2 (pyarrow + DuckDB) and kept deliberately simple so
+# both engines agree byte-for-byte.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{9,15}|\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def pii_redact(sf_dir: str) -> rd.Dataset:
+    """PII redaction (emails, IPv4 addresses, phone-shaped numbers) with
+    per-category match counts. Fully vectorized: RE2 count + replace
+    kernels straight over the Arrow string column, zero Python per-row
+    work — at 100 TB this runs at read bandwidth. SQL-checked (DuckDB
+    regexp_replace(..., 'g') / regexp_extract_all on the same patterns)."""
+
+    def redact(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_emails = pc.count_substring_regex(text, PII_EMAIL)
+        t1 = pc.replace_substring_regex(text, PII_EMAIL, "[EMAIL]")
+        n_ips = pc.count_substring_regex(t1, PII_IPV4)
+        t2 = pc.replace_substring_regex(t1, PII_IPV4, "[IP]")
+        n_phones = pc.count_substring_regex(t2, PII_PHONE)
+        t3 = pc.replace_substring_regex(t2, PII_PHONE, "[PHONE]")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "redacted": t3,
+            "n_emails": pc.cast(n_emails, pa.int64()),
+            "n_ips": pc.cast(n_ips, pa.int64()),
+            "n_phones": pc.cast(n_phones, pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        redact, batch_format="pyarrow"
+    )
+
+
+# C4-style line rules (Raffel et al. 2020, §2.2): keep a line iff it ends
+# in terminal punctuation, has >= 3 words, and doesn't mention javascript;
+# drop the whole page on "lorem ipsum" or a curly brace or no surviving
+# lines.
+C4_TERMINAL = r'[.!?]["]?\s*$'
+C4_MIN_WORDS = 3
+
+
+def c4_line_filter(
+    sf_dir: str, min_words: int = C4_MIN_WORDS, min_kept: int = 1
+) -> rd.Dataset:
+    """C4 line-level cleaning. Vectorized end to end: one split_pattern
+    into a ListArray, RE2 kernels over the FLAT child array (one kernel
+    call for every line of every doc in the batch), numpy bincount /
+    split on the list parent indices to reassemble per-doc kept text —
+    no Python loop touches a line. SQL-checked (DuckDB list_filter
+    lambda over string_split with the same RE2 predicates)."""
+
+    def clean(batch: pa.Table) -> pa.Table:
+        text = pc.cast(batch.column("text"), pa.large_string())
+        lines = pc.split_pattern(text, pattern="\n")
+        flat = pc.list_flatten(lines)
+        parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        keep = (
+            pc.match_substring_regex(flat, C4_TERMINAL)
+            .to_numpy(zero_copy_only=False)
+            & (
+                pc.count_substring_regex(flat, r"\S+")
+                .to_numpy(zero_copy_only=False)
+                >= min_words
+            )
+            & ~pc.match_substring(pc.utf8_lower(flat), "javascript")
+            .to_numpy(zero_copy_only=False)
+        )
+        n = len(batch)
+        n_lines = np.bincount(parent, minlength=n)
+        kept_parent = parent[keep]
+        n_kept = np.bincount(kept_parent, minlength=n)
+        kept_flat = np.asarray(
+            flat.filter(pa.array(keep)).to_pylist(), dtype=object
+        )
+        parts = np.split(kept_flat, np.cumsum(n_kept)[:-1])
+        kept_text = ["\n".join(p) for p in parts]
+        lower = pc.utf8_lower(text)
+        doc_keep = (
+            ~pc.match_substring(lower, "lorem ipsum")
+            .to_numpy(zero_copy_only=False)
+            & ~pc.match_substring(text, "{").to_numpy(zero_copy_only=False)
+            & (n_kept >= min_kept)
+        )
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "kept_text": pa.array(kept_text, pa.string()),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+            "doc_keep": pa.array(doc_keep, pa.bool_()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        clean, batch_format="pyarrow"
+    )
+
+
+def unicode_normalize(sf_dir: str) -> rd.Dataset:
+    """Text normalization (the fix-encoding pass before tokenization):
+    NFC unicode normalization, control-character strip (keeping tab and
+    newline), horizontal-whitespace collapse, edge trim. All four steps
+    are single Arrow kernel calls in a fixed order the DuckDB oracle
+    mirrors exactly (nfc_normalize + regexp_replace chain). SQL-checked."""
+
+    import unicodedata
+
+    def norm(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        # this environment's pyarrow build ships a no-op utf8_normalize
+        # (verified: NFD input passes through all four forms unchanged), so
+        # NFC runs through unicodedata — with the C-level is_normalized
+        # fast path so already-NFC strings (the overwhelming common case)
+        # never pay the recompose
+        t1 = pa.array(
+            [
+                s if unicodedata.is_normalized("NFC", s)
+                else unicodedata.normalize("NFC", s)
+                for s in text.to_pylist()
+            ],
+            pa.string(),
+        )
+        t2 = pc.replace_substring_regex(
+            t1, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""
+        )
+        t3 = pc.replace_substring_regex(t2, r"[ \t]+", " ")
+        t4 = pc.utf8_trim(t3, characters=" \t\r\n")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "norm_text": t4,
+            "changed": pc.not_equal(t4, text),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        norm, batch_format="pyarrow"
+    )
+
+
+def temperature_sample(sf_dir: str, target_permille: int = 200) -> rd.Dataset:
+    """Temperature-weighted source mixing (the alpha=0.5 sampling step
+    that upweights small sources when composing a training mix): source
+    s with c_s docs is kept at a rate proportional to sqrt(c_s)/c_s,
+    scaled so the expected kept volume is ``target_permille``/1000 of the
+    corpus. The whole computation is INTEGER arithmetic (isqrt + integer
+    division) so the DuckDB oracle reproduces it bit-for-bit, and the
+    keep decision is md5(doc_id)-hash-based — reproducible and resumable
+    with no RNG state, the property a 100-TB mixing run needs.
+
+    Data movement: one narrow per-batch count partial (combined on the
+    driver — one row per SOURCE, not per doc), the rate table broadcast
+    in the filter closure, one output sort. SQL-checked."""
+    import math
+
+    def src_counts(batch: pa.Table) -> pa.Table:
+        return batch.select(["source"]).group_by("source").aggregate(
+            [([], "count_all")]
+        )
+
+    parts = (
+        _docs(sf_dir, ["source"])
+        .map_batches(src_counts, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    combined = pa.concat_tables([ray.get(r) for r in parts])
+    agg = combined.group_by("source").aggregate([("count_all", "sum")])
+    counts = dict(
+        zip(
+            agg.column("source").to_pylist(),
+            agg.column("count_all_sum").to_pylist(),
+        )
+    )
+    n_total = sum(counts.values())
+    w = {s: math.isqrt(c) for s, c in counts.items()}
+    sum_w = sum(w.values())
+    rate = {
+        s: min(1000, (target_permille * w[s] * n_total) // (sum_w * c))
+        for s, c in counts.items()
+    }
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = [
+            int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 1000
+            < rate[s]
+            for d, s in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("source").to_pylist(),
+            )
+        ]
+        return batch.filter(pa.array(mask))
+
+    return (
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(keep, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+def props_json_stats(sf_dir: str) -> pa.Table:
+    """Semi-structured field extraction + aggregate: parse the numeric
+    ``k`` field out of the JSON ``props`` column (RE2 extract kernel, no
+    Python json.loads in the hot path) and aggregate count/sum/min/max/
+    mean per event_type. Per-batch Arrow group_by partials shrink each
+    block to one row per type BEFORE the shuffle; the final combine is
+    over #types x #blocks tiny rows. avg is a single division of exact
+    integers, so the DuckDB oracle matches bit-for-bit. SQL-checked."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(batch.column("props"), r'"k":\s*(?P<k>-?\d+)'),
+                "k",
+            ),
+            pa.int64(),
+        )
+        t = pa.table(
+            {"event_type": batch.column("event_type"), "k": k}
+        ).filter(pc.is_valid(k))
+        return t.group_by("event_type").aggregate(
+            [("k", "sum"), ("k", "min"), ("k", "max"), ("k", "count")]
+        )
+
+    parts = (
+        _events(sf_dir, ["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    combined = pa.concat_tables([ray.get(r) for r in parts])
+    agg = combined.group_by("event_type").aggregate(
+        [("k_sum", "sum"), ("k_min", "min"), ("k_max", "max"), ("k_count", "sum")]
+    )
+    df = agg.to_pandas().sort_values("event_type").reset_index(drop=True)
+    out = pa.table({
+        "event_type": pa.array(df["event_type"], pa.string()),
+        "n_events": pa.array(df["k_count_sum"], pa.int64()),
+        "sum_k": pa.array(df["k_sum_sum"], pa.int64()),
+        "min_k": pa.array(df["k_min_min"], pa.int64()),
+        "max_k": pa.array(df["k_max_max"], pa.int64()),
+        "avg_k": pa.array(
+            df["k_sum_sum"].astype(float) / df["k_count_sum"], pa.float64()
+        ),
+    })
+    return out
+
+
+def sequence_pack(
+    sf_dir: str, size: int = 64, overlap: int = 8, capacity: int = 150
+) -> rd.Dataset:
+    """Greedy sequence packing (the pretraining example-prep step): the
+    sliding-window chunks of token_chunks are packed, in chunk order and
+    WITHIN each document (no cross-doc contamination), into training
+    sequences of at most ``capacity`` tokens — a new sequence starts when
+    the next chunk would overflow a non-empty one. Chunking + packing run
+    fused in one per-doc map (no intermediate shuffle; the only data
+    movement is the output sort). SQL-checked against a recursive-CTE
+    oracle that replays the same greedy fill."""
+    stride = size - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than size")
+
+    def pack(batch: pa.Table) -> pa.Table:
+        dids, sids, ncs, nts, texts = [], [], [], [], []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = simple_tokens(text)
+            if not toks:
+                continue
+            chunks = []
+            for start in range(0, len(toks), stride):
+                part = toks[start : start + size]
+                chunks.append(part)
+                if start + size >= len(toks):
+                    break
+            seq, fill, bufs = 0, 0, [[]]
+            for part in chunks:
+                if fill > 0 and fill + len(part) > capacity:
+                    seq += 1
+                    fill = 0
+                    bufs.append([])
+                bufs[-1].append(part)
+                fill += len(part)
+            for sid, parts_ in enumerate(bufs):
+                dids.append(did)
+                sids.append(sid)
+                ncs.append(len(parts_))
+                nts.append(sum(len(p) for p in parts_))
+                texts.append(" ".join(" ".join(p) for p in parts_))
+        return pa.table({
+            "doc_id": pa.array(dids, pa.int64()),
+            "seq_id": pa.array(sids, pa.int64()),
+            "n_chunks": pa.array(ncs, pa.int64()),
+            "n_tokens": pa.array(nts, pa.int64()),
+            "seq_text": pa.array(texts, pa.string()),
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(pack, batch_format="pyarrow")
+        .sort(["doc_id", "seq_id"])
+    )

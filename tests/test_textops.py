@@ -718,3 +718,194 @@ def test_tfidf_topk_rational_scores():
     assert (df["score"].values == expect).all()
     for _, g in df.groupby("doc_id"):
         assert list(g["rnk"]) == list(range(1, len(g) + 1))
+
+
+def _write_docs(tmp_path, name, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / name
+    d.mkdir()
+    cols = {k: [r[k] for r in rows] for k in rows[0]}
+    pq.write_table(pa.table(cols), str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_pii_redact_constructed():
+    """The sf corpus has no PII; real signal comes from constructed docs —
+    sequential email -> ip -> phone redaction with per-category counts."""
+    from probe_ray import textops as T
+
+    import pathlib
+    import shutil
+    import tempfile
+
+    base = pathlib.Path(tempfile.mkdtemp(prefix="pii_"))
+    try:
+        sf = _write_docs(base, "docs", [
+            {"doc_id": 0, "text": "mail a.b+c@ex-ample.org now"},
+            {"doc_id": 1, "text": "host 10.0.255.1 and 1.2.3.4, call +4915112345678"},
+            {"doc_id": 2, "text": "dial 555-123-4567 or 555.123.4567"},
+            {"doc_id": 3, "text": "clean text with no identifiers at all"},
+        ])
+        df = (
+            T.pii_redact(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert df.loc[0, "redacted"] == "mail [EMAIL] now"
+        assert df.loc[0, ["n_emails", "n_ips", "n_phones"]].tolist() == [1, 0, 0]
+        assert df.loc[1, "redacted"] == "host [IP] and [IP], call [PHONE]"
+        assert df.loc[1, ["n_emails", "n_ips", "n_phones"]].tolist() == [0, 2, 1]
+        assert df.loc[2, "redacted"] == "dial [PHONE] or [PHONE]"
+        assert df.loc[3, "redacted"] == "clean text with no identifiers at all"
+        assert (df.loc[3, ["n_emails", "n_ips", "n_phones"]] == 0).all()
+    finally:
+        shutil.rmtree(base)
+
+
+def test_c4_line_filter_constructed():
+    import pathlib
+    import shutil
+    import tempfile
+
+    from probe_ray import textops as T
+
+    base = pathlib.Path(tempfile.mkdtemp(prefix="c4_"))
+    try:
+        good = "This sentence has enough words and punctuation."
+        sf = _write_docs(base, "docs", [
+            # one good line, one unterminated, one too short, one javascript
+            {"doc_id": 0, "text": good + "\nno terminal punct here\nToo short.\nEnable javascript to continue."},
+            # page drops: lorem ipsum / curly brace / nothing kept
+            {"doc_id": 1, "text": "Lorem ipsum dolor sit amet."},
+            {"doc_id": 2, "text": "Config { open brace page. }"},
+            {"doc_id": 3, "text": "no lines survive this page"},
+            {"doc_id": 4, "text": good + "\n" + good},
+        ])
+        df = (
+            T.c4_line_filter(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert df.loc[0].tolist() == [0, good, 4, 1, True]
+        assert not df.loc[1, "doc_keep"]  # lorem ipsum
+        assert df.loc[1, "n_kept"] == 1  # the line itself passes line rules
+        assert not df.loc[2, "doc_keep"]  # curly brace
+        assert not df.loc[3, "doc_keep"]  # nothing kept
+        assert df.loc[3, "kept_text"] == ""
+        assert df.loc[4].tolist() == [4, good + "\n" + good, 2, 2, True]
+    finally:
+        shutil.rmtree(base)
+
+
+def test_unicode_normalize_constructed():
+    import pathlib
+    import shutil
+    import tempfile
+    import unicodedata
+
+    from probe_ray import textops as T
+
+    base = pathlib.Path(tempfile.mkdtemp(prefix="uni_"))
+    try:
+        decomposed = "Café  menu"  # NFD e + combining acute, double space
+        sf = _write_docs(base, "docs", [
+            {"doc_id": 0, "text": decomposed},
+            {"doc_id": 1, "text": "ctrl\x00\x07chars\ttab\t\ttwice "},
+            {"doc_id": 2, "text": "already clean"},
+        ])
+        df = (
+            T.unicode_normalize(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert df.loc[0, "norm_text"] == unicodedata.normalize("NFC", "Café menu")
+        assert df.loc[0, "changed"]
+        # controls stripped, tab runs collapsed to one space, edge trimmed
+        assert df.loc[1, "norm_text"] == "ctrlchars tab twice"
+        assert df.loc[2, "norm_text"] == "already clean"
+        assert not df.loc[2, "changed"]
+    finally:
+        shutil.rmtree(base)
+
+
+def test_temperature_sample_rates_and_determinism():
+    """Small sources are upweighted relative to their share (alpha=0.5),
+    the keep decision is pure hash (two runs identical), and the kept
+    volume is near the 20% target."""
+    from probe_ray import textops as T
+
+    a = T.temperature_sample(SF).to_pandas()
+    b = T.temperature_sample(SF).to_pandas()
+    assert a.equals(b)
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["source"])
+    n = docs.num_rows
+    frac = len(a) / n
+    assert 0.10 < frac < 0.35  # expected 0.20, hash noise at sf0.001
+    # rate monotonicity: smaller sources keep a LARGER fraction in
+    # expectation; check the integer rate table directly
+    import math
+
+    counts = (
+        docs.to_pandas().value_counts("source").to_dict()
+    )
+    n_total = sum(counts.values())
+    sum_w = sum(math.isqrt(c) for c in counts.values())
+    rates = {
+        s: min(1000, (200 * math.isqrt(c) * n_total) // (sum_w * c))
+        for s, c in counts.items()
+    }
+    small = min(counts, key=counts.get)
+    big = max(counts, key=counts.get)
+    if counts[small] < counts[big]:
+        assert rates[small] >= rates[big]
+
+
+def test_sequence_pack_greedy_invariants():
+    """Every sequence fits the capacity (except a single oversized chunk),
+    chunks stay in order, and re-concatenating the packed text per doc
+    reproduces the doc's chunk stream."""
+    from probe_ray import textops as T
+
+    size, overlap, cap = 64, 8, 150
+    packs = T.sequence_pack(SF, size=size, overlap=overlap, capacity=cap).to_pandas()
+    chunks = T.token_chunks(SF, size=size, overlap=overlap).to_pandas()
+    assert (packs["n_tokens"] <= cap).all() or (
+        packs.loc[packs["n_tokens"] > cap, "n_chunks"] == 1
+    ).all()
+    got = packs.groupby("doc_id")["seq_text"].apply(" ".join)
+    want = chunks.groupby("doc_id")["chunk"].apply(" ".join)
+    assert got.equals(want)
+    # greedy: a sequence is only closed because the NEXT chunk overflows,
+    # so every non-final sequence + the first chunk of its successor must
+    # exceed the capacity (only the doc's last chunk can be partial, so
+    # that first chunk is full-size unless the successor IS that single
+    # partial chunk)
+    for _, g in packs.groupby("doc_id"):
+        g = g.sort_values("seq_id").reset_index(drop=True)
+        for i in range(len(g) - 1):
+            nxt_first = (
+                g.loc[i + 1, "n_tokens"]
+                if g.loc[i + 1, "n_chunks"] == 1
+                else size
+            )
+            assert g.loc[i, "n_tokens"] + nxt_first > cap
+
+
+def test_props_json_stats_matches_pandas():
+    import json
+
+    import pyarrow.parquet as pq
+
+    from probe_ray import textops as T
+
+    got = T.props_json_stats(SF).to_pandas()
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_type", "props"]
+    ).to_pandas()
+    ev["k"] = ev["props"].map(lambda p: json.loads(p)["k"])
+    want = ev.groupby("event_type")["k"].agg(["count", "sum", "min", "max", "mean"])
+    for _, row in got.iterrows():
+        w = want.loc[row["event_type"]]
+        assert row["n_events"] == w["count"]
+        assert row["sum_k"] == w["sum"]
+        assert row["min_k"] == w["min"]
+        assert row["max_k"] == w["max"]
+        assert abs(row["avg_k"] - w["mean"]) < 1e-12
