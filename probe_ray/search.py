@@ -734,6 +734,44 @@ class Engine:
 
         return self._docs_ds(columns).map_batches(pick, batch_format="pyarrow")
 
+    def _rerank_result(
+        self,
+        result: pa.Table,
+        queries: list[str],
+        question: str | None,
+        model: str,
+    ) -> pa.Table:
+        """Cross-encoder rerank of the ADMITTED rows (probe_ray.rerank):
+        content is fetched for only the result's doc ids (pruned candidate
+        read — the 100-TB shape: rerank depth bounds the content read),
+        attached as a text column, scored by the actor-pool stage, dropped
+        again. Flagged rank=None rows pass through unscored."""
+        from probe_ray import rerank as _rr
+
+        if result.num_rows == 0:
+            return result
+        ids = np.unique(
+            result.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        fetched = pa.concat_tables(
+            ray.get(
+                self._fetch_candidates(ids, ["doc_id", "content"]).to_arrow_refs()
+            )
+        )
+        content = dict(
+            zip(
+                fetched.column("doc_id").to_pylist(),
+                fetched.column("content").to_pylist(),
+            )
+        )
+        text = pa.array(
+            [content.get(d, "") for d in result.column("doc_id").to_pylist()],
+            pa.string(),
+        )
+        tbl = result.append_column("text", text)
+        out = _rr.rerank_table(tbl, question or " ".join(queries), model=model)
+        return out.select([n for n in out.schema.names if n != "text"])
+
     # -- main entry ---------------------------------------------------------
 
     def search(
@@ -752,6 +790,8 @@ class Engine:
         allow_tests: bool = True,
         exhaustive: bool = False,
         mode: str = "compat",
+        reranker: str = "bm25",
+        question: str | None = None,
     ) -> pa.Table:
         """Search the index.
 
@@ -762,7 +802,16 @@ class Engine:
         dedup: pass ``session`` to persist seen docs per (session,
         query-hash) next to the index (cache.rs:14-42 semantics at document
         granularity), or pass an explicit ``seen`` set of "repo/path" keys.
-        """
+
+        ``reranker`` takes the reference CLI's values (cli.rs:35-37):
+        bm25/hybrid/hybrid2/tfidf all run the standard BM25 path (as in the
+        reference, where the tfidf/hybrid fields are vestigial), and the
+        ms-marco-* models dispatch a cross-encoder actor-pool rerank of the
+        admitted ranked rows (result_ranking.rs:139-145; model execution
+        stubbed — see probe_ray.rerank). ``question`` replaces the keyword
+        string as the scored query (cli.rs:92). Deviation: the reference
+        reranks pre-limit; this engine reranks the admitted top-N (content
+        is only fetched for those ids — the scale-correct shape)."""
         if isinstance(queries, str):
             queries = [queries]
         plan, filters = qp.plan_query(queries, exact)
@@ -782,9 +831,20 @@ class Engine:
         import time as _time
 
         t0 = _time.time()
+        from probe_ray import rerank as _rr
+
+        if reranker not in _rr.RERANKER_BM25_ALIASES and (
+            reranker not in _rr.RERANKER_MODELS
+        ):
+            raise ValueError(
+                f"unknown reranker {reranker!r}; expected one of "
+                f"{_rr.RERANKER_BM25_ALIASES + tuple(_rr.RERANKER_MODELS)}"
+            )
         if mode == "global":
             self._probe_block_stats = []
             result = self._search_global(ctx, queries, max_results)
+            if reranker in _rr.RERANKER_MODELS:
+                result = self._rerank_result(result, queries, question, reranker)
             self.last_metrics = dict(
                 mode="global", results=result.num_rows,
                 wall_sec=round(_time.time() - t0, 4),
@@ -795,6 +855,8 @@ class Engine:
             ctx, queries, exact, max_results, max_bytes, max_tokens,
             files_only, seen, allow_tests, exhaustive,
         )
+        if reranker in _rr.RERANKER_MODELS and not files_only:
+            result = self._rerank_result(result, queries, question, reranker)
         ranks = result.column("rank").to_pylist()
         self.last_metrics = dict(
             mode="compat",
