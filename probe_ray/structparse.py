@@ -32,9 +32,20 @@ Acceptable-parent sets ported per language:
   javascript.rs:28-49  functions/classes/methods/arrows + statement-level
   typescript.rs:36-57  functions/classes/interfaces/types/enums — NO
                        statement-level acceptance (asymmetry vs js kept)
+  java.rs:28-40   methods/classes/interfaces/enums/constructors/fields/
+                  static initializers ("block"/"variable_declaration"
+                  unmodeled — see _JAVA_HEADERS note)
+  c.rs:40-44      function_definition/declaration/struct/enum
+  cpp.rs:36-45    c set + class_specifier + namespace_definition
+  csharp.rs:30-43 methods/classes/structs/interfaces/enums/namespaces/
+                  properties/constructors/delegates/events
+  ruby.rs         method/singleton_method/class/module (end-matched via
+                  keyword-depth scan, not braces)
 Test-node detection mirrors each language's is_test_node
-(rust #[test] attributes, python test_ prefix, go Test prefix,
-js/ts test-name functions and describe/it/test/expect calls).
+(rust #[test] attributes, python/ruby test_ prefix, go Test prefix,
+js/ts test-name functions and describe/it/test/expect calls, java @Test
+annotations, c# [Test]/[Fact]/[TestMethod]/[Theory] attributes, c/cpp
+test-named functions).
 """
 
 from __future__ import annotations
@@ -52,6 +63,16 @@ SUPPORTED_EXTS = {
     "jsx": "javascript",
     "ts": "typescript",
     "tsx": "typescript",
+    "java": "java",
+    "c": "c",
+    "h": "c",
+    "cc": "cpp",
+    "cpp": "cpp",
+    "cxx": "cpp",
+    "hpp": "cpp",
+    "hh": "cpp",
+    "cs": "csharp",
+    "rb": "ruby",
 }
 
 
@@ -81,7 +102,9 @@ def scan_lines(lines: list[str], ext: str) -> tuple[list[str], list[bool], list[
     # comments plus ' " and triple-quoted strings for python.  Escapes are
     honored; raw-string edge cases degrade to treating the line as code,
     which only widens spans (never drops a matched line)."""
-    python = ext == "py"
+    # ruby shares python's comment/string shape (# comments, '/" strings;
+    # the triple-quote branch is harmless noise there)
+    python = ext in ("py", "rb")
     code_lines: list[str] = []
     comment_only: list[bool] = []
     in_str_line: list[bool] = []
@@ -270,6 +293,188 @@ _RUST_TEST_ATTR = re.compile(r"^\s*#\[\s*(?:\w+(?:::\w+)*\s*::\s*)?(?:tokio::)?t
 _RUST_CFG_TEST = re.compile(r"^\s*#\[\s*cfg\s*\(\s*test\s*\)")
 _JS_TEST_CALL = re.compile(r"^\s*(?:describe|it|test|expect)\s*\(")
 
+# -- java (java.rs:28-40 acceptable set; "block"/"variable_declaration"
+#    deliberately unmodeled: any-brace-block parents defeat the regex
+#    approximation, and "variable_declaration" is not a java grammar kind) --
+_JAVA_MODS = (
+    r"(?:(?:public|private|protected|abstract|final|static|sealed|"
+    r"strictfp|synchronized|native|default)\s+)*"
+)
+_STMT_KEYWORD_BLOCK = (
+    r"(?!if\b|for\b|while\b|switch\b|catch\b|return\b|new\b|throw\b|else\b"
+    r"|do\b|case\b|assert\b|super\b|this\b|try\b|finally\b|break\b"
+    r"|continue\b|using\b|lock\b|foreach\b|yield\b|await\b|throws\b)"
+)
+_JAVA_HEADERS = [
+    ("class_declaration", re.compile(rf"^\s*{_JAVA_MODS}class\s+\w+")),
+    ("interface_declaration", re.compile(rf"^\s*{_JAVA_MODS}@?interface\s+\w+")),
+    ("enum_declaration", re.compile(rf"^\s*{_JAVA_MODS}enum\s+\w+")),
+    ("static_initializer", re.compile(r"^\s*static\s*\{\s*$")),
+    ("field_declaration", re.compile(
+        r"^\s*(?:(?:public|private|protected|static|final|transient|"
+        r"volatile)\s+)+[\w<>\[\],.?\s]+?\s+\w+(?:\s*=[^=].*)?;\s*$")),
+    # constructor BEFORE method: the method form would otherwise re-read
+    # the modifiers as the return type ("public Foo(..." -> type "public")
+    ("constructor_declaration", re.compile(
+        rf"^\s*{_JAVA_MODS}{_STMT_KEYWORD_BLOCK}[A-Z]\w*\s*\([^;]*\)\s*"
+        r"(?:throws\s[\w.,\s]+)?(?:\{|$)")),
+    ("method_declaration", re.compile(
+        rf"^\s*{_JAVA_MODS}{_STMT_KEYWORD_BLOCK}(?:<[^>]*>\s+)?"
+        # the return-type chunk must start AND end on a non-space (a
+        # whitespace-only chunk would turn every `name(...)` call into a
+        # declaration)
+        r"[\w<>\[\],.?](?:[\w<>\[\],.?\s]*?[\w<>\[\],.?])?\s+\w+\s*\(")),
+]
+_JAVA_TEST_ANNOT = re.compile(r"^\s*@\s*(?:\w+\.)*Test\b")
+
+# -- c (c.rs:40-44: function_definition/declaration/struct/enum) --
+_C_KEYWORD_BLOCK = (
+    r"(?!if\b|for\b|while\b|switch\b|return\b|else\b|do\b|case\b|goto\b"
+    r"|sizeof\b|typedef\b|struct\b|enum\b|union\b|static_assert\b)"
+)
+_C_HEADERS = [
+    ("struct_specifier", re.compile(r"^\s*(?:typedef\s+)?struct\b")),
+    ("enum_specifier", re.compile(r"^\s*(?:typedef\s+)?enum\b")),
+    ("function_definition", re.compile(
+        rf"^\s*{_C_KEYWORD_BLOCK}(?:[\w*]+[\s*]+)+\w+\s*"
+        r"(?:\([^;]*$|\([^;]*\)\s*\{?\s*$)")),
+    ("declaration", re.compile(
+        rf"^\s*{_C_KEYWORD_BLOCK}(?:[\w*]+[\s*]+)+[\w*]+[\w\[\]]*"
+        r"(?:\s*=[^=].*|\s*\([^;{]*\))?;\s*$")),
+]
+# K&R / split-signature support: a type-only line followed by a
+# `name(args...)` line opens a function_definition at the type line
+_C_TYPE_LINE = re.compile(rf"^\s*{_C_KEYWORD_BLOCK}[\w*]+(?:[\s*]+[\w*]+)*[\s*]*$")
+_C_KNR_NAME = re.compile(
+    r"^\s*(?!if\b|for\b|while\b|switch\b|return\b|else\b|do\b)"
+    r"[\w:~]+\s*\([^;]*(?:\)|$)\s*$")
+
+# -- cpp (cpp.rs:36-45: c set + class_specifier + namespace_definition);
+#    qualified names (Foo::bar, ~Foo) allowed in the function form --
+_CPP_HEADERS = [
+    ("class_specifier", re.compile(
+        r"^\s*(?:template\s*<[^>]*>\s*)?class\s+\w+")),
+    ("namespace_definition", re.compile(r"^\s*(?:inline\s+)?namespace\b")),
+    ("function_definition", re.compile(
+        rf"^\s*{_C_KEYWORD_BLOCK}(?:[\w*&<>:]+[\s*&]+)+[\w:~]+\s*"
+        r"(?:\([^;]*$|\([^;]*\)\s*(?:const\s*)?(?:noexcept\s*)?(?:override\s*)?\{?\s*$)")),
+] + _C_HEADERS[:2] + [_C_HEADERS[3]]
+
+# -- csharp (csharp.rs:30-43 acceptable set) --
+_CS_MODS = (
+    r"(?:(?:public|private|protected|internal|static|sealed|abstract|"
+    r"virtual|override|async|partial|readonly|extern|unsafe|new)\s+)*"
+)
+_CS_HEADERS = [
+    ("class_declaration", re.compile(rf"^\s*{_CS_MODS}class\s+\w+")),
+    ("struct_declaration", re.compile(rf"^\s*{_CS_MODS}struct\s+\w+")),
+    ("interface_declaration", re.compile(rf"^\s*{_CS_MODS}interface\s+\w+")),
+    ("enum_declaration", re.compile(rf"^\s*{_CS_MODS}enum\s+\w+")),
+    ("namespace_declaration", re.compile(rf"^\s*{_CS_MODS}namespace\s+[\w.]+")),
+    ("delegate_declaration", re.compile(rf"^\s*{_CS_MODS}delegate\b")),
+    ("event_declaration", re.compile(rf"^\s*{_CS_MODS}event\b")),
+    ("property_declaration", re.compile(
+        rf"^\s*{_CS_MODS}[\w<>\[\],.?](?:[\w<>\[\],.?\s]*?[\w<>\[\],.?])?"
+        r"\s+\w+\s*(?:\{\s*(?:get|set|init)\b|=>)")),
+    ("constructor_declaration", re.compile(
+        rf"^\s*{_CS_MODS}{_STMT_KEYWORD_BLOCK}[A-Z]\w*\s*\([^;]*\)\s*"
+        r"(?::\s*(?:base|this)\s*\([^)]*\)\s*)?(?:\{|$)")),
+    ("method_declaration", re.compile(
+        rf"^\s*{_CS_MODS}{_STMT_KEYWORD_BLOCK}(?:<[^>]*>\s+)?"
+        r"[\w<>\[\],.?](?:[\w<>\[\],.?\s]*?[\w<>\[\],.?])?\s+\w+\s*\(")),
+]
+_CS_TEST_ATTR = re.compile(
+    r"^\s*\[\s*(?:\w+\.)*(?:Test|Fact|TestMethod|Theory)\b")
+
+# per-language header tables for the shared brace-block branch
+_BRACE_HEADERS = {
+    "rust": _RUST_HEADERS,
+    "go": _GO_HEADERS,
+    "java": _JAVA_HEADERS,
+    "c": _C_HEADERS,
+    "cpp": _CPP_HEADERS,
+    "csharp": _CS_HEADERS,
+}
+
+# -- ruby (ruby.rs is_symbol_like: method/class/module + singletons);
+#    end-matched rather than brace-matched --
+_RB_HEADERS = [
+    ("singleton_method", re.compile(r"^\s*def\s+self\.")),
+    ("method", re.compile(r"^\s*def\s+")),
+    ("class", re.compile(r"^\s*class\s+[A-Z<]")),
+    ("module", re.compile(r"^\s*module\s+[A-Z]")),
+]
+_RB_OPENER = re.compile(
+    r"^\s*(?:def|class|module|if|unless|case|while|until|begin|for)\b")
+_RB_DO_TAIL = re.compile(r"\bdo\s*(?:\|[^|]*\|)?\s*$")
+_RB_END = re.compile(r"(?:^|;)\s*end\b")
+_RB_ENDLESS_DEF = re.compile(r"^\s*def\s+[\w.?!=\[\]]+(?:\([^)]*\))?\s*=")
+
+
+def _ruby_end(code_lines: list[str], start_i: int) -> int:
+    """0-based end line of a ruby def/class/module: keyword-depth scan over
+    line-leading openers, trailing do-blocks and line-leading ``end``s.
+    Modifier forms (``x if y``) never open because they are not
+    line-leading; an endless def (``def x = expr``) is its own line."""
+    if _RB_ENDLESS_DEF.match(code_lines[start_i]):
+        return start_i
+    depth = 0
+    for j in range(start_i, len(code_lines)):
+        line = code_lines[j]
+        if _RB_OPENER.match(line) and not _RB_ENDLESS_DEF.match(line):
+            depth += 1
+        elif _RB_DO_TAIL.search(line):
+            depth += 1
+        depth -= len(_RB_END.findall(line))
+        if depth <= 0:
+            return j
+    return len(code_lines) - 1
+
+
+def _brace_is_test(
+    lang: str, kind: str, code_lines: list[str], i: int
+) -> bool:
+    """Per-language test-node detection for the brace languages, mirroring
+    each language's is_test_node: rust #[test]/#[cfg(test)] attributes,
+    go Test-prefixed funcs, java @Test annotations, c# [Test]/[Fact]/...
+    attributes, c/cpp test-named functions (c.rs/cpp.rs name check)."""
+    if lang == "rust":
+        k = i - 1
+        while k >= 0 and code_lines[k].lstrip().startswith("#["):
+            if _RUST_TEST_ATTR.match(code_lines[k]) or (
+                kind == "mod_item" and _RUST_CFG_TEST.match(code_lines[k])
+            ):
+                return True
+            k -= 1
+        return False
+    if lang == "go":
+        if kind != "function_declaration":
+            return False
+        name = re.search(r"func\s+(\w+)", code_lines[i])
+        return bool(name and re.match(r"Test[A-Z0-9_]", name.group(1)))
+    if lang == "java":
+        if kind not in ("method_declaration", "constructor_declaration"):
+            return False
+        k = i - 1
+        while k >= 0 and code_lines[k].lstrip().startswith("@"):
+            if _JAVA_TEST_ANNOT.match(code_lines[k]):
+                return True
+            k -= 1
+        return False
+    if lang == "csharp":
+        if kind not in ("method_declaration", "constructor_declaration"):
+            return False
+        k = i - 1
+        while k >= 0 and code_lines[k].lstrip().startswith("["):
+            if _CS_TEST_ATTR.match(code_lines[k]):
+                return True
+            k -= 1
+        return False
+    if lang in ("c", "cpp") and kind == "function_definition":
+        name = re.search(r"([\w:~]+)\s*\(", code_lines[i])
+        return bool(name and "test" in name.group(1).lower())
+    return False
+
 
 def _brace_end(code_lines: list[str], start_i: int) -> int:
     """0-based end line of the brace block opening at/after line start_i,
@@ -403,26 +608,48 @@ def structural_spans(
             node = "assignment" if re.search(r"[^=<>!]=(?!=)", stripped) else "expression_statement"
             spans.append(Span(s + 1, e + 1, node, False, statement=True))
 
-    elif lang in ("rust", "go"):
-        headers = _RUST_HEADERS if lang == "rust" else _GO_HEADERS
+    elif lang in _BRACE_HEADERS:
+        headers = _BRACE_HEADERS[lang]
+        knr = lang in ("c", "cpp")
         for i in range(n):
             if comment_only[i] or in_str[i]:
+                continue
+            if (
+                knr
+                and i + 1 < n
+                and _C_TYPE_LINE.match(code_lines[i])
+                and not comment_only[i + 1]
+                and _C_KNR_NAME.match(code_lines[i + 1])
+            ):
+                # K&R / split signature: return type on its own line, then
+                # `name(args...)` — tree-sitter's function_definition node
+                # starts at the type line
+                end = _brace_end(code_lines, i + 1)
+                spans.append(Span(
+                    i + 1, end + 1, "function_definition",
+                    _brace_is_test(lang, "function_definition",
+                                   code_lines, i + 1),
+                ))
                 continue
             for kind, rx in headers:
                 if rx.match(code_lines[i]):
                     end = _brace_end(code_lines, i)
-                    is_test = False
-                    if lang == "rust":
-                        k = i - 1
-                        while k >= 0 and code_lines[k].lstrip().startswith("#["):
-                            if _RUST_TEST_ATTR.match(code_lines[k]) or (
-                                kind == "mod_item" and _RUST_CFG_TEST.match(code_lines[k])
-                            ):
-                                is_test = True
-                            k -= 1
-                    elif kind == "function_declaration":
-                        name = re.search(r"func\s+(\w+)", code_lines[i])
-                        is_test = bool(name and re.match(r"Test[A-Z0-9_]", name.group(1)))
+                    is_test = _brace_is_test(lang, kind, code_lines, i)
+                    spans.append(Span(i + 1, end + 1, kind, is_test))
+                    break
+
+    elif lang == "ruby":
+        for i in range(n):
+            if comment_only[i] or in_str[i]:
+                continue
+            for kind, rx in _RB_HEADERS:
+                if rx.match(code_lines[i]):
+                    end = _ruby_end(code_lines, i)
+                    name = re.search(r"def\s+(?:self\.)?([\w?!]+)", code_lines[i])
+                    is_test = bool(
+                        kind in ("method", "singleton_method")
+                        and name and name.group(1).startswith("test_")
+                    )
                     spans.append(Span(i + 1, end + 1, kind, is_test))
                     break
 

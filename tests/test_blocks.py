@@ -779,3 +779,84 @@ def test_block_identity_without_ngram_index(qid, queries, opts, t1_index):
     expected = oracle_search_blocks(load_docs(generate_rows("t1")), queries, **opts)
     got = engine.search_blocks(queries, **opts)
     _assert_blocks_equal(got, expected, qid)
+
+
+def test_new_language_ast_blocks_end_to_end(tmp_path):
+    """java/c/cpp/c#/ruby corpora route through the language-aware AST
+    extractor: matched lines resolve to construct spans with tree-sitter
+    kind names (not ±5-line fallback windows), engine ≡ oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from probe_ray.build import build_index
+
+    files = {
+        "src/Svc.java": (
+            "java",
+            "public class Svc {\n"
+            "    public int keywordAlpha(int x) {\n"
+            "        return x + 1;\n"
+            "    }\n"
+            "}\n",
+        ),
+        "src/util.c": (
+            "c",
+            "static int total = 0;\n\n"
+            "int keywordAlpha(int x) {\n"
+            "    return total + x;\n"
+            "}\n",
+        ),
+        "src/geom.cpp": (
+            "cpp",
+            "namespace geo {\n"
+            "double keywordAlpha() {\n"
+            "  return 1.0;\n"
+            "}\n"
+            "}\n",
+        ),
+        "src/Inv.cs": (
+            "csharp",
+            "public class Inv\n"
+            "{\n"
+            "    public int keywordAlpha(int x)\n"
+            "    {\n"
+            "        return x;\n"
+            "    }\n"
+            "}\n",
+        ),
+        "src/bill.rb": (
+            "ruby",
+            "module Billing\n"
+            "  def keyword_alpha(x)\n"
+            "    x + 1\n"
+            "  end\n"
+            "end\n",
+        ),
+    }
+    rows = [
+        dict(repo="r", path=p, commit="0" * 40, lang=lang, content=c)
+        for p, (lang, c) in files.items()
+    ]
+    corpus = tmp_path / "newlangs.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), str(corpus))
+    eng = Engine(build_index(str(corpus), str(tmp_path / "idx")))
+
+    from probe_ray.oracle import load_docs, oracle_search_blocks
+
+    docs = load_docs(rows)
+    for queries in (["keywordAlpha"], ["keyword_alpha"]):
+        got = eng.search_blocks(queries)
+        expected = oracle_search_blocks(docs, queries)
+        _assert_blocks_equal(got, expected, f"newlang {queries}")
+
+    got = eng.search_blocks(["keywordAlpha"])
+    by_path = dict(zip(got.column("path").to_pylist(),
+                       got.column("node_type").to_pylist()))
+    assert by_path["src/Svc.java"] == "method_declaration"
+    assert by_path["src/util.c"] == "function_definition"
+    assert by_path["src/geom.cpp"] == "function_definition"
+    assert by_path["src/Inv.cs"] == "method_declaration"
+    rb = eng.search_blocks(["keyword_alpha"])
+    rb_types = dict(zip(rb.column("path").to_pylist(),
+                        rb.column("node_type").to_pylist()))
+    assert rb_types["src/bill.rb"] == "method"

@@ -269,3 +269,172 @@ def test_block_comment_not_code():
     # the block comment run attaches to the following real function
     blocks, _ = sp.resolve_blocks(lines, "rs", {2})
     assert blocks == [(1, 7, "function_item")]
+
+
+JAVA = """\
+public class OrderService {
+    private final Repo repo;
+
+    public OrderService(Repo repo) {
+        this.repo = repo;
+    }
+
+    @Override
+    public List<Order> findAll(String userId) {
+        return repo.query(userId);
+    }
+
+    @Test
+    public void testFindAllEmpty() {
+        assertEquals(0, findAll("x").size());
+    }
+
+    static {
+        init();
+    }
+}
+"""
+
+
+def test_java_spans_and_test_annotation():
+    spans = _spans(JAVA, "java")
+    assert (1, 21, "class_declaration") in spans
+    assert (2, 2, "field_declaration") in spans
+    assert (4, 6, "constructor_declaration") in spans
+    assert (9, 11, "method_declaration") in spans
+    assert (18, 20, "static_initializer") in spans
+    tests = [s for s in spans.values() if s.is_test]
+    assert [(s.start, s.end) for s in tests] == [(14, 16)]
+    # statement lines inside methods are NOT declarations (the
+    # whitespace-chunk false positive this table guards against)
+    assert not any(s.start == 15 for s in spans.values())
+    assert not any(s.start == 19 for s in spans.values())
+
+
+C = """\
+static int counter = 0;
+
+struct point {
+    int x;
+    int y;
+};
+
+static int
+add_points(struct point a, struct point b)
+{
+    return a.x + b.x;
+}
+
+int test_add(void) {
+    return add_points(p, q);
+}
+"""
+
+
+def test_c_spans_and_test_name():
+    spans = _spans(C, "c")
+    assert (1, 1, "declaration") in spans
+    assert (3, 6, "struct_specifier") in spans
+    # K&R-style return type on its own line: the definition starts at the
+    # type line (tree-sitter function_definition span)
+    assert (8, 12, "function_definition") in spans
+    tests = [s for s in spans.values() if s.is_test]
+    assert [(s.start, s.end) for s in tests] == [(14, 16)]
+
+
+CPP = """\
+namespace geo {
+
+class Point {
+ public:
+  double x, y;
+};
+
+double Point::norm() const {
+  return x * x + y * y;
+}
+
+}  // namespace geo
+"""
+
+
+def test_cpp_spans():
+    spans = _spans(CPP, "cpp")
+    assert (1, 12, "namespace_definition") in spans
+    assert (3, 6, "class_specifier") in spans
+    # qualified method definition outside the class
+    assert (8, 10, "function_definition") in spans
+
+
+CSHARP = """\
+namespace Acme.Billing
+{
+    public class Invoice
+    {
+        public int Total { get; set; }
+
+        public Invoice(int total) : base(total)
+        {
+            Total = total;
+        }
+
+        public decimal Sum(decimal rate) =>
+            Total * rate;
+
+        [Fact]
+        public void SumHandlesZero()
+        {
+            Assert.Equal(0, Sum(0));
+        }
+    }
+}
+"""
+
+
+def test_csharp_spans_and_fact_attribute():
+    spans = _spans(CSHARP, "cs")
+    assert (1, 21, "namespace_declaration") in spans
+    assert (3, 20, "class_declaration") in spans
+    assert (5, 5, "property_declaration") in spans
+    assert (7, 10, "constructor_declaration") in spans
+    # expression-bodied method ends at the terminating semicolon
+    assert (12, 13, "method_declaration") in spans
+    tests = [s for s in spans.values() if s.is_test]
+    assert [(s.start, s.end) for s in tests] == [(16, 19)]
+
+
+RUBY = """\
+module Billing
+  class Invoice
+    def initialize(total)
+      @total = total
+    end
+
+    def self.from_json(json)
+      new(json[:total])
+    end
+
+    def test_total_parses
+      lines.each do |l|
+        check(l)
+      end
+    end
+
+    def short = @total
+  end
+end
+"""
+
+
+def test_ruby_spans_end_matching():
+    spans = _spans(RUBY, "rb")
+    assert (1, 19, "module") in spans
+    assert (2, 18, "class") in spans
+    assert (3, 5, "method") in spans
+    assert (7, 9, "singleton_method") in spans
+    # do-block nesting inside the method body is depth-counted
+    assert (11, 15, "method") in spans
+    # ruby 3 endless def is a single-line span (no `end` consumed)
+    assert (17, 17, "method") in spans
+    tests = [s for s in spans.values() if s.is_test]
+    assert [(s.start, s.end) for s in tests] == [(11, 15)]
