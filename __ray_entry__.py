@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benchmark_contamination": T.benchmark_contamination,
         "hashed_bow": T.hashed_bow,
         "token_chunks": T.token_chunks,
+        "seeded_shuffle": T.seeded_shuffle,
         "sequence_pack": T.sequence_pack,
         "props_json_stats": T.props_json_stats,
         "lang_distribution": T.lang_distribution,
@@ -241,6 +242,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "spark OR vector", max_results=25, early_termination=True),
         "probe_search_blocks_ast": _probe_search_blocks_ast,
         "probe_search_global_topk": probe_search_global("spark join", max_results=50),
+        # cross-encoder rerank of the admitted top-k (T4 surface; the
+        # deterministic lexical-proxy scorer stands in for the env-stubbed
+        # model forward pass — rows-only: ranked output)
+        "probe_search_reranked": probe_search(
+            "spark OR vector", max_results=20,
+            reranker="ms-marco-tinybert", question="vector index scan"),
         # --- input-source layer (file references from free text —
         #     src/extract/file_paths.rs; SQL-checked) ---
         "extract_from_text_refs": _extract_from_text_refs,
@@ -735,6 +742,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
                   ::UBIGINT % 1000 < r.rate
             ORDER BY d.doc_id
+        """,
+        # seeded deterministic shuffle: md5(seed:doc_id) sort key
+        "seeded_shuffle": """
+            SELECT doc_id, md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+            FROM documents ORDER BY shuffle_key
         """,
         # hashing-trick bag-of-words: bucket = md5(token) % 64, long form
         "hashed_bow": f"""

@@ -3464,3 +3464,28 @@ def sequence_pack(
         .map_batches(pack, batch_format="pyarrow")
         .sort(["doc_id", "seq_id"])
     )
+
+
+def seeded_shuffle(sf_dir: str, seed: int = 42) -> rd.Dataset:
+    """Deterministic global shuffle (the reproducible example-order step
+    before training): every doc gets the key md5(seed:doc_id) and the
+    corpus is range-sorted by it — a seeded permutation with NO RNG state,
+    so any shard of the output can be re-derived independently (the
+    resumability property a 100-TB shuffle needs; Ray's sort is the
+    distributed range-partition exchange underneath). SQL-checked."""
+
+    def key(batch: pa.Table) -> pa.Table:
+        ks = [
+            hashlib.md5(f"{seed}:{d}".encode()).hexdigest()
+            for d in batch.column("doc_id").to_pylist()
+        ]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "shuffle_key": pa.array(ks, pa.string()),
+        })
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(key, batch_format="pyarrow")
+        .sort("shuffle_key")
+    )
