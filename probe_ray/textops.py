@@ -621,22 +621,31 @@ def bm25_topk(sf_dir: str, terms=QUERY_TERMS, k: int = 20) -> pa.Table:
     per-batch stat partials, then scoring with broadcast stats."""
     terms = list(terms)
 
+    def _tf_dl(batch: pa.Table):
+        """Vectorized per-batch (tf per term, dl): lowercase + double every
+        separator run (so adjacent occurrences can't share a boundary char)
+        + edge pad, after which a simple_tokens occurrence of ``t`` is
+        exactly one plain-substring hit of ``" t "`` — no Python tokenizer
+        in either pass."""
+        lower = pc.utf8_lower(batch.column("text"))
+        sep2 = pc.replace_substring_regex(lower, "[^a-z0-9]+", "  ")
+        padded = pc.binary_join_element_wise(" ", sep2, " ", "")
+        dl = pc.count_substring_regex(lower, "[a-z0-9]+").to_numpy()
+        tfs = [
+            pc.count_substring(padded, f" {t} ").to_numpy() for t in terms
+        ]
+        return tfs, dl
+
     def partial(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        dfv = [0] * len(terms)
-        sdl = 0
-        for t in texts:
-            toks = simple_tokens(t)
-            sdl += len(toks)
-            ts = set(toks)
-            for i, q in enumerate(terms):
-                if q in ts:
-                    dfv[i] += 1
+        tfs, dl = _tf_dl(batch)
         return pa.table(
             {
-                "df": pa.array([dfv], pa.list_(pa.int64())),
-                "sum_dl": pa.array([sdl], pa.int64()),
-                "n": pa.array([len(texts)], pa.int64()),
+                "df": pa.array(
+                    [[int((tf > 0).sum()) for tf in tfs]],
+                    pa.list_(pa.int64()),
+                ),
+                "sum_dl": pa.array([int(dl.sum())], pa.int64()),
+                "n": pa.array([len(batch)], pa.int64()),
             }
         )
 
@@ -654,33 +663,48 @@ def bm25_topk(sf_dir: str, terms=QUERY_TERMS, k: int = 20) -> pa.Table:
     ]
 
     def score(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        out_id, out_s = [], []
-        for did, t in zip(ids, texts):
-            toks = simple_tokens(t)
-            dl = len(toks)
-            s = 0.0
-            for q, qidf in zip(terms, idfs):
-                tf = toks.count(q)
-                if tf > 0:
-                    s += qidf * (tf * (BM25_K1 + 1.0)) / (
-                        tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
-                    )
-            if s > 0:
-                out_id.append(did)
-                out_s.append(s)
+        tfs, dl = _tf_dl(batch)
+        dl = dl.astype(np.float64)
+        s = np.zeros(len(batch), dtype=np.float64)
+        # accumulate per term IN TERM ORDER (identical float-add sequence
+        # to the row-loop twin and the DuckDB oracle's summed CASE chain)
+        for tf, qidf in zip(tfs, idfs):
+            tff = tf.astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                contrib = qidf * (tff * (BM25_K1 + 1.0)) / (
+                    tff + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+                )
+            s += np.where(tf > 0, contrib, 0.0)
+        mask = s > 0
         return pa.table(
             {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "score_raw": pa.array(out_s, pa.float64()),
+                "doc_id": batch.column("doc_id").filter(pa.array(mask)),
+                "score_raw": pa.array(s[mask], pa.float64()),
             }
         )
 
-    scored = docs.map_batches(score, batch_format="pyarrow")
-    top = scored.sort(["score_raw", "doc_id"], descending=[True, False]).limit(k)
-    tbl = top.to_pandas().rename(columns={"score_raw": "score"})
-    return pa.Table.from_pandas(tbl[["doc_id", "score"]])
+    def blocktop(batch: pa.Table) -> pa.Table:
+        # per-block top-k by (score desc, doc_id asc): top-k is a
+        # selection, so merging <= k rows per block on the driver is exact
+        # and skips the all-to-all sort exchange entirely
+        idx = np.lexsort(
+            (batch.column("doc_id").to_numpy(),
+             -batch.column("score_raw").to_numpy())
+        )[:k]
+        return batch.take(pa.array(idx))
+
+    parts = (
+        docs.map_batches(score, batch_format="pyarrow")
+        .map_batches(blocktop, batch_format="pyarrow")
+        .take_all()
+    )
+    df = pd.DataFrame(parts).sort_values(
+        ["score_raw", "doc_id"], ascending=[False, True]
+    ).head(k).reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"], pa.int64()),
+        "score": pa.array(df["score_raw"], pa.float64()),
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -3317,17 +3341,27 @@ def temperature_sample(sf_dir: str, target_permille: int = 200) -> rd.Dataset:
     in the filter closure, one output sort. SQL-checked."""
     import math
 
+    _counts_schema = pa.schema(
+        [("source", pa.string()), ("count_all", pa.int64())]
+    )
+
     def src_counts(batch: pa.Table) -> pa.Table:
-        return batch.select(["source"]).group_by("source").aggregate(
+        agg = batch.select(["source"]).group_by("source").aggregate(
             [([], "count_all")]
         )
+        # pin the schema: empty / degenerate blocks otherwise emit
+        # differently-typed tables that poison the concat
+        return agg.select(["source", "count_all"]).cast(_counts_schema)
 
     parts = (
         _docs(sf_dir, ["source"])
         .map_batches(src_counts, batch_format="pyarrow")
         .to_arrow_refs()
     )
-    combined = pa.concat_tables([ray.get(r) for r in parts])
+    combined = pa.concat_tables(
+        [t for t in map(ray.get, parts) if t.num_rows]
+        or [_counts_schema.empty_table()]
+    )
     agg = combined.group_by("source").aggregate([("count_all", "sum")])
     counts = dict(
         zip(
@@ -3370,6 +3404,12 @@ def props_json_stats(sf_dir: str) -> pa.Table:
     over #types x #blocks tiny rows. avg is a single division of exact
     integers, so the DuckDB oracle matches bit-for-bit. SQL-checked."""
 
+    _partial_schema = pa.schema([
+        ("event_type", pa.string()), ("k_sum", pa.int64()),
+        ("k_min", pa.int64()), ("k_max", pa.int64()),
+        ("k_count", pa.int64()),
+    ])
+
     def partial(batch: pa.Table) -> pa.Table:
         k = pc.cast(
             pc.struct_field(
@@ -3381,16 +3421,24 @@ def props_json_stats(sf_dir: str) -> pa.Table:
         t = pa.table(
             {"event_type": batch.column("event_type"), "k": k}
         ).filter(pc.is_valid(k))
-        return t.group_by("event_type").aggregate(
+        agg = t.group_by("event_type").aggregate(
             [("k", "sum"), ("k", "min"), ("k", "max"), ("k", "count")]
         )
+        # pin the schema (empty blocks otherwise drift) — see
+        # temperature_sample's combiner
+        return agg.select(
+            ["event_type", "k_sum", "k_min", "k_max", "k_count"]
+        ).cast(_partial_schema)
 
     parts = (
         _events(sf_dir, ["event_type", "props"])
         .map_batches(partial, batch_format="pyarrow")
         .to_arrow_refs()
     )
-    combined = pa.concat_tables([ray.get(r) for r in parts])
+    combined = pa.concat_tables(
+        [t for t in map(ray.get, parts) if t.num_rows]
+        or [_partial_schema.empty_table()]
+    )
     agg = combined.group_by("event_type").aggregate(
         [("k_sum", "sum"), ("k_min", "min"), ("k_max", "max"), ("k_count", "sum")]
     )
