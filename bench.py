@@ -161,11 +161,16 @@ def run_bench() -> dict:
     eng_dist.LOCAL_DOCS_MAX = 0
     eng_dist.LOCAL_CAND_MAX = 0
     eng_dist.LOCAL_VECTOR_CAND_MAX = 0
-    t0 = time.time()
-    eng_dist.search(
-        ["keywordAlpha OR keywordBeta OR keywordGamma"], max_results=10
-    )
-    results["q_wide_or_forced_distributed"] = round(time.time() - t0, 3)
+    # p50 of 3 like the other query classes (single-shot measured mostly
+    # worker-import cold-start: 4.8s cold vs 2.4s warm on the round-4 host)
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        eng_dist.search(
+            ["keywordAlpha OR keywordBeta OR keywordGamma"], max_results=10
+        )
+        times.append(time.time() - t0)
+    results["q_wide_or_forced_distributed"] = round(sorted(times)[1], 3)
 
     # ngram-index engine: substring/quoted candidate generation vs the
     # dictionary-scan path (VERDICT item 3 comparison)
@@ -203,6 +208,14 @@ def run_bench() -> dict:
     t0 = time.time()
     T.dup_ngram_fraction(SF_DIR).count()
     results["docs_dup_ngram_fraction"] = round(time.time() - t0, 3)
+    # cleaning-stage throughput (round-4 ops): fully-vectorized RE2
+    # redaction and the C4 line filter over the documents table
+    t0 = time.time()
+    T.pii_redact(SF_DIR).count()
+    results["docs_pii_redact"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    T.c4_line_filter(SF_DIR).count()
+    results["docs_c4_line_filter"] = round(time.time() - t0, 3)
 
     total = time.time() - t_total
     ray.shutdown()
