@@ -137,7 +137,16 @@ def rerank_table(
     ranked = tbl.filter(ranked_mask)
     flagged = tbl.filter(pc.invert(ranked_mask))
     if ranked.num_rows == 0:
-        return tbl
+        # nothing to score: keep the output contract (rerank_score column,
+        # original text column name) without spinning up the pool
+        out = tbl.append_column(
+            "rerank_score", pa.array([None] * tbl.num_rows, pa.float64())
+        )
+        if text_col != "text":
+            out = out.rename_columns(
+                [text_col if n == "text" else n for n in out.schema.names]
+            )
+        return out
 
     scored_ds = rd.from_arrow(ranked).map_batches(
         scorer_cls,

@@ -3241,7 +3241,16 @@ def c4_line_filter(
     no Python loop touches a line. SQL-checked (DuckDB list_filter
     lambda over string_split with the same RE2 predicates)."""
 
+    _c4_schema = pa.schema([
+        ("doc_id", pa.int64()), ("kept_text", pa.string()),
+        ("n_lines", pa.int64()), ("n_kept", pa.int64()),
+        ("doc_keep", pa.bool_()),
+    ])
+
     def clean(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            # np.split would mis-shape a zero-row batch (one part, no docs)
+            return _c4_schema.empty_table()
         text = pc.cast(batch.column("text"), pa.large_string())
         lines = pc.split_pattern(text, pattern="\n")
         flat = pc.list_flatten(lines)
