@@ -1,5 +1,5 @@
 """probe-ray CLI — the engine's counterpart of probe's subcommand surface
-(src/cli.rs:104-460): build, search, grep, extract, symbols, bench.
+(src/cli.rs:104-460): build, update, search, grep, extract, symbols, bench.
 
 Usage:
   python -m probe_ray build  <corpus.parquet|dir> <index_dir> [--shards N]
@@ -49,6 +49,12 @@ def main(argv=None):
     b.add_argument("--ngram-index", action="store_true",
                    help="build the content 3-gram substring index")
     b.add_argument("--overwrite", action="store_true")
+
+    u = sub.add_parser("update", help="incrementally update an index to "
+                       "match a corpus (segment append; rebuild fallback "
+                       "on changes/removals)")
+    u.add_argument("corpus")
+    u.add_argument("index_dir")
 
     s = sub.add_parser("search")
     s.add_argument("index_dir")
@@ -121,6 +127,11 @@ def main(argv=None):
                 args.corpus, args.index_dir, n_shards=args.shards,
                 ngram_index=args.ngram_index, overwrite=args.overwrite,
             )
+            print(json.dumps(paths.stats()))
+        elif args.cmd == "update":
+            from probe_ray.build import update_index
+
+            paths = update_index(args.corpus, args.index_dir)
             print(json.dumps(paths.stats()))
         elif args.cmd == "search":
             if args.mode == "blocks-global" and args.files_only:

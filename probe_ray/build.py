@@ -555,7 +555,67 @@ class IndexPaths:
     def manifest_path(self) -> str:
         return os.path.join(self.root, "manifest.json")
 
+    # -- incremental update generations (update_index) --------------------
+    # Each committed update lives in updates/gen-K/ with its own docs/,
+    # segments/, doc_lens.npy slice and a FULL stats.json snapshot; the
+    # atomic rename of gen-K.tmp -> gen-K is the commit point (the Lucene
+    # commit-point model). Readers take base + all committed generations.
+
+    @property
+    def updates_dir(self) -> str:
+        return os.path.join(self.root, "updates")
+
+    def update_gens(self) -> list[str]:
+        d = self.updates_dir
+        if not os.path.isdir(d):
+            return []
+        import re as _re
+
+        gens = [g for g in os.listdir(d) if _re.fullmatch(r"gen-\d+", g)]
+        return [
+            os.path.join(d, g)
+            for g in sorted(gens, key=lambda g: int(g.split("-")[1]))
+        ]
+
+    def docs_paths(self) -> list[str]:
+        return [self.docs_dir] + [
+            os.path.join(g, "docs") for g in self.update_gens()
+        ]
+
+    def docs_read_paths(self) -> str | list[str]:
+        """Input for ray.data.read_parquet: the bare docs dir when no
+        update generations exist, else the expanded parquet FILE list
+        (Ray accepts a list of files, not a list of directories)."""
+        ps = self.docs_paths()
+        if len(ps) == 1:
+            return ps[0]
+        out: list[str] = []
+        for d in ps:
+            out.extend(
+                sorted(
+                    os.path.join(d, f)
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                )
+            )
+        return out
+
+    def segments_dirs(self) -> list[str]:
+        return [self.segments_dir] + [
+            os.path.join(g, "segments") for g in self.update_gens()
+        ]
+
+    def doc_lens_paths(self) -> list[str]:
+        return [self.doc_lens_path] + [
+            os.path.join(g, "doc_lens.npy") for g in self.update_gens()
+        ]
+
     def stats(self) -> dict:
+        gens = self.update_gens()
+        if gens:
+            # the latest generation carries the post-update corpus totals
+            with open(os.path.join(gens[-1], "stats.json")) as f:
+                return json.load(f)
         with open(self.stats_path) as f:
             return json.load(f)
 
@@ -966,4 +1026,240 @@ def build_index(
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.rename(tmp_root, out_dir)
+    return paths
+
+
+# ---------------------------------------------------------------------------
+# Incremental update (segment append — the Lucene commit-point model)
+# ---------------------------------------------------------------------------
+
+def update_index(corpus, out_dir: str, *, batch_size: int = 256) -> IndexPaths:
+    """Incrementally update an existing index to match ``corpus``.
+
+    The reference has no persistent index (probe re-scans per query); this
+    is the engine's own index-maintenance path, following the standard
+    segment-append design:
+
+    - **additions only** (new (repo, path) keys; every existing file's
+      sha256 unchanged): the new docs are tokenized and committed as a new
+      GENERATION ``updates/gen-K/`` holding their docs files, one
+      compacted posting-segment file per shard (same term-hash shards and
+      hot-term salt scheme as the base build), a doc_lens slice, and a
+      full stats.json snapshot. The atomic ``gen-K.tmp -> gen-K`` rename
+      is the commit point — a crash before it leaves the index exactly as
+      it was (the stale .tmp is swept on the next update), a crash after
+      it is a completed update (the base manifest fingerprint is repaired
+      idempotently on the next call). Every query-path reader (postings,
+      term bounds, skip-probe, candidate fetch, doc-length attribute)
+      already merges multiple segment rows per (term, salt), so appended
+      generations need no read-side migration.
+    - **any change or removal** (sha mismatch or key gone): falls back to
+      a full rebuild. Probe's semantics are a corpus snapshot; serving
+      tombstones would tax every query for a rare event.
+    - **ngram-indexed builds** also fall back to a full rebuild (the
+      substring gram index has no append path yet — documented).
+
+    Doc ids for added files continue from n_docs in (repo, path, commit)
+    order WITHIN the update batch — segment-append order, exactly like
+    Lucene doc ids. DEVIATION (documented): a fresh full build of the
+    same corpus would interleave ids globally, so score-TIE ordering can
+    differ between an updated index and a from-scratch build; scores and
+    result sets are identical.
+
+    The change diff itself is computed as a narrow tagged-union groupby
+    over (repo, path) — only the CHANGED key lists ever reach the driver,
+    so the diff is bounded by the delta, not the corpus.
+    """
+    paths = IndexPaths(out_dir)
+    if not os.path.exists(paths.manifest_path):
+        return build_index(corpus, out_dir, overwrite=True)
+    try:
+        with open(paths.manifest_path) as f:
+            manifest = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        manifest = {}
+    if not manifest.get("complete"):
+        return build_index(corpus, out_dir, overwrite=True)
+    stats = paths.stats()
+    n_shards = int(stats["n_shards"])
+    if stats.get("has_ngrams"):
+        return build_index(
+            corpus, out_dir, overwrite=True, ngram_index=True,
+            n_shards=n_shards,
+        )
+    params = manifest.get("params", {})
+    fp = _fingerprint(corpus, params)
+    if manifest.get("fingerprint") == fp:
+        return paths  # already at this corpus
+
+    # sweep stale uncommitted generations (crash leftovers)
+    if os.path.isdir(paths.updates_dir):
+        for g in os.listdir(paths.updates_dir):
+            if g.endswith(".tmp"):
+                shutil.rmtree(os.path.join(paths.updates_dir, g))
+
+    # -- narrow diff: (repo, path, sha, src) tagged union -> groupby ------
+    def tag(src):
+        def run(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "repo": pc.cast(batch.column("repo"), pa.string()),
+                "path": pc.cast(batch.column("path"), pa.string()),
+                "sha": pc.cast(batch.column("content_sha256"), pa.string()),
+                "src": pa.array([src] * len(batch), pa.string()),
+            })
+        return run
+
+    old_keys = rd.read_parquet(
+        paths.docs_read_paths(), columns=["repo", "path", "content_sha256"]
+    ).map_batches(tag("old"), batch_format="pyarrow")
+    new_ds = read_corpus(corpus) if isinstance(corpus, str) else corpus
+    new_guarded = new_ds.map_batches(
+        guard_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+    new_keys = new_guarded.map_batches(tag("new"), batch_format="pyarrow")
+
+    def classify(group: pa.Table) -> pa.Table:
+        # one group per (repo, path): emit only non-"same" statuses so the
+        # driver pull is bounded by the DELTA, not the corpus
+        srcs = group.column("src").to_pylist()
+        shas = group.column("sha").to_pylist()
+        old = {s for s, x in zip(shas, srcs) if x == "old"}
+        new = {s for s, x in zip(shas, srcs) if x == "new"}
+        if old == new:
+            status = None
+        elif not old:
+            status = "added"
+        elif not new:
+            status = "removed"
+        else:
+            status = "changed"
+        if status is None:
+            return pa.table({
+                "repo": pa.array([], pa.string()),
+                "path": pa.array([], pa.string()),
+                "status": pa.array([], pa.string()),
+            })
+        return pa.table({
+            "repo": group.column("repo").slice(0, 1),
+            "path": group.column("path").slice(0, 1),
+            "status": pa.array([status], pa.string()),
+        })
+
+    delta_rows = (
+        old_keys.union(new_keys)
+        .groupby(["repo", "path"])
+        .map_groups(classify, batch_format="pyarrow")
+        .take_all()
+    )
+    statuses = {r["status"] for r in delta_rows}
+    if "removed" in statuses or "changed" in statuses:
+        return build_index(
+            corpus, out_dir, overwrite=True, n_shards=n_shards,
+        )
+    added = sorted(
+        (r["repo"], r["path"]) for r in delta_rows if r["status"] == "added"
+    )
+
+    def commit_manifest() -> None:
+        manifest["fingerprint"] = fp
+        manifest["updates"] = manifest.get("updates", []) + [
+            dict(gen=gen_k, added=len(added))
+        ]
+        tmp_m = paths.manifest_path + ".tmp"
+        with open(tmp_m, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp_m, paths.manifest_path)
+
+    gen_k = len(paths.update_gens())
+    if not added:
+        # pure fingerprint repair (e.g. crash between gen commit and
+        # manifest write, or a no-op corpus touch)
+        commit_manifest()
+        return paths
+
+    # -- build the generation under updates/gen-K.tmp ---------------------
+    os.makedirs(paths.updates_dir, exist_ok=True)
+    gen_final = os.path.join(paths.updates_dir, f"gen-{gen_k}")
+    gen_tmp = gen_final + ".tmp"
+    if os.path.exists(gen_tmp):
+        shutil.rmtree(gen_tmp)
+    os.makedirs(gen_tmp)
+
+    offset = int(stats["n_docs"])
+    salt_shift = int(stats["salt_shift"])
+    hot = set(stats.get("hot_terms", []))
+    added_keys = np.array(
+        ["\x00".join(k) for k in added], dtype=object
+    )
+    added_ref = ray.put(np.sort(added_keys))
+
+    def pick_and_id(batch: pa.Table) -> pa.Table:
+        ks = ray.get(added_ref)
+        bk = pc.binary_join_element_wise(
+            batch.column("repo").combine_chunks(),
+            batch.column("path").combine_chunks(),
+            pa.scalar("\x00"),
+        ).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, bk)
+        mask = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == bk)
+        batch = batch.filter(pa.array(mask))
+        ids = offset + np.searchsorted(ks, bk[mask])
+        return batch.append_column("doc_id", pa.array(ids, pa.int64()))
+
+    docs_pipe = new_guarded.map_batches(
+        pick_and_id, batch_format="pyarrow"
+    ).map_batches(tokenize_batch, batch_format="pyarrow", batch_size=batch_size)
+    gen_docs = os.path.join(gen_tmp, "docs")
+    docs_pipe.write_parquet(gen_docs, min_rows_per_file=8192)
+
+    ds_len = rd.read_parquet(gen_docs, columns=["doc_id", "doc_len"])
+
+    def rebase(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.subtract(batch.column("doc_id"), pa.scalar(offset)),
+            "doc_len": batch.column("doc_len"),
+        })
+
+    m_docs, m_sum_dl = _write_doc_lens_sharded(
+        ds_len.map_batches(rebase, batch_format="pyarrow"),
+        os.path.join(gen_tmp, "doc_lens.npy"),
+    )
+
+    tok_ds = rd.read_parquet(
+        gen_docs,
+        columns=["doc_id", "tokens", "n_content_tokens", "shadow_tokens"],
+    )
+    partial = make_partial_segments(hot, salt_shift)
+    merger = make_segment_merger(n_shards)
+    segments = (
+        tok_ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=max(batch_size, 1024)
+        )
+        .sort(["term", "salt"])
+        .map_batches(merger, batch_format="pyarrow")
+    )
+    gen_segs = os.path.join(gen_tmp, "segments")
+    segments.write_parquet(gen_segs, partition_cols=["shard"])
+    _compact_shard_dir(gen_segs, ["term", "salt"])
+    # every shard dir must exist even if this update touched no term in it
+    for s in range(n_shards):
+        os.makedirs(os.path.join(gen_segs, f"shard={s}"), exist_ok=True)
+
+    n_docs = offset + m_docs
+    sum_dl = int(stats["sum_dl"]) + m_sum_dl
+    gen_stats = dict(
+        stats,
+        n_docs=int(n_docs),
+        sum_dl=int(sum_dl),
+        avgdl=(sum_dl / n_docs) if n_docs else 0.0,
+        metrics=dict(
+            stats.get("metrics", {}),
+            last_update=dict(gen=gen_k, added=m_docs),
+        ),
+    )
+    with open(os.path.join(gen_tmp, "stats.json"), "w") as f:
+        json.dump(gen_stats, f)
+
+    os.rename(gen_tmp, gen_final)  # COMMIT
+    commit_manifest()
     return paths

@@ -90,7 +90,7 @@ class Engine:
         10^12 scale this dictionary scan is the piece an n-gram term index
         would accelerate."""
         if self._term_dict is None:
-            tbl = pq.read_table(self.paths.segments_dir, columns=["term"])
+            tbl = self._seg_handle().to_table(columns=["term"])
             self._term_dict = np.unique(
                 np.asarray(tbl.column("term").to_pylist(), dtype=object)
             )
@@ -201,10 +201,27 @@ class Engine:
         if getattr(self, "_seg_ds_handle", None) is None:
             import pyarrow.dataset as pads
 
-            self._seg_ds_handle = pads.dataset(
-                self.paths.segments_dir, partitioning="hive"
-            )
+            dirs = self.paths.segments_dirs()
+            sets = [pads.dataset(d, partitioning="hive") for d in dirs]
+            # base + committed update generations as one union dataset —
+            # appended segment rows merge in every read path exactly like
+            # salted blobs (update_index)
+            self._seg_ds_handle = sets[0] if len(sets) == 1 else pads.dataset(sets)
         return self._seg_ds_handle
+
+    def _docs_read_table(self, columns=None, filters=None) -> pa.Table:
+        """Local (driver-side) docs read across base + committed update
+        generations, with optional predicate pushdown."""
+        ps = self.paths.docs_paths()
+        if len(ps) == 1:
+            if filters is not None:
+                return pq.read_table(ps[0], columns=columns, filters=filters)
+            return pq.read_table(ps[0], columns=columns)
+        import pyarrow.dataset as pads
+
+        ds = pads.dataset([pads.dataset(p) for p in ps])
+        filt = pq.filters_to_expression(filters) if filters is not None else None
+        return ds.to_table(columns=columns, filter=filt)
 
     def _seg_read(self, shards: list[int], terms: list[str], columns: list[str]) -> pa.Table:
         import pyarrow.dataset as pads
@@ -291,7 +308,7 @@ class Engine:
         return ids[order], tfs[order]
 
     def _docs_ds(self, columns: list[str]) -> rd.Dataset:
-        return rd.read_parquet(self.paths.docs_dir, columns=columns)
+        return rd.read_parquet(self.paths.docs_read_paths(), columns=columns)
 
     def _read_term_bounds(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         """(df, max unpacked tf) per term from segment metadata only (df +
@@ -324,12 +341,20 @@ class Engine:
         if getattr(self, "_dl_arr", None) is None:
             import os
 
-            p = self.paths.doc_lens_path
-            if os.path.exists(p):
-                self._dl_arr = np.load(p, mmap_mode="r")
+            ps = [
+                q for q in self.paths.doc_lens_paths() if os.path.exists(q)
+            ]
+            if ps and os.path.exists(self.paths.doc_lens_path):
+                arrs = [np.load(q, mmap_mode="r") for q in ps]
+                # generation slices are doc-id ranges in commit order, so a
+                # plain concat is the dense array (single-file case stays a
+                # pure mmap; multi-gen concat materializes — acceptable at
+                # 4 B/doc, and a cluster deployment would serve the slices
+                # from shared storage without the concat)
+                self._dl_arr = arrs[0] if len(arrs) == 1 else np.concatenate(arrs)
             else:
-                tbl = pq.read_table(
-                    self.paths.docs_dir, columns=["doc_id", "doc_len"]
+                tbl = self._docs_read_table(
+                    columns=["doc_id", "doc_len"]
                 )
                 arr = np.zeros(self._stats["n_docs"], dtype=np.float64)
                 arr[tbl.column("doc_id").to_numpy()] = tbl.column(
@@ -469,8 +494,7 @@ class Engine:
         if self._stats["n_docs"] > self.LOCAL_DOCS_MAX:
             return None
         if getattr(self, "_docs_cache", None) is None:
-            tbl = pq.read_table(
-                self.paths.docs_dir,
+            tbl = self._docs_read_table(
                 columns=["doc_id", "repo", "path", "lang", "content", "tokens",
                          "n_content_tokens", "path_tokens", "doc_len"]
                 + (["is_test"] if self._has_is_test() else []),
@@ -496,8 +520,8 @@ class Engine:
         instead of every doc — the scalable form of probe's filename
         matching (file_list_cache.rs:441-550)."""
         if getattr(self, "_path_idx", None) is None:
-            tbl = pq.read_table(
-                self.paths.docs_dir, columns=["doc_id", "path_tokens"]
+            tbl = self._docs_read_table(
+                columns=["doc_id", "path_tokens"]
             )
             ids = tbl.column("doc_id").to_pylist()
             ptoks = tbl.column("path_tokens").to_pylist()
@@ -720,7 +744,7 @@ class Engine:
             except Exception:
                 n_cpus = 8
             return rd.read_parquet(
-                self.paths.docs_dir,
+                self.paths.docs_read_paths(),
                 columns=columns,
                 filter=pads.field("doc_id").isin([int(i) for i in ids]),
                 override_num_blocks=max(16, n_cpus),
@@ -1487,8 +1511,7 @@ class Engine:
         if local is not None:
             mask = np.isin(local.column("doc_id").to_numpy(), ids)
             return local.filter(pa.array(mask))
-        return pq.read_table(
-            self.paths.docs_dir,
+        return self._docs_read_table(
             columns=cols,
             filters=[("doc_id", "in", [int(i) for i in ids])],
         )
@@ -1584,8 +1607,7 @@ class Engine:
             mask = np.isin(ids, np.asarray(doc_ids, dtype=np.int64))
             sub = local.filter(pa.array(mask))
         else:
-            sub = pq.read_table(
-                self.paths.docs_dir,
+            sub = self._docs_read_table(
                 columns=["doc_id", "content"],
                 filters=[("doc_id", "in", [int(i) for i in doc_ids])],
             )
@@ -1618,8 +1640,7 @@ class Engine:
         predicate read prunes row groups; session sets are small)."""
         if not ids_by_file:
             return {}
-        tbl = pq.read_table(
-            self.paths.docs_dir,
+        tbl = self._docs_read_table(
             columns=["doc_id", "repo", "path", "content_sha256"],
             filters=[("doc_id", "in", sorted(set(ids_by_file.values())))],
         )
@@ -2414,8 +2435,7 @@ class Engine:
         if self._stats["n_docs"] <= self.LOCAL_DOCS_MAX:
             arr = self._doc_len_array()
             return {int(i): int(arr[int(i)]) for i in ids}
-        tbl = pq.read_table(
-            self.paths.docs_dir,
+        tbl = self._docs_read_table(
             columns=["doc_id", "doc_len"],
             filters=[("doc_id", "in", [int(i) for i in ids])],
         )
@@ -2429,8 +2449,8 @@ class Engine:
         predicate read above it (final-result ids only — small)."""
         if self._stats["n_docs"] <= self.LOCAL_DOCS_MAX:
             if getattr(self, "_meta_cache", None) is None:
-                tbl = pq.read_table(
-                    self.paths.docs_dir, columns=["doc_id", "repo", "path"]
+                tbl = self._docs_read_table(
+                    columns=["doc_id", "repo", "path"]
                 )
                 d = tbl.column("doc_id").to_numpy()
                 repo = np.empty(self._stats["n_docs"], dtype=object)
@@ -2440,8 +2460,7 @@ class Engine:
                 self._meta_cache = (repo, path)
             repo, path = self._meta_cache
             return {int(i): (repo[int(i)], path[int(i)]) for i in ids}
-        tbl = pq.read_table(
-            self.paths.docs_dir,
+        tbl = self._docs_read_table(
             columns=["doc_id", "repo", "path"],
             filters=[("doc_id", "in", [int(i) for i in ids])],
         )

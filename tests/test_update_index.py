@@ -1,0 +1,195 @@
+"""Incremental index update (segment append, generation commit points)."""
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def _rows(n, start=0, repo="org/app", marker="keywordAlpha"):
+    return [
+        dict(
+            repo=repo,
+            path=f"src/file{start + i}.rs",
+            commit="0" * 40,
+            lang="rust",
+            content=(
+                f"pub fn loader{start + i}() {{\n"
+                f"    let x = {marker};\n"
+                f"    respond(x);\n"
+                "}\n"
+            ),
+        )
+        for i in range(n)
+    ]
+
+
+def _write(path, rows):
+    pq.write_table(pa.Table.from_pylist(rows), str(path))
+
+
+def _docs_from_index(paths):
+    """Oracle Docs built from the UPDATED index's own docs table — the id
+    assignment under test is the index's (segment-append order)."""
+    import pyarrow.dataset as pads
+
+    from probe_ray.oracle import Doc
+
+    tbl = pads.dataset(
+        [pads.dataset(p) for p in paths.docs_paths()]
+    ).to_table(
+        columns=["doc_id", "repo", "path", "commit", "lang", "content",
+                 "content_sha256"]
+    ).sort_by("doc_id")
+    return [
+        Doc(
+            doc_id=r["doc_id"], repo=r["repo"], path=r["path"],
+            commit=r["commit"], lang=r["lang"], content=r["content"],
+            content_sha256=r["content_sha256"],
+        )
+        for r in tbl.to_pylist()
+    ]
+
+
+def test_update_appends_generation_and_stays_rank_identical(tmp_path):
+    from probe_ray.build import build_index, update_index
+    from probe_ray.oracle import oracle_search_docs
+    from probe_ray.search import Engine
+
+    base_rows = _rows(6)
+    c1 = tmp_path / "c1.parquet"
+    _write(c1, base_rows)
+    paths = build_index(str(c1), str(tmp_path / "idx"))
+    n0 = paths.stats()["n_docs"]
+
+    # additions only: same 6 files + 4 new ones (one matching a hot term)
+    added = _rows(4, start=100, marker="keywordBeta")
+    c2 = tmp_path / "c2.parquet"
+    _write(c2, base_rows + added)
+    paths2 = update_index(str(c2), str(tmp_path / "idx"))
+
+    gens = paths2.update_gens()
+    assert len(gens) == 1 and gens[0].endswith("gen-0")
+    st = paths2.stats()
+    assert st["n_docs"] == n0 + 4
+    assert os.path.exists(os.path.join(gens[0], "doc_lens.npy"))
+
+    eng = Engine(paths2)
+    docs = _docs_from_index(paths2)
+    for queries in (["keywordAlpha"], ["keywordBeta"],
+                    ["keywordAlpha OR keywordBeta"], ["loader102"]):
+        got = eng.search(queries, max_results=20)
+        want = oracle_search_docs(docs, queries, max_results=20)
+        assert got.column("doc_id").to_pylist() == [
+            r.doc_id for r in want
+        ], queries
+        import numpy as np
+
+        assert np.allclose(
+            got.column("score").to_pylist(),
+            [r.score for r in want], atol=1e-9,
+        ), queries
+
+    # added docs are retrievable at block granularity too ("keywordBeta"
+    # token-splits to keyword+beta, so base files match the OR-of-parts as
+    # well — probe semantics; the new files must all be present)
+    blk = eng.search_blocks(["keywordBeta"])
+    assert {f"src/file{100 + i}.rs" for i in range(4)} <= set(
+        blk.column("path").to_pylist()
+    )
+
+
+def test_update_is_idempotent_and_second_generation_stacks(tmp_path):
+    from probe_ray.build import build_index, update_index
+    from probe_ray.search import Engine
+
+    c1 = tmp_path / "c1.parquet"
+    _write(c1, _rows(4))
+    build_index(str(c1), str(tmp_path / "idx"))
+
+    c2 = tmp_path / "c2.parquet"
+    _write(c2, _rows(4) + _rows(2, start=50))
+    p = update_index(str(c2), str(tmp_path / "idx"))
+    assert len(p.update_gens()) == 1
+    # same corpus again: no-op (fingerprint short-circuit)
+    p = update_index(str(c2), str(tmp_path / "idx"))
+    assert len(p.update_gens()) == 1
+
+    c3 = tmp_path / "c3.parquet"
+    _write(c3, _rows(4) + _rows(2, start=50) + _rows(3, start=80))
+    p = update_index(str(c3), str(tmp_path / "idx"))
+    assert len(p.update_gens()) == 2
+    assert p.stats()["n_docs"] == 9
+    got = Engine(p).search(["keywordAlpha"], max_results=20)
+    assert got.num_rows == 9
+
+
+def test_update_falls_back_to_rebuild_on_change_or_removal(tmp_path):
+    from probe_ray.build import build_index, update_index
+
+    c1 = tmp_path / "c1.parquet"
+    _write(c1, _rows(5))
+    build_index(str(c1), str(tmp_path / "idx"))
+
+    # change one file's content -> sha mismatch -> full rebuild (no gens)
+    rows = _rows(5)
+    rows[2]["content"] += "// changed\n"
+    c2 = tmp_path / "c2.parquet"
+    _write(c2, rows)
+    p = update_index(str(c2), str(tmp_path / "idx"))
+    assert p.update_gens() == []
+    assert p.stats()["n_docs"] == 5
+
+    # remove one file -> full rebuild
+    c3 = tmp_path / "c3.parquet"
+    _write(c3, rows[:4])
+    p = update_index(str(c3), str(tmp_path / "idx"))
+    assert p.update_gens() == []
+    assert p.stats()["n_docs"] == 4
+
+
+def test_uncommitted_generation_is_invisible_and_swept(tmp_path):
+    """A crash before the gen-K.tmp -> gen-K rename leaves the index
+    serving exactly the pre-update corpus; the next update sweeps the
+    stale tmp and commits cleanly."""
+    from probe_ray.build import build_index, update_index
+    from probe_ray.search import Engine
+
+    c1 = tmp_path / "c1.parquet"
+    _write(c1, _rows(4))
+    paths = build_index(str(c1), str(tmp_path / "idx"))
+
+    # simulate a crashed update: a half-written tmp generation
+    stale = os.path.join(paths.updates_dir, "gen-0.tmp")
+    os.makedirs(os.path.join(stale, "docs"))
+    with open(os.path.join(stale, "stats.json"), "w") as f:
+        json.dump({"n_docs": 999}, f)
+
+    assert paths.update_gens() == []
+    assert paths.stats()["n_docs"] == 4
+    assert Engine(paths).search(["keywordAlpha"]).num_rows == 4
+
+    c2 = tmp_path / "c2.parquet"
+    _write(c2, _rows(4) + _rows(2, start=9))
+    p = update_index(str(c2), str(tmp_path / "idx"))
+    assert not os.path.exists(stale)
+    assert len(p.update_gens()) == 1
+    assert p.stats()["n_docs"] == 6
+
+
+def test_update_of_incomplete_or_missing_index_builds_fresh(tmp_path):
+    from probe_ray.build import update_index
+
+    c1 = tmp_path / "c1.parquet"
+    _write(c1, _rows(3))
+    p = update_index(str(c1), str(tmp_path / "fresh_idx"))
+    assert p.stats()["n_docs"] == 3
+    assert p.update_gens() == []
