@@ -193,6 +193,50 @@ def run_bench() -> dict:
                 times.append(time.time() - t0)
             results[label + suffix + "_p50"] = round(sorted(times)[1], 3)
 
+    # incremental update: +5% new files over the built index (segment
+    # append) vs the full-rebuild figure in index_build_sec
+    import hashlib as _hl
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    aug_dir = BENCH_CORPUS + "_aug"
+    if not os.path.exists(os.path.join(aug_dir, ".complete")):
+        import shutil
+
+        if os.path.exists(aug_dir):
+            shutil.rmtree(aug_dir)
+        os.makedirs(aug_dir)
+        for f in os.listdir(BENCH_CORPUS):
+            if f.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(BENCH_CORPUS, f), os.path.join(aug_dir, f)
+                )
+        n_new = max(64, n_files // 20)
+        commit = _hl.sha1(b"bench-update").hexdigest()
+        _pq.write_table(
+            _pa.Table.from_pylist([
+                dict(
+                    repo="org9/updates", path=f"src/new{i}.rs",
+                    commit=commit, lang="rust",
+                    content=(
+                        f"pub fn added{i}() {{\n"
+                        "    let v = keywordAlpha;\n"
+                        "    respond(v);\n"
+                        "}\n"
+                    ),
+                )
+                for i in range(n_new)
+            ]),
+            os.path.join(aug_dir, "zz_update.parquet"),
+        )
+        open(os.path.join(aug_dir, ".complete"), "w").write("ok")
+    from probe_ray.build import update_index
+
+    t0 = time.time()
+    update_index(aug_dir, "/tmp/probe_ray_bench_index")
+    results["index_update_5pct_sec"] = round(time.time() - t0, 3)
+
     # 3) documents-table pipelines at $GRAFT_SF_DIR
     from probe_ray import textops as T
 
