@@ -56,6 +56,11 @@ def main(argv=None):
     u.add_argument("corpus")
     u.add_argument("index_dir")
 
+    co = sub.add_parser("compact", help="fold update generations into a "
+                        "fresh single-generation index (segment merge)")
+    co.add_argument("index_dir")
+    co.add_argument("out_dir")
+
     s = sub.add_parser("search")
     s.add_argument("index_dir")
     s.add_argument("query", nargs="+")
@@ -132,6 +137,11 @@ def main(argv=None):
             from probe_ray.build import update_index
 
             paths = update_index(args.corpus, args.index_dir)
+            print(json.dumps(paths.stats()))
+        elif args.cmd == "compact":
+            from probe_ray.build import compact_index
+
+            paths = compact_index(args.index_dir, args.out_dir)
             print(json.dumps(paths.stats()))
         elif args.cmd == "search":
             if args.mode == "blocks-global" and args.files_only:

@@ -1263,3 +1263,95 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256) -> IndexPaths:
     os.rename(gen_tmp, gen_final)  # COMMIT
     commit_manifest()
     return paths
+
+
+def compact_index(index_dir: str, out_dir: str, *, batch_size: int = 1024) -> IndexPaths:
+    """Merge an index's update generations back into a single-generation
+    index at ``out_dir`` (the background segment-merge step of the Lucene
+    model, run when accumulated generations make shard fragment counts
+    noticeable).
+
+    Much cheaper than a rebuild from the corpus: the stored docs tables
+    (tokens included — the expensive tokenize stage is NOT re-run) stream
+    straight into the postings partial -> sort -> merge pipeline; doc ids,
+    stats and the doc-length slices are carried over as-is. ``out_dir``
+    must be a fresh directory — the caller swaps it over the old index
+    (one directory rename), which keeps the commit trivially atomic and
+    lets the old index serve queries during the compaction.
+    """
+    src = IndexPaths(index_dir)
+    stats = src.stats()
+    n_shards = int(stats["n_shards"])
+    if os.path.exists(out_dir):
+        raise ValueError(f"out_dir exists: {out_dir} (pass a fresh path)")
+    if stats.get("has_ngrams"):
+        raise ValueError(
+            "ngram-indexed builds have no update generations to compact"
+        )
+    tmp_root = out_dir + ".tmp"
+    if os.path.exists(tmp_root):
+        shutil.rmtree(tmp_root)
+    dst = IndexPaths(tmp_root)
+    os.makedirs(dst.docs_dir)
+
+    # docs: copy the base + generation files under collision-free names
+    k = 0
+    for d in src.docs_paths():
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                shutil.copy2(
+                    os.path.join(d, f),
+                    os.path.join(dst.docs_dir, f"compact-{k:06d}.parquet"),
+                )
+                k += 1
+
+    # doc-length attribute: generation slices are consecutive doc-id
+    # ranges, so the merged array is their concatenation
+    arrs = [
+        np.load(p, mmap_mode="r")
+        for p in src.doc_lens_paths()
+        if os.path.exists(p)
+    ]
+    if arrs:
+        np.save(dst.doc_lens_path, np.concatenate(arrs))
+
+    # segments: re-derive from the stored tokens (no tokenize stage)
+    tok_ds = rd.read_parquet(
+        dst.docs_dir,
+        columns=["doc_id", "tokens", "n_content_tokens", "shadow_tokens"],
+    )
+    hot = set(stats.get("hot_terms", []))
+    salt_shift = int(stats["salt_shift"])
+    segments = (
+        tok_ds.map_batches(
+            make_partial_segments(hot, salt_shift),
+            batch_format="pyarrow", batch_size=batch_size,
+        )
+        .sort(["term", "salt"])
+        .map_batches(make_segment_merger(n_shards), batch_format="pyarrow")
+    )
+    segments.write_parquet(dst.segments_dir, partition_cols=["shard"])
+    _compact_shard_dir(dst.segments_dir, ["term", "salt"])
+    for s in range(n_shards):
+        os.makedirs(os.path.join(dst.segments_dir, f"shard={s}"), exist_ok=True)
+
+    with open(dst.stats_path, "w") as f:
+        json.dump(
+            dict(
+                stats,
+                metrics=dict(
+                    stats.get("metrics", {}),
+                    compacted_gens=len(src.update_gens()),
+                ),
+            ),
+            f,
+        )
+    try:
+        with open(src.manifest_path) as f:
+            manifest = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        manifest = {"complete": True}
+    with open(dst.manifest_path, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp_root, out_dir)
+    return IndexPaths(out_dir)

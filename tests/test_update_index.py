@@ -193,3 +193,44 @@ def test_update_of_incomplete_or_missing_index_builds_fresh(tmp_path):
     p = update_index(str(c1), str(tmp_path / "fresh_idx"))
     assert p.stats()["n_docs"] == 3
     assert p.update_gens() == []
+
+
+def test_compact_index_merges_generations_rank_identically(tmp_path):
+    """compact_index folds the generations into one fresh index that
+    answers every query identically (same ids, ranks, scores) with zero
+    update generations and one segment file per shard."""
+    import numpy as np
+
+    from probe_ray.build import build_index, compact_index, update_index
+    from probe_ray.search import Engine
+
+    c1 = tmp_path / "c1.parquet"
+    _write(c1, _rows(5))
+    build_index(str(c1), str(tmp_path / "idx"))
+    c2 = tmp_path / "c2.parquet"
+    _write(c2, _rows(5) + _rows(3, start=30, marker="keywordBeta"))
+    p = update_index(str(c2), str(tmp_path / "idx"))
+    assert len(p.update_gens()) == 1
+
+    cp = compact_index(str(tmp_path / "idx"), str(tmp_path / "idx2"))
+    assert cp.update_gens() == []
+    assert cp.stats()["n_docs"] == 8
+    for s in range(cp.stats()["n_shards"]):
+        fs = [
+            f for f in os.listdir(
+                os.path.join(cp.segments_dir, f"shard={s}")
+            ) if f.endswith(".parquet")
+        ]
+        assert len(fs) <= 1
+
+    a = Engine(p)
+    b = Engine(cp)
+    for queries in (["keywordAlpha OR keywordBeta"], ["loader31"]):
+        ra = a.search(queries, max_results=20)
+        rb = b.search(queries, max_results=20)
+        assert ra.column("doc_id").to_pylist() == rb.column("doc_id").to_pylist()
+        assert np.allclose(
+            ra.column("score").to_pylist(), rb.column("score").to_pylist()
+        )
+    with pytest.raises(ValueError, match="out_dir exists"):
+        compact_index(str(tmp_path / "idx"), str(tmp_path / "idx2"))
