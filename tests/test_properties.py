@@ -173,3 +173,36 @@ def test_line_term_matches_matches_naive_property():
             if hit:
                 slow[idx] = hit
         assert fast == slow
+
+
+# code-ish text generator: lines drawn from keywords, braces, quotes,
+# comments and identifiers — hostile to a regex/brace scanner without
+# being pure noise
+_code_line = st.text(
+    alphabet=(
+        "abcdefXYZ0129_ \t(){}[];:,.\"'`#/\\*=<>-+!?@$&|~\n"
+        "defclassfnpubfuncifelseendmodulereturn"
+    ),
+    max_size=60,
+)
+
+
+@given(st.lists(_code_line, min_size=0, max_size=30),
+       st.sampled_from(["rs", "py", "go", "js", "ts", "java", "c", "cpp",
+                        "cs", "rb"]))
+@settings(max_examples=120, deadline=None)
+def test_structparse_never_crashes_and_spans_in_bounds(lines, ext):
+    """structparse invariants on ARBITRARY text for all ten languages:
+    never raises, scan preserves line count and lengths, every span is a
+    well-formed 1-based range inside the file, and analysis is
+    deterministic."""
+    from probe_ray import structparse as sp
+
+    flat = [l.replace("\n", " ") for l in lines]  # lines are single lines
+    code, comment_only, in_str = sp.scan_lines(flat, ext)
+    assert len(code) == len(flat)
+    assert all(len(c) == len(l) for c, l in zip(code, flat))
+    spans = sp.structural_spans(flat, ext)
+    for s in spans:
+        assert 1 <= s.start <= s.end <= max(len(flat), 1), (s, ext)
+    assert spans == sp.structural_spans(flat, ext)
