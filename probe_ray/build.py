@@ -1260,7 +1260,16 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256) -> IndexPaths:
     with open(os.path.join(gen_tmp, "stats.json"), "w") as f:
         json.dump(gen_stats, f)
 
-    os.rename(gen_tmp, gen_final)  # COMMIT
+    # COMMIT — the rename itself is the race arbiter (first-rename-wins,
+    # the documented /tmp-store pattern): a concurrent updater that
+    # committed the same generation number first makes this rename fail,
+    # and our generation is stale by definition (it diffed against a
+    # pre-commit corpus), so discard it and re-run against the new state.
+    try:
+        os.rename(gen_tmp, gen_final)
+    except OSError:
+        shutil.rmtree(gen_tmp, ignore_errors=True)
+        return update_index(corpus, out_dir, batch_size=batch_size)
     commit_manifest()
     return paths
 

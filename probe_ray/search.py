@@ -923,9 +923,17 @@ class Engine:
         mode: str = "compat",
         global_overfetch: int = 8,
         early_termination: bool | None = None,
+        reranker: str = "bm25",
+        question: str | None = None,
     ) -> pa.Table:
         """Ranked code BLOCKS (fallback-extractor granularity), rank- and
-        score-identical to oracle.oracle_search_blocks. Candidates come from
+        score-identical to oracle.oracle_search_blocks.
+
+        ``reranker``/``question`` mirror Engine.search: ms-marco-* values
+        cross-encoder-rerank the admitted blocks by their CODE text (the
+        reference reranks SearchResults, which are blocks —
+        result_ranking.rs:139-145); bm25/hybrid/hybrid2/tfidf are the
+        standard path. Candidates come from
         the index (dictionary substring expansion over the generated pattern
         needles + filename matches + shadow postings); per-candidate line
         matching, window extraction, block stats and code text are computed
@@ -943,7 +951,15 @@ class Engine:
         converge to compat's top-k as overfetch grows. Requires a
         ranking-term query (exact/filter-only queries ignore the mode)."""
         from probe_ray import blocks as blk
+        from probe_ray import rerank as _rr
 
+        if reranker not in _rr.RERANKER_BM25_ALIASES and (
+            reranker not in _rr.RERANKER_MODELS
+        ):
+            raise ValueError(
+                f"unknown reranker {reranker!r}; expected one of "
+                f"{_rr.RERANKER_BM25_ALIASES + tuple(_rr.RERANKER_MODELS)}"
+            )
         if isinstance(queries, str):
             queries = [queries]
         plan, filters = qp.plan_query(queries, exact)
@@ -1121,7 +1137,7 @@ class Engine:
                     feats_ds, queries, ranking_ast, ranking_terms,
                     max_results, max_bytes, max_tokens,
                     no_merge=no_merge, merge_threshold=merge_threshold,
-                    session=session,
+                    session=session, reranker=reranker, question=question,
                 )
             # zero-row blocks pass through map_batches with the upstream
             # schema — drop before concat
@@ -1213,14 +1229,18 @@ class Engine:
         return self._assemble_block_results(
             rows, queries, max_results, max_bytes, max_tokens,
             no_merge=no_merge, merge_threshold=merge_threshold, session=session,
+            reranker=reranker, question=question,
         )
 
     def _assemble_block_results(
         self, rows, queries, max_results, max_bytes, max_tokens,
         *, no_merge, merge_threshold, session,
+        reranker="bm25", question=None,
     ) -> pa.Table:
         """Shared block finish: limits over code bytes -> code attach ->
-        contained dedup -> adjacent merge -> session record -> table."""
+        contained dedup -> adjacent merge -> session record -> optional
+        cross-encoder rerank of the admitted blocks -> table."""
+        from probe_ray import rerank as _rr
         from probe_ray import blocks as blk
 
         # limits over block code bytes (search_limiter.rs:22-226)
@@ -1265,7 +1285,7 @@ class Engine:
                     for r in rows
                 ],
             )
-        return pa.table(
+        out = pa.table(
             {
                 "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
                 "repo": pa.array([r["repo"] for r in rows], pa.string()),
@@ -1287,6 +1307,12 @@ class Engine:
                 "code": pa.array([r["code"] for r in rows], pa.string()),
             }
         )
+        if reranker in _rr.RERANKER_MODELS:
+            out = _rr.rerank_table(
+                out, question or " ".join(queries), model=reranker,
+                text_col="code",
+            )
+        return out
 
     # beyond this many block-feat rows the ranking finish goes distributed
     # (stats reduce + per-block top-k); below it the driver concat is faster
@@ -1297,7 +1323,7 @@ class Engine:
     def _finish_blocks_distributed(
         self, feats_ds: rd.Dataset, queries, ranking_ast, ranking_terms,
         max_results, max_bytes, max_tokens, *, no_merge, merge_threshold,
-        session,
+        session, reranker="bm25", question=None,
     ) -> pa.Table:
         """Block-granularity analogue of _finish_ranked_distributed: the
         feats Dataset never concatenates driver-side. Canonical candidate
@@ -1497,6 +1523,7 @@ class Engine:
         return self._assemble_block_results(
             rows, queries, max_results, max_bytes, max_tokens,
             no_merge=no_merge, merge_threshold=merge_threshold, session=session,
+            reranker=reranker, question=question,
         )
 
     def _docs_rows_for(self, ids: np.ndarray, cols: list[str]) -> pa.Table:

@@ -100,3 +100,28 @@ def test_engine_search_ms_marco_reranks(t1_index):
         reranker="ms-marco-tinybert", question="keywordBeta",
     )
     assert again.equals(rr)
+
+
+def test_search_blocks_ms_marco_reranks_by_code(t1_index):
+    from probe_ray.search import Engine
+
+    eng = Engine(t1_index)
+    base = eng.search_blocks(["keywordAlpha OR keywordBeta"], max_results=6)
+    same = eng.search_blocks(["keywordAlpha OR keywordBeta"], max_results=6,
+                             reranker="hybrid")
+    assert same.equals(base)
+    rr = eng.search_blocks(
+        ["keywordAlpha OR keywordBeta"], max_results=6,
+        reranker="ms-marco-minilm-l12", question="keywordBeta",
+    )
+    assert "rerank_score" in rr.schema.names
+    assert set(zip(rr.column("path").to_pylist(),
+                   rr.column("start_line").to_pylist())) == set(
+        zip(base.column("path").to_pylist(),
+            base.column("start_line").to_pylist())
+    )
+    scores = rr.column("rerank_score").to_pylist()
+    assert scores == sorted(scores, reverse=True)
+    assert rr.column("rank").to_pylist() == list(range(rr.num_rows))
+    with pytest.raises(ValueError, match="unknown reranker"):
+        eng.search_blocks(["keywordAlpha"], reranker="bert-large")
