@@ -82,6 +82,15 @@ def main(argv=None):
                         "global = corpus-stats top-k")
     s.add_argument("--no-merge", action="store_true",
                    help="skip adjacent-block merging (blocks mode)")
+    s.add_argument("-r", "--reranker", default="bm25",
+                   choices=["bm25", "hybrid", "hybrid2", "tfidf",
+                            "ms-marco-tinybert", "ms-marco-minilm-l6",
+                            "ms-marco-minilm-l12"],
+                   help="ranking algorithm (cli.rs:35-37); ms-marco-* "
+                        "cross-encoder-reranks the admitted results")
+    s.add_argument("--question", default=None,
+                   help="natural-language question for reranking "
+                        "(cli.rs:92; defaults to the keyword string)")
     s.add_argument("--format", choices=["terminal", "json", "xml", "outline"],
                    default="terminal")
     s.add_argument("--json", action="store_true",
@@ -165,6 +174,8 @@ def main(argv=None):
                 # --allow-tests); the library default is include-all
                 allow_tests=args.allow_tests,
                 session=args.session,
+                reranker=args.reranker,
+                question=args.question,
             )
             if args.mode in ("blocks", "blocks-global") and not args.files_only:
                 result = eng.search_blocks(

@@ -1161,10 +1161,21 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256) -> IndexPaths:
     )
 
     def commit_manifest() -> None:
+        # the updates history is DERIVED from the committed generations on
+        # disk (each gen's stats snapshot records its own added count), so
+        # a crash between the gen rename and this write, or a no-op repair
+        # call, can never record a phantom or miss a real generation
         manifest["fingerprint"] = fp
-        manifest["updates"] = manifest.get("updates", []) + [
-            dict(gen=gen_k, added=len(added))
-        ]
+        hist = []
+        for g in paths.update_gens():
+            try:
+                with open(os.path.join(g, "stats.json")) as f:
+                    lu = json.load(f).get("metrics", {}).get("last_update", {})
+            except (OSError, json.JSONDecodeError):
+                lu = {}
+            hist.append(dict(gen=int(g.rsplit("-", 1)[1]),
+                             added=lu.get("added")))
+        manifest["updates"] = hist
         tmp_m = paths.manifest_path + ".tmp"
         with open(tmp_m, "w") as f:
             json.dump(manifest, f)
@@ -1193,22 +1204,35 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256) -> IndexPaths:
     )
     added_ref = ray.put(np.sort(added_keys))
 
-    def pick_and_id(batch: pa.Table) -> pa.Table:
-        ks = ray.get(added_ref)
-        bk = pc.binary_join_element_wise(
+    def _keys_of(batch: pa.Table) -> np.ndarray:
+        return pc.binary_join_element_wise(
             batch.column("repo").combine_chunks(),
             batch.column("path").combine_chunks(),
             pa.scalar("\x00"),
         ).to_numpy(zero_copy_only=False)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        # key filter on the RAW corpus rows, BEFORE guard: the delta pass
+        # must not re-pay the full-corpus guard (sha over every content
+        # string) a second time — only added files flow past this point
+        ks = ray.get(added_ref)
+        bk = _keys_of(batch)
         pos = np.searchsorted(ks, bk)
         mask = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == bk)
-        batch = batch.filter(pa.array(mask))
-        ids = offset + np.searchsorted(ks, bk[mask])
+        return batch.filter(pa.array(mask))
+
+    def add_ids(batch: pa.Table) -> pa.Table:
+        ks = ray.get(added_ref)
+        ids = offset + np.searchsorted(ks, _keys_of(batch))
         return batch.append_column("doc_id", pa.array(ids, pa.int64()))
 
-    docs_pipe = new_guarded.map_batches(
-        pick_and_id, batch_format="pyarrow"
-    ).map_batches(tokenize_batch, batch_format="pyarrow", batch_size=batch_size)
+    docs_pipe = (
+        (read_corpus(corpus) if isinstance(corpus, str) else corpus)
+        .map_batches(pick, batch_format="pyarrow")
+        .map_batches(guard_batch, batch_format="pyarrow", batch_size=batch_size)
+        .map_batches(add_ids, batch_format="pyarrow")
+        .map_batches(tokenize_batch, batch_format="pyarrow", batch_size=batch_size)
+    )
     gen_docs = os.path.join(gen_tmp, "docs")
     docs_pipe.write_parquet(gen_docs, min_rows_per_file=8192)
 

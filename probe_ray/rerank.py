@@ -115,7 +115,8 @@ def rerank_table(
     result_ranking.rs:337-358) are never scored and keep their position
     after the ranked block, exactly as the reference's reranker only
     touches ranked results. Ties on score fall back to the ORIGINAL rank
-    (stable), and ranks are renumbered 0..k-1 in the new order.
+    (stable), and the original rank VALUES are reassigned in the new order
+    (whatever convention the caller used is preserved).
 
     The scorer runs as an actor pool (``map_batches(Cls, concurrency,
     batch_size)``): model load once per actor, batched pairs per call.
@@ -162,10 +163,13 @@ def rerank_table(
     orig = scored.column("rank").to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.lexsort((orig, -s))
     scored = scored.take(pa.array(order))
+    # reassign the ORIGINAL rank values in the new order — preserves the
+    # caller's rank convention (engine paths are 1-based) instead of
+    # silently renumbering from 0
     scored = scored.set_column(
         scored.schema.get_field_index("rank"),
         "rank",
-        pa.array(np.arange(scored.num_rows, dtype=np.int64)),
+        pa.array(np.sort(orig)),
     )
     if flagged.num_rows:
         flagged = flagged.append_column(

@@ -927,7 +927,13 @@ class Engine:
         question: str | None = None,
     ) -> pa.Table:
         """Ranked code BLOCKS (fallback-extractor granularity), rank- and
-        score-identical to oracle.oracle_search_blocks.
+        score-identical to oracle.oracle_search_blocks on the full
+        compat extraction path. CAVEAT: with limits set, early termination
+        auto-engages above EARLY_TERM_AUTO_MIN (5000) keyword-matched docs
+        (search_runner.rs:892-1208 parity) and is then APPROXIMATE vs the
+        full extraction (measured span overlap in BASELINE.md's recall
+        table); pass ``early_termination=False`` to force the identical
+        path at any scale.
 
         ``reranker``/``question`` mirror Engine.search: ms-marco-* values
         cross-encoder-rerank the admitted blocks by their CODE text (the

@@ -698,6 +698,11 @@ def bm25_topk(sf_dir: str, terms=QUERY_TERMS, k: int = 20) -> pa.Table:
         .map_batches(blocktop, batch_format="pyarrow")
         .take_all()
     )
+    if not parts:  # no doc matches any term: typed empty result
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        })
     df = pd.DataFrame(parts).sort_values(
         ["score_raw", "doc_id"], ascending=[False, True]
     ).head(k).reset_index(drop=True)
