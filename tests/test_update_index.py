@@ -234,3 +234,35 @@ def test_compact_index_merges_generations_rank_identically(tmp_path):
         )
     with pytest.raises(ValueError, match="out_dir exists"):
         compact_index(str(tmp_path / "idx"), str(tmp_path / "idx2"))
+
+
+def test_global_mode_identical_on_updated_and_compacted_index(tmp_path):
+    """The MaxScore skip-probe read path must merge generation segment
+    rows: global-mode results on the updated index == on its compaction."""
+    import numpy as np
+
+    from probe_ray.build import build_index, compact_index, update_index
+    from probe_ray.search import Engine
+
+    c1 = tmp_path / "c1.parquet"
+    _write(c1, _rows(30))
+    build_index(str(c1), str(tmp_path / "idx"))
+    c2 = tmp_path / "c2.parquet"
+    _write(c2, _rows(30) + _rows(10, start=200, marker="keywordBeta"))
+    p = update_index(str(c2), str(tmp_path / "idx"))
+    cp = compact_index(str(tmp_path / "idx"), str(tmp_path / "idx2"))
+
+    a = Engine(p)
+    b = Engine(cp)
+    for q in (["keywordAlpha keywordBeta"], ["loader205 respond"]):
+        ga = a.search(q, mode="global", max_results=15)
+        gb = b.search(q, mode="global", max_results=15)
+        assert ga.column("doc_id").to_pylist() == gb.column("doc_id").to_pylist(), q
+        assert np.allclose(
+            ga.column("score").to_pylist(), gb.column("score").to_pylist()
+        ), q
+        ba = a.search_blocks(q, mode="global", max_results=10)
+        bb = b.search_blocks(q, mode="global", max_results=10)
+        assert ba.drop_columns(["code"]).equals(bb.drop_columns(["code"])) or (
+            ba.column("path").to_pylist() == bb.column("path").to_pylist()
+        ), q
