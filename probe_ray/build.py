@@ -605,6 +605,12 @@ class IndexPaths:
             os.path.join(g, "segments") for g in self.update_gens()
         ]
 
+    def ngrams_dirs(self) -> list[str]:
+        return [self.ngrams_dir] + [
+            d for g in self.update_gens()
+            if os.path.isdir(d := os.path.join(g, "ngrams"))
+        ]
+
     def doc_lens_paths(self) -> list[str]:
         return [self.doc_lens_path] + [
             os.path.join(g, "doc_lens.npy") for g in self.update_gens()
@@ -1056,8 +1062,8 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256) -> IndexPaths:
     - **any change or removal** (sha mismatch or key gone): falls back to
       a full rebuild. Probe's semantics are a corpus snapshot; serving
       tombstones would tax every query for a rare event.
-    - **ngram-indexed builds** also fall back to a full rebuild (the
-      substring gram index has no append path yet — documented).
+    - **ngram-indexed builds** append a gram-segment generation the same
+      way (the gram reader already merges multi-row grams).
 
     Doc ids for added files continue from n_docs in (repo, path, commit)
     order WITHIN the update batch — segment-append order, exactly like
@@ -1082,11 +1088,6 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256) -> IndexPaths:
         return build_index(corpus, out_dir, overwrite=True)
     stats = paths.stats()
     n_shards = int(stats["n_shards"])
-    if stats.get("has_ngrams"):
-        return build_index(
-            corpus, out_dir, overwrite=True, ngram_index=True,
-            n_shards=n_shards,
-        )
     params = manifest.get("params", {})
     fp = _fingerprint(corpus, params)
     if manifest.get("fingerprint") == fp:
@@ -1269,6 +1270,24 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256) -> IndexPaths:
     for s in range(n_shards):
         os.makedirs(os.path.join(gen_segs, f"shard={s}"), exist_ok=True)
 
+    if stats.get("has_ngrams"):
+        # the gram index appends exactly like the term index (same
+        # multi-row read-time merge)
+        gen_ngrams = os.path.join(gen_tmp, "ngrams")
+        (
+            rd.read_parquet(gen_docs, columns=["doc_id", "content"])
+            .map_batches(
+                make_ngram_partials(salt_shift),
+                batch_format="pyarrow", batch_size=batch_size,
+            )
+            .sort(["gram", "salt"])
+            .map_batches(make_ngram_merger(n_shards), batch_format="pyarrow")
+            .write_parquet(gen_ngrams, partition_cols=["shard"])
+        )
+        _compact_shard_dir(gen_ngrams, ["gram", "salt"])
+        for s in range(n_shards):
+            os.makedirs(os.path.join(gen_ngrams, f"shard={s}"), exist_ok=True)
+
     n_docs = offset + m_docs
     sum_dl = int(stats["sum_dl"]) + m_sum_dl
     gen_stats = dict(
@@ -1317,10 +1336,6 @@ def compact_index(index_dir: str, out_dir: str, *, batch_size: int = 1024) -> In
     n_shards = int(stats["n_shards"])
     if os.path.exists(out_dir):
         raise ValueError(f"out_dir exists: {out_dir} (pass a fresh path)")
-    if stats.get("has_ngrams"):
-        raise ValueError(
-            "ngram-indexed builds have no update generations to compact"
-        )
     tmp_root = out_dir + ".tmp"
     if os.path.exists(tmp_root):
         shutil.rmtree(tmp_root)
@@ -1367,6 +1382,21 @@ def compact_index(index_dir: str, out_dir: str, *, batch_size: int = 1024) -> In
     _compact_shard_dir(dst.segments_dir, ["term", "salt"])
     for s in range(n_shards):
         os.makedirs(os.path.join(dst.segments_dir, f"shard={s}"), exist_ok=True)
+
+    if stats.get("has_ngrams"):
+        (
+            rd.read_parquet(dst.docs_dir, columns=["doc_id", "content"])
+            .map_batches(
+                make_ngram_partials(salt_shift),
+                batch_format="pyarrow", batch_size=batch_size,
+            )
+            .sort(["gram", "salt"])
+            .map_batches(make_ngram_merger(n_shards), batch_format="pyarrow")
+            .write_parquet(dst.ngrams_dir, partition_cols=["shard"])
+        )
+        _compact_shard_dir(dst.ngrams_dir, ["gram", "salt"])
+        for s in range(n_shards):
+            os.makedirs(os.path.join(dst.ngrams_dir, f"shard={s}"), exist_ok=True)
 
     with open(dst.stats_path, "w") as f:
         json.dump(

@@ -184,8 +184,10 @@ class Engine:
         import pyarrow.dataset as pads
 
         if getattr(self, "_ngram_ds_handle", None) is None:
-            self._ngram_ds_handle = pads.dataset(
-                self.paths.ngrams_dir, partitioning="hive"
+            dirs = self.paths.ngrams_dirs()
+            sets = [pads.dataset(d, partitioning="hive") for d in dirs]
+            self._ngram_ds_handle = (
+                sets[0] if len(sets) == 1 else pads.dataset(sets)
             )
         return self._ngram_ds_handle.to_table(
             columns=columns,

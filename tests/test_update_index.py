@@ -266,3 +266,38 @@ def test_global_mode_identical_on_updated_and_compacted_index(tmp_path):
         assert ba.drop_columns(["code"]).equals(bb.drop_columns(["code"])) or (
             ba.column("path").to_pylist() == bb.column("path").to_pylist()
         ), q
+
+
+def test_ngram_index_update_appends_gram_generation(tmp_path):
+    """Ngram-indexed builds append gram segments per generation: substring
+    (quoted) queries on the updated index match a fresh full build of the
+    union corpus, and compaction carries the gram index over."""
+    from probe_ray.build import build_index, compact_index, update_index
+    from probe_ray.search import Engine
+
+    c1 = tmp_path / "c1.parquet"
+    _write(c1, _rows(6))
+    build_index(str(c1), str(tmp_path / "idx"), ngram_index=True)
+    c2 = tmp_path / "c2.parquet"
+    _write(c2, _rows(6) + _rows(3, start=70, marker="zetaQualifier"))
+    p = update_index(str(c2), str(tmp_path / "idx"))
+    assert len(p.update_gens()) == 1
+    assert os.path.isdir(os.path.join(p.update_gens()[0], "ngrams"))
+
+    fresh = build_index(str(c2), str(tmp_path / "fresh"), ngram_index=True)
+    a = Engine(p)
+    b = Engine(fresh)
+    # substring fragment that only exists in the ADDED docs and crosses
+    # token boundaries (the gram index's job)
+    for q in (['"etaqual"'], ['"zetaQualifier"'], ['"loader7"']):
+        ra = a.search(q, max_results=20)
+        rb = b.search(q, max_results=20)
+        assert sorted(ra.column("path").to_pylist()) == sorted(
+            rb.column("path").to_pylist()
+        ), q
+    cp = compact_index(str(tmp_path / "idx"), str(tmp_path / "idx2"))
+    c = Engine(cp)
+    for q in (['"etaqual"'],):
+        assert sorted(c.search(q).column("path").to_pylist()) == sorted(
+            a.search(q).column("path").to_pylist()
+        )
