@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnowing_fingerprints": T.winnowing_fingerprints,  # rows-only
         # --- similarity search over embeddings ---
         "knn_cosine": T.knn_cosine,                    # SQL-checked
+        "knn_cosine_batch": T.knn_cosine_batch,        # SQL-checked
         "knn_lsh": T.knn_lsh,                          # rows-only (approx)
         "knn_ivf": T.knn_ivf,                          # rows-only (approx)
         "embedding_cosine_dedup": T.embedding_cosine_dedup,  # rows-only
@@ -954,6 +955,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT row_number() OVER (ORDER BY sim DESC, vec_id) AS rank, vec_id
             FROM s ORDER BY sim DESC, vec_id LIMIT 10
+        """,
+        "knn_cosine_batch": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings WHERE vec_id < 8
+            ),
+            s AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(e.embedding, q.qe) AS sim,
+                     row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(e.embedding, q.qe)
+                                DESC, e.vec_id
+                     ) AS rank
+              FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+            )
+            SELECT query_id, rank, vec_id FROM s
+            WHERE rank <= 10 ORDER BY query_id, rank
         """,
         "embedding_cosine_window_pairs": """
             WITH t AS (SELECT vec_id, embedding FROM embeddings)

@@ -3551,3 +3551,68 @@ def seeded_shuffle(sf_dir: str, seed: int = 42) -> rd.Dataset:
         .map_batches(key, batch_format="pyarrow")
         .sort("shuffle_key")
     )
+
+
+def knn_cosine_batch(
+    sf_dir: str, n_queries: int = 8, k: int = 10
+) -> rd.Dataset:
+    """BATCHED brute-force cosine top-k (the production shape of ANN
+    serving: amortize the corpus scan over a whole query set). The query
+    MATRIX (first ``n_queries`` vectors, L2-normalized) is broadcast once
+    via ray.put; each batch does ONE matmul for all queries, keeps k rows
+    per query per block (a selection — exact after the tiny combine), and
+    the final per-query top-k comes from <= n_queries x k x blocks partial
+    rows. SQL-checked (DuckDB window rank over list_cosine_similarity)."""
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    head = (
+        emb.filter(expr=f"vec_id < {int(n_queries)}")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qids = head["vec_id"].to_numpy()
+    qmat = np.stack(head["embedding"].to_numpy())
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    q_ref = ray.put((qids, qmat))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qi, qm = ray.get(q_ref)
+        ids = batch.column("vec_id").to_numpy()
+        mat = _emb_matrix(batch.column("embedding"))
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ qm.T) / np.where(norms > 0, norms, 1.0)[:, None]
+        out_q, out_v, out_s = [], [], []
+        kk = min(k, len(ids))
+        for c, qid in enumerate(qi):
+            col = sims[:, c].copy()
+            col[ids == qid] = -np.inf  # self never matches
+            sel = np.argpartition(-col, kk - 1)[:kk] if kk else []
+            for j in sel:
+                if np.isfinite(col[j]):
+                    out_q.append(int(qid))
+                    out_v.append(int(ids[j]))
+                    out_s.append(float(col[j]))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+    parts = emb.map_batches(score, batch_format="pyarrow").take_all()
+    if not parts:
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+        }))
+    df = pd.DataFrame(parts).sort_values(
+        ["query_id", "sim", "vec_id"], ascending=[True, False, True]
+    )
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= k].reset_index(drop=True)
+    return rd.from_arrow(pa.table({
+        "query_id": pa.array(df["query_id"], pa.int64()),
+        "rank": pa.array(df["rank"], pa.int64()),
+        "vec_id": pa.array(df["vec_id"], pa.int64()),
+    }))

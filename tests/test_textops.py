@@ -909,3 +909,17 @@ def test_props_json_stats_matches_pandas():
         assert row["min_k"] == w["min"]
         assert row["max_k"] == w["max"]
         assert abs(row["avg_k"] - w["mean"]) < 1e-12
+
+
+def test_knn_cosine_batch_matches_single_query():
+    from probe_ray import textops as T
+
+    batch = T.knn_cosine_batch(SF, n_queries=3, k=10).to_pandas()
+    assert list(batch.columns) == ["query_id", "rank", "vec_id"]
+    for qid in (0, 1, 2):
+        single = T.knn_cosine(SF, query_vec_id=qid, k=10).to_pandas()
+        got = batch[batch["query_id"] == qid].sort_values("rank")
+        assert got["vec_id"].tolist() == single["vec_id"].tolist()
+        assert got["rank"].tolist() == single["rank"].tolist()
+    # a query never returns itself
+    assert not (batch["query_id"] == batch["vec_id"]).any()
