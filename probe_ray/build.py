@@ -41,6 +41,7 @@ import shutil
 from dataclasses import dataclass
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -1119,37 +1120,75 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256) -> IndexPaths:
     )
     new_keys = new_guarded.map_batches(tag("new"), batch_format="pyarrow")
 
-    def classify(group: pa.Table) -> pa.Table:
-        # one group per (repo, path): emit only non-"same" statuses so the
-        # driver pull is bounded by the DELTA, not the corpus
-        srcs = group.column("src").to_pylist()
-        shas = group.column("sha").to_pylist()
-        old = {s for s, x in zip(shas, srcs) if x == "old"}
-        new = {s for s, x in zip(shas, srcs) if x == "new"}
-        if old == new:
-            status = None
-        elif not old:
-            status = "added"
-        elif not new:
-            status = "removed"
-        else:
-            status = "changed"
-        if status is None:
-            return pa.table({
-                "repo": pa.array([], pa.string()),
-                "path": pa.array([], pa.string()),
-                "status": pa.array([], pa.string()),
-            })
-        return pa.table({
-            "repo": group.column("repo").slice(0, 1),
-            "path": group.column("path").slice(0, 1),
-            "status": pa.array([status], pa.string()),
+    # classify keys VECTORIZED inside a bounded number of coarse partitions
+    # (the minhash coarse_members pattern): a per-(repo,path) map_groups
+    # would make one Python group call PER FILE — O(corpus) driver-style
+    # Python at 10^12-file scale. Here each partition resolves its keys
+    # with one pandas outer merge (indicator) + one crosstab.
+    _DIFF_COARSE = 256
+
+    def add_pg(batch: pa.Table) -> pa.Table:
+        # the hashed key must be NUL-FREE: pandas' siphash truncates object
+        # strings at \x00 on the multi-element path but not the 1-element
+        # path, so the same key can land in different partitions depending
+        # on batch shape (observed; classify would then see one side only
+        # and report phantom added+removed pairs). \x1f keeps (repo, path)
+        # joined unambiguously for dispersion; exactness lives in classify.
+        key = pd.Series(
+            pc.replace_substring(
+                pc.binary_join_element_wise(
+                    batch.column("repo").combine_chunks(),
+                    batch.column("path").combine_chunks(),
+                    pa.scalar("\x1f"),
+                ),
+                pattern="\x00", replacement="\x1f",
+            ).to_pandas()
+        )
+        pg = (
+            pd.util.hash_pandas_object(key, index=False).to_numpy()
+            % _DIFF_COARSE
+        ).astype(np.int64)
+        return batch.append_column("pg", pa.array(pg, pa.int64()))
+
+    def classify_part(g: pd.DataFrame) -> pd.DataFrame:
+        # per (key, sha): which sides carry it -> per key: same iff every
+        # pair is on both sides (set equality, matching the old per-group
+        # set comparison); added iff no old pairs; removed iff no new pairs
+        empty = pd.DataFrame({
+            "repo": pd.Series([], dtype="string"),
+            "path": pd.Series([], dtype="string"),
+            "status": pd.Series([], dtype="string"),
+        })
+        if not len(g):
+            return empty
+        old = g[g["src"] == "old"][["repo", "path", "sha"]].drop_duplicates()
+        new = g[g["src"] == "new"][["repo", "path", "sha"]].drop_duplicates()
+        m = old.merge(new, on=["repo", "path", "sha"], how="outer",
+                      indicator=True)
+        ct = pd.crosstab(
+            [m["repo"], m["path"]], m["_merge"], dropna=False
+        ).reindex(columns=["left_only", "right_only", "both"], fill_value=0)
+        same = (ct["left_only"] == 0) & (ct["right_only"] == 0)
+        ct = ct[~same]
+        if not len(ct):
+            return empty
+        status = np.where(
+            (ct["both"] == 0) & (ct["left_only"] == 0), "added",
+            np.where((ct["both"] == 0) & (ct["right_only"] == 0),
+                     "removed", "changed"),
+        )
+        idx = ct.index.to_frame(index=False)
+        return pd.DataFrame({
+            "repo": idx["repo"].to_numpy(),
+            "path": idx["path"].to_numpy(),
+            "status": status,
         })
 
     delta_rows = (
         old_keys.union(new_keys)
-        .groupby(["repo", "path"])
-        .map_groups(classify, batch_format="pyarrow")
+        .map_batches(add_pg, batch_format="pyarrow")
+        .groupby("pg")
+        .map_groups(classify_part, batch_format="pandas")
         .take_all()
     )
     statuses = {r["status"] for r in delta_rows}
