@@ -1163,6 +1163,19 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256) -> IndexPaths:
             return empty
         old = g[g["src"] == "old"][["repo", "path", "sha"]].drop_duplicates()
         new = g[g["src"] == "new"][["repo", "path", "sha"]].drop_duplicates()
+        # null-keyed rows would be silently dropped by crosstab's internal
+        # groupby (regardless of dropna=False) and the update would stamp
+        # the new fingerprint without ever seeing them — surface them as
+        # "changed" so the full-rebuild path handles (or loudly rejects)
+        # them instead
+        null_old = old["repo"].isna() | old["path"].isna()
+        null_new = new["repo"].isna() | new["path"].isna()
+        extra = None
+        if null_old.any() or null_new.any():
+            extra = pd.DataFrame(
+                {"repo": [""], "path": [""], "status": ["changed"]}
+            )
+            old, new = old[~null_old], new[~null_new]
         m = old.merge(new, on=["repo", "path", "sha"], how="outer",
                       indicator=True)
         ct = pd.crosstab(
@@ -1171,18 +1184,21 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256) -> IndexPaths:
         same = (ct["left_only"] == 0) & (ct["right_only"] == 0)
         ct = ct[~same]
         if not len(ct):
-            return empty
+            return empty if extra is None else extra
         status = np.where(
             (ct["both"] == 0) & (ct["left_only"] == 0), "added",
             np.where((ct["both"] == 0) & (ct["right_only"] == 0),
                      "removed", "changed"),
         )
         idx = ct.index.to_frame(index=False)
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "repo": idx["repo"].to_numpy(),
             "path": idx["path"].to_numpy(),
             "status": status,
         })
+        return out if extra is None else pd.concat(
+            [out, extra], ignore_index=True
+        )
 
     delta_rows = (
         old_keys.union(new_keys)
@@ -1193,8 +1209,11 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256) -> IndexPaths:
     )
     statuses = {r["status"] for r in delta_rows}
     if "removed" in statuses or "changed" in statuses:
+        # the rebuild must preserve every knob of the original build —
+        # dropping ngram_index here would silently lose the substring index
         return build_index(
             corpus, out_dir, overwrite=True, n_shards=n_shards,
+            ngram_index=bool(stats.get("has_ngrams")),
         )
     added = sorted(
         (r["repo"], r["path"]) for r in delta_rows if r["status"] == "added"

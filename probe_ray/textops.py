@@ -3573,7 +3573,8 @@ def knn_cosine_batch(
     )
     qids = head["vec_id"].to_numpy()
     qmat = np.stack(head["embedding"].to_numpy())
-    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = qmat / np.where(qn > 0, qn, 1.0)  # zero-norm guard (doc side too)
     q_ref = ray.put((qids, qmat))
 
     def score(batch: pa.Table) -> pa.Table:
@@ -3581,13 +3582,25 @@ def knn_cosine_batch(
         ids = batch.column("vec_id").to_numpy()
         mat = _emb_matrix(batch.column("embedding"))
         norms = np.linalg.norm(mat, axis=1)
-        sims = (mat @ qm.T) / np.where(norms > 0, norms, 1.0)[:, None]
+        # column-order accumulation, NOT one BLAS matmul: gemm blocking can
+        # differ with the block's row count, so the same duplicate vector in
+        # two differently-shaped blocks can score 1 ulp apart — which beats
+        # the vec_id tie-break and diverges from the oracle's row_number
+        # order. Fixed per-column accumulation makes a row's sim a function
+        # of the row alone. Same flops, vectorized over rows.
+        sims = np.zeros((mat.shape[0], qm.shape[0]), dtype=np.float64)
+        for j in range(mat.shape[1]):
+            sims += np.outer(mat[:, j], qm[:, j])
+        sims /= np.where(norms > 0, norms, 1.0)[:, None]
         out_q, out_v, out_s = [], [], []
         kk = min(k, len(ids))
         for c, qid in enumerate(qi):
             col = sims[:, c].copy()
             col[ids == qid] = -np.inf  # self never matches
-            sel = np.argpartition(-col, kk - 1)[:kk] if kk else []
+            # tie-STABLE block selection: equal sims at the k-th boundary
+            # must keep the smaller vec_id (the oracle's row_number order);
+            # argpartition's introselect would drop an arbitrary one
+            sel = np.lexsort((ids, -col))[:kk] if kk else []
             for j in sel:
                 if np.isfinite(col[j]):
                     out_q.append(int(qid))

@@ -923,3 +923,36 @@ def test_knn_cosine_batch_matches_single_query():
         assert got["rank"].tolist() == single["rank"].tolist()
     # a query never returns itself
     assert not (batch["query_id"] == batch["vec_id"]).any()
+
+
+def test_knn_cosine_batch_tie_stability(tmp_path):
+    """Duplicate embeddings tied at the per-block k-th boundary must keep
+    the smaller vec_id (the oracle's row_number order)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from probe_ray import textops as T
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((30, 8))
+    # make ids 10..19 exact duplicates of 20..29 (ties everywhere)
+    base[20:30] = base[10:20]
+    tbl = pa.table({
+        "vec_id": pa.array(list(range(30)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in base],
+                              pa.list_(pa.float64())),
+    })
+    d = tmp_path / "ties"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    got = T.knn_cosine_batch(str(d), n_queries=2, k=5).to_pandas()
+    # numpy oracle: sim desc, vec_id asc per query
+    unit = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    for qid in (0, 1):
+        col = sims[:, qid].copy()
+        col[qid] = -np.inf
+        order = np.lexsort((np.arange(30), -col))[:5]
+        want = [int(v) for v in order]
+        have = got[got["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+        assert have == want, (qid, have, want)

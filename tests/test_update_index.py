@@ -301,3 +301,25 @@ def test_ngram_index_update_appends_gram_generation(tmp_path):
         assert sorted(c.search(q).column("path").to_pylist()) == sorted(
             a.search(q).column("path").to_pylist()
         )
+
+
+def test_changed_file_rebuild_preserves_ngram_index(tmp_path):
+    """The changed/removed full-rebuild fallback must carry ngram_index
+    over — dropping it would silently lose substring retrieval."""
+    from probe_ray.build import build_index, update_index
+
+    c1 = tmp_path / "c1.parquet"
+    _write(c1, _rows(4))
+    build_index(str(c1), str(tmp_path / "idx"), ngram_index=True)
+    # change one file's content -> rebuild path
+    rows = _rows(4)
+    rows[1]["content"] += "// zetaQualifier trailer\n"
+    c2 = tmp_path / "c2.parquet"
+    _write(c2, rows)
+    p = update_index(str(c2), str(tmp_path / "idx"))
+    assert p.update_gens() == []  # rebuilt, not appended
+    assert p.stats().get("has_ngrams")
+    from probe_ray.search import Engine
+
+    got = Engine(p).search(['"etaqual"'], max_results=10)
+    assert "src/file1.rs" in got.column("path").to_pylist()
