@@ -1209,11 +1209,17 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256) -> IndexPaths:
     )
     statuses = {r["status"] for r in delta_rows}
     if "removed" in statuses or "changed" in statuses:
-        # the rebuild must preserve every knob of the original build —
-        # dropping ngram_index here would silently lose the substring index
+        # the rebuild must preserve every knob of the original build (from
+        # the manifest's params record) — dropping ngram_index here would
+        # silently lose the substring index, and a different salt/shard
+        # layout would be a surprise reshape
         return build_index(
-            corpus, out_dir, overwrite=True, n_shards=n_shards,
-            ngram_index=bool(stats.get("has_ngrams")),
+            corpus, out_dir, overwrite=True,
+            n_shards=int(params.get("n_shards", n_shards)),
+            salt_buckets=int(params.get("salt_buckets", 8)),
+            hot_threshold_frac=float(params.get("hot_threshold_frac", 0.05)),
+            ngram_index=bool(params.get("ngram_index",
+                                        stats.get("has_ngrams"))),
         )
     added = sorted(
         (r["repo"], r["path"]) for r in delta_rows if r["status"] == "added"

@@ -879,9 +879,11 @@ def minhash_lsh_dedup(
         sizes = by["doc_id"].transform("size").to_numpy()
         g = g[sizes >= 2]
         if not len(g):
+            # string dtype (not object): Ray sizes object columns with
+            # np.vectorize, which warns on zero-length input
             return pd.DataFrame(
                 {"key": pd.Series([], dtype="int64"),
-                 "bucket": pd.Series([], dtype="object"),
+                 "bucket": pd.Series([], dtype="string"),
                  "dropped": pd.Series([], dtype="int64")}
             )
         by = g.groupby(["band", "band_hash"], sort=False)
