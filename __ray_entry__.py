@@ -199,8 +199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unicode_normalize": T.unicode_normalize,
         "doc_fingerprint": T.doc_fingerprint,          # SQL-checked
         "minhash_lsh_dedup": T.minhash_lsh_dedup,      # rows-only (sketch)
-        "simhash64": T.simhash64,                      # rows-only (sketch)
-        "winnowing_fingerprints": T.winnowing_fingerprints,  # rows-only
+        "simhash64": T.simhash64,                      # SQL-checked
+        "winnowing_fingerprints": T.winnowing_fingerprints,  # SQL-checked
         # --- similarity search over embeddings ---
         "knn_cosine": T.knn_cosine,                    # SQL-checked
         "knn_cosine_batch": T.knn_cosine_batch,        # SQL-checked
@@ -943,6 +943,102 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), ' ')) AS fingerprint
             FROM documents
+        """,
+        "winnowing_fingerprints": r"""
+            -- winnowing replay: k=5 char-gram polynomial hash (base 257
+            -- mod 2^61-1, computed directly per gram — the engine's
+            -- rolling form is the same polynomial), w=4 window minima via
+            -- a window frame, DISTINCT selection, per-doc count/min/max
+            WITH s AS (
+              SELECT doc_id,
+                     array_to_string(list_filter(
+                       string_split_regex(lower(text), '\s+'),
+                       x -> x <> ''), ' ') AS s
+              FROM documents
+            ),
+            positions AS (
+              SELECT doc_id, s, unnest(range(1, len(s) - 3)) AS i
+              FROM s WHERE len(s) >= 5
+            ),
+            grams AS (
+              SELECT doc_id, i,
+                     (ord(substr(s, CAST(i AS INTEGER), 1))::HUGEINT
+                        * 4362470401
+                      + ord(substr(s, CAST(i+1 AS INTEGER), 1))::HUGEINT
+                        * 16974593
+                      + ord(substr(s, CAST(i+2 AS INTEGER), 1))::HUGEINT
+                        * 66049
+                      + ord(substr(s, CAST(i+3 AS INTEGER), 1))::HUGEINT
+                        * 257
+                      + ord(substr(s, CAST(i+4 AS INTEGER), 1))::HUGEINT
+                     ) % 2305843009213693951 AS h
+              FROM positions
+            ),
+            mins AS (
+              SELECT doc_id, i,
+                     MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                       AS wmin,
+                     COUNT(*) OVER (PARTITION BY doc_id) AS nh
+              FROM grams
+            ),
+            sel AS (
+              SELECT DISTINCT doc_id, wmin
+              FROM mins WHERE i <= greatest(nh - 3, 1)
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_fingerprints,
+                     CAST(min(wmin) AS BIGINT) AS min_fp,
+                     CAST(max(wmin) AS BIGINT) AS max_fp
+              FROM sel GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_fingerprints, 0) AS n_fingerprints,
+                   COALESCE(a.min_fp, 0) AS min_fp,
+                   COALESCE(a.max_fp, 0) AS max_fp
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "simhash64": """
+            -- 64-bit SimHash replay: per-token md5, the first 8 digest
+            -- bytes little-endian (bit b = bit b%8 of hex pair b//8, via a
+            -- 256-row hex LUT), tf-weighted signed bit sums, bits with
+            -- acc > 0 set, then the engine's unconditional -2^63 shift
+            -- into int64
+            WITH toks AS (
+              SELECT doc_id, u.t AS t
+              FROM documents,
+                   unnest(list_filter(string_split_regex(lower(text),
+                          '[^a-z0-9]+'), x -> x <> '')) AS u(t)
+            ),
+            counts AS (
+              SELECT doc_id, t, count(*)::BIGINT AS c
+              FROM toks GROUP BY doc_id, t
+            ),
+            hx AS (SELECT doc_id, c, md5(t) AS h FROM counts),
+            lut AS (SELECT i, printf('%02x', i) AS hxp FROM range(256) tt(i)),
+            bits AS (
+              SELECT hx.doc_id, b.b AS bitpos,
+                     SUM(CASE WHEN (lut.i >> CAST(b.b % 8 AS INTEGER)) & 1 = 1
+                              THEN hx.c ELSE -hx.c END) AS acc
+              FROM hx
+              CROSS JOIN range(64) b(b)
+              JOIN lut
+                ON lut.hxp = substr(hx.h, CAST(2*(b.b // 8) + 1 AS INTEGER), 2)
+              GROUP BY hx.doc_id, b.b
+            ),
+            sums AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN acc > 0
+                              THEN (1::HUGEINT << CAST(bitpos AS INTEGER))
+                              ELSE 0::HUGEINT END) AS uns
+              FROM bits GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.uns, 0::HUGEINT) - (1::HUGEINT << 63)
+                        AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN sums s USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "knn_cosine": """
             WITH s AS (

@@ -1371,7 +1371,8 @@ def doc_fingerprint(sf_dir: str) -> rd.Dataset:
 
 def winnowing_fingerprints(sf_dir: str, k: int = 5, w: int = 4) -> rd.Dataset:
     """Winnowing document fingerprints: rolling hash over char k-grams,
-    window-min selection (rows-only oracle: rolling hash not in SQL)."""
+    window-min selection. SQL-checked: the DuckDB oracle replays the same
+    polynomial per gram directly (k=5 fits in HUGEINT before one mod)."""
 
     def winnow(batch: pa.Table) -> pa.Table:
         n_out, min_out, max_out = [], [], []
