@@ -8,12 +8,13 @@ here (or in probe_ray) calls ray.init()/ray.shutdown().
   search, return the result table.
 - ``queries()``: one entry per implemented operator (SURVEY.md §2/§3 +
   training-data ops); each callable takes sf_dir.
-- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible op.
-  Probe-tokenizer/sketch ops (camelCase splitting, stemming, minhash,
-  simhash, LSH, winnowing, the engine's ranked search) are not
-  ANSI-SQL-expressible; they get rows-only checks here and are instead
-  verified rank-identically against the in-repo oracle by
-  ``python -m pytest tests/``.
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible op —
+  including full replays of the minhash+LSH clustering, simhash and
+  winnowing sketches (md5-bit / mod-2^64 / rolling-hash arithmetic
+  reproduced in SQL). Probe-tokenizer ops (camelCase splitting, stemming,
+  the engine's ranked search) and the random-plane/approx ANN entries get
+  rows-only checks here and are instead verified rank-identically (or
+  recall-gated) against the in-repo oracle by ``python -m pytest tests/``.
 """
 
 from __future__ import annotations
@@ -198,7 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_line_filter": T.c4_line_filter,
         "unicode_normalize": T.unicode_normalize,
         "doc_fingerprint": T.doc_fingerprint,          # SQL-checked
-        "minhash_lsh_dedup": T.minhash_lsh_dedup,      # rows-only (sketch)
+        "minhash_lsh_dedup": T.minhash_lsh_dedup,      # SQL-checked
         "simhash64": T.simhash64,                      # SQL-checked
         "winnowing_fingerprints": T.winnowing_fingerprints,  # SQL-checked
         # --- similarity search over embeddings ---
@@ -943,6 +944,119 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(array_to_string(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), ' ')) AS fingerprint
             FROM documents
+        """,
+        "minhash_lsh_dedup": r"""
+            -- FULL minhash+LSH replay: word-3-gram shingles, md5 u64
+            -- (little-endian, hex-parse -- no lossy HUGEINT SUM), the
+            -- engine's xorshift seed family via 32-bit-half mod-2^64
+            -- arithmetic, 16 bands x 4 rows (band key = the chunk tuple,
+            -- equality-equivalent to the engine's md5 key), bucket cap 64
+            -- smallest ids, exact Jaccard >= 0.5 over the shingle-hash
+            -- sets, min-label connected components (recursive CTE)
+            WITH RECURSIVE t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS tk
+              FROM documents
+            ),
+            shing AS (
+              SELECT DISTINCT doc_id, unnest(
+                CASE WHEN len(tk) >= 3 THEN
+                  list_distinct(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                ELSE [array_to_string(tk, ' ')] END) AS s
+              FROM t WHERE len(tk) > 0
+            ),
+            u64 AS (
+              SELECT doc_id, s,
+                ('0x' || substr(md5(s),15,2) || substr(md5(s),13,2)
+                       || substr(md5(s),11,2) || substr(md5(s),9,2))::BIGINT::HUGEINT
+                  * 4294967296::HUGEINT
+                + ('0x' || substr(md5(s),7,2) || substr(md5(s),5,2)
+                         || substr(md5(s),3,2) || substr(md5(s),1,2))::BIGINT::HUGEINT AS v
+              FROM shing
+            ),
+            st1 AS (
+              SELECT doc_id, seed.i AS si, v,
+                     (seed.i::HUGEINT * 11400714819323198485::HUGEINT)
+                       % 18446744073709551616::HUGEINT AS s64
+              FROM u64 CROSS JOIN range(1, 65) seed(i)
+            ),
+            st2 AS (
+              SELECT doc_id, si,
+                     xor(CAST(v // 4294967296 AS BIGINT),
+                         CAST(s64 // 4294967296 AS BIGINT))::HUGEINT * 4294967296::HUGEINT
+                     + xor(CAST(v % 4294967296 AS BIGINT),
+                           CAST(s64 % 4294967296 AS BIGINT))::HUGEINT AS a
+              FROM st1
+            ),
+            st3 AS (
+              SELECT doc_id, si,
+                     ( ((a // 4294967296) * 484763065::HUGEINT
+                        + (a % 4294967296) * 3210233709::HUGEINT
+                       ) % 4294967296::HUGEINT * 4294967296::HUGEINT
+                       + (a % 4294967296) * 484763065::HUGEINT
+                     ) % 18446744073709551616::HUGEINT AS b
+              FROM st2
+            ),
+            mixed AS (
+              SELECT doc_id, si,
+                     MIN(xor(CAST(b // 4294967296 AS BIGINT),
+                             CAST((b // 2147483648) // 4294967296 AS BIGINT))::HUGEINT
+                           * 4294967296::HUGEINT
+                         + xor(CAST(b % 4294967296 AS BIGINT),
+                               CAST((b // 2147483648) % 4294967296 AS BIGINT))::HUGEINT
+                     ) AS sig
+              FROM st3 GROUP BY doc_id, si
+            ),
+            sig4 AS (
+              SELECT doc_id, CAST((si - 1) // 4 AS INTEGER) AS band,
+                     string_agg(CAST(sig AS VARCHAR), ',' ORDER BY si) AS bkey
+              FROM mixed GROUP BY doc_id, (si - 1) // 4
+            ),
+            members AS (
+              SELECT band, bkey, doc_id,
+                     row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn,
+                     count(*) OVER (PARTITION BY band, bkey) AS cnt
+              FROM sig4
+            ),
+            capped AS (
+              SELECT band, bkey, doc_id FROM members WHERE cnt >= 2 AND rn <= 64
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+              FROM capped a
+              JOIN capped b ON a.band = b.band AND a.bkey = b.bkey
+                            AND b.doc_id > a.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM u64 GROUP BY doc_id),
+            inter AS (
+              SELECT c.pa, c.pb, count(*) AS ni
+              FROM cand c
+              JOIN u64 x ON x.doc_id = c.pa
+              JOIN u64 y ON y.doc_id = c.pb AND y.v = x.v
+              GROUP BY c.pa, c.pb
+            ),
+            pairs AS (
+              SELECT c.pa, c.pb
+              FROM cand c
+              JOIN sizes sa ON sa.doc_id = c.pa
+              JOIN sizes sb ON sb.doc_id = c.pb
+              LEFT JOIN inter i ON i.pa = c.pa AND i.pb = c.pb
+              WHERE (sa.n + sb.n - coalesce(i.ni, 0)) > 0
+                AND coalesce(i.ni, 0)::DOUBLE
+                    / (sa.n + sb.n - coalesce(i.ni, 0)) >= 0.5
+            ),
+            e(a, b) AS (SELECT pa, pb FROM pairs UNION ALL SELECT pb, pa FROM pairs),
+            nn(id) AS (SELECT DISTINCT a FROM e),
+            cc(id, label) AS (
+              SELECT id, id FROM nn
+              UNION
+              SELECT e.b, cc.label FROM cc JOIN e ON e.a = cc.id WHERE cc.label < e.b
+            ),
+            m AS (SELECT id, min(label) AS cluster FROM cc GROUP BY id)
+            SELECT id::BIGINT AS doc_id, cluster::BIGINT AS cluster_id
+            FROM m ORDER BY doc_id
         """,
         "winnowing_fingerprints": r"""
             -- winnowing replay: k=5 char-gram polynomial hash (base 257
