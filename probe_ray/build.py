@@ -443,6 +443,15 @@ def assign_doc_ids(ds: rd.Dataset) -> rd.Dataset:
     """
     ds = ds.materialize()
     n = ds.count()
+    if n == 0:
+        # zero-row corpus: nothing to order — just keep the schema stable
+        # (the doc-length writer and stats handle n_docs == 0 downstream)
+        return ds.map_batches(
+            lambda b: b.append_column(
+                "doc_id", pa.array([0] * len(b), pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
     if n <= DRIVER_KEY_SORT_MAX:
         keys_tbl = pa.concat_tables(
             [
@@ -616,6 +625,33 @@ class IndexPaths:
         return [self.doc_lens_path] + [
             os.path.join(g, "doc_lens.npy") for g in self.update_gens()
         ]
+
+    def doc_lens_slices(self) -> list[tuple[str, int]]:
+        """(path, true_length) per doc-length slice. The sharded writer
+        pads an EMPTY corpus's .npy to shape (1,) so the file stays a
+        well-formed npy; readers concatenating base + generation slices
+        must trim each slice to its recorded doc count or a zero-doc base
+        shifts every generation doc's length by one. Length -1 means
+        "unknown — take the file as written" (pre-attribute-file indexes
+        whose stats are missing fields)."""
+        out: list[tuple[str, int]] = []
+        try:
+            with open(self.stats_path) as f:
+                base_n = int(json.load(f).get("n_docs", -1))
+        except (OSError, json.JSONDecodeError, TypeError, ValueError):
+            base_n = -1
+        out.append((self.doc_lens_path, base_n))
+        for g in self.update_gens():
+            try:
+                with open(os.path.join(g, "stats.json")) as f:
+                    n = int(
+                        json.load(f)["metrics"]["last_update"]["added"]
+                    )
+            except (OSError, json.JSONDecodeError, KeyError, TypeError,
+                    ValueError):
+                n = -1
+            out.append((os.path.join(g, "doc_lens.npy"), n))
+        return out
 
     def stats(self) -> dict:
         gens = self.update_gens()
@@ -816,6 +852,9 @@ def build_index(
         if os.path.exists(part):
             shutil.rmtree(part)
         pipeline_writer(part)
+        # a zero-row pipeline writes no directory at all — an empty corpus
+        # must still produce a well-formed (empty) index
+        os.makedirs(part, exist_ok=True)
         os.rename(part, final_dir)
 
     def timed(stage: str):
@@ -854,6 +893,34 @@ def build_index(
 
     if _fail_after == "docs":
         raise RuntimeError("injected failure after docs stage (test hook)")
+
+    # EMPTY corpus: a zero-row docs stage writes no parquet files. Finish
+    # a well-formed empty index directly (padded doc_lens, empty shard
+    # dirs, n_docs=0 stats) — every downstream read_parquet would otherwise
+    # choke on the file-less docs dir.
+    if not any(
+        f.endswith(".parquet") for f in os.listdir(tmp.docs_dir)
+    ):
+        np.save(tmp.doc_lens_path, np.zeros(1, dtype="<i4"))
+        for d in [tmp.segments_dir] + ([tmp.ngrams_dir] if ngram_index else []):
+            for s in range(n_shards):
+                os.makedirs(os.path.join(d, f"shard={s}"), exist_ok=True)
+        with open(tmp.stats_path, "w") as f:
+            json.dump(
+                dict(n_docs=0, sum_dl=0, avgdl=0.0, n_shards=n_shards,
+                     salt_shift=63, hot_terms=[],
+                     has_ngrams=bool(ngram_index),
+                     metrics={"stage_sec": stage_sec}),
+                f,
+            )
+        with open(tmp.manifest_path, "w") as f:
+            json.dump(dict(fingerprint=fp, params=params, complete=True), f)
+        if os.path.exists(stages_path):
+            os.remove(stages_path)
+        if os.path.exists(out_dir):
+            shutil.rmtree(out_dir)
+        os.rename(tmp_root, out_dir)
+        return paths
 
     # ONE narrow (doc_id, doc_len) scan feeds BOTH the corpus stats and the
     # dense doc-length attribute file (memory-mapped at query time: doc-len
@@ -1040,15 +1107,18 @@ def build_index(
 # Incremental update (segment append — the Lucene commit-point model)
 # ---------------------------------------------------------------------------
 
-def update_index(corpus, out_dir: str, *, batch_size: int = 256) -> IndexPaths:
+def update_index(corpus, out_dir: str, *, batch_size: int = 256,
+                 _retries: int = 4) -> IndexPaths:
     """Incrementally update an existing index to match ``corpus``.
 
     The reference has no persistent index (probe re-scans per query); this
     is the engine's own index-maintenance path, following the standard
     segment-append design:
 
-    - **additions only** (new (repo, path) keys; every existing file's
-      sha256 unchanged): the new docs are tokenized and committed as a new
+    - **additions only** (new (repo, path, commit) keys — the full doc
+      identity triple, so a new commit of an existing path is an addition
+      even when its content sha is unchanged; every existing doc's sha256
+      unchanged): the new docs are tokenized and committed as a new
       GENERATION ``updates/gen-K/`` holding their docs files, one
       compacted posting-segment file per shard (same term-hash shards and
       hot-term salt scheme as the base build), a doc_lens slice, and a
@@ -1074,8 +1144,8 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256) -> IndexPaths:
     result sets are identical.
 
     The change diff itself is computed as a narrow tagged-union groupby
-    over (repo, path) — only the CHANGED key lists ever reach the driver,
-    so the diff is bounded by the delta, not the corpus.
+    over (repo, path, commit) — only the CHANGED key lists ever reach the
+    driver, so the diff is bounded by the delta, not the corpus.
     """
     paths = IndexPaths(out_dir)
     if not os.path.exists(paths.manifest_path):
@@ -1100,25 +1170,43 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256) -> IndexPaths:
             if g.endswith(".tmp"):
                 shutil.rmtree(os.path.join(paths.updates_dir, g))
 
-    # -- narrow diff: (repo, path, sha, src) tagged union -> groupby ------
+    # -- narrow diff: (repo, path, commit, sha, src) tagged union ----------
+    # The corpus/doc-id identity is the FULL (repo, path, commit) triple
+    # (assign_doc_ids sorts all three); keying the diff on (repo, path)
+    # alone would give two commits of one path the same doc id and would
+    # classify a new commit with an unchanged sha as 'same' (never
+    # indexed). The sha still decides same-vs-changed PER triple.
     def tag(src):
         def run(batch: pa.Table) -> pa.Table:
             return pa.table({
                 "repo": pc.cast(batch.column("repo"), pa.string()),
                 "path": pc.cast(batch.column("path"), pa.string()),
+                "commit": pc.cast(batch.column("commit"), pa.string()),
                 "sha": pc.cast(batch.column("content_sha256"), pa.string()),
                 "src": pa.array([src] * len(batch), pa.string()),
             })
         return run
 
-    old_keys = rd.read_parquet(
-        paths.docs_read_paths(), columns=["repo", "path", "content_sha256"]
-    ).map_batches(tag("old"), batch_format="pyarrow")
+    old_files = [
+        os.path.join(d, f)
+        for d in paths.docs_paths() if os.path.isdir(d)
+        for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+    ]
     new_ds = read_corpus(corpus) if isinstance(corpus, str) else corpus
     new_guarded = new_ds.map_batches(
         guard_batch, batch_format="pyarrow", batch_size=batch_size
     )
     new_keys = new_guarded.map_batches(tag("new"), batch_format="pyarrow")
+    if old_files:
+        old_keys = rd.read_parquet(
+            old_files,
+            columns=["repo", "path", "commit", "content_sha256"],
+        ).map_batches(tag("old"), batch_format="pyarrow")
+        tagged_keys = old_keys.union(new_keys)
+    else:
+        # base built from an empty corpus: no docs files exist; every new
+        # triple is an addition
+        tagged_keys = new_keys
 
     # classify keys VECTORIZED inside a bounded number of coarse partitions
     # (the minhash coarse_members pattern): a per-(repo,path) map_groups
@@ -1139,6 +1227,7 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256) -> IndexPaths:
                 pc.binary_join_element_wise(
                     batch.column("repo").combine_chunks(),
                     batch.column("path").combine_chunks(),
+                    batch.column("commit").combine_chunks(),
                     pa.scalar("\x1f"),
                 ),
                 pattern="\x00", replacement="\x1f",
@@ -1157,36 +1246,46 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256) -> IndexPaths:
         empty = pd.DataFrame({
             "repo": pd.Series([], dtype="string"),
             "path": pd.Series([], dtype="string"),
+            "commit": pd.Series([], dtype="string"),
             "status": pd.Series([], dtype="string"),
         })
         if not len(g):
             return empty
-        old = g[g["src"] == "old"][["repo", "path", "sha"]].drop_duplicates()
-        new = g[g["src"] == "new"][["repo", "path", "sha"]].drop_duplicates()
+        cols = ["repo", "path", "commit", "sha"]
+        old = g[g["src"] == "old"][cols].drop_duplicates()
+        new = g[g["src"] == "new"][cols].drop_duplicates()
         # null-keyed rows would be silently dropped by crosstab's internal
         # groupby (regardless of dropna=False) and the update would stamp
         # the new fingerprint without ever seeing them — surface them as
         # "changed" so the full-rebuild path handles (or loudly rejects)
         # them instead
-        null_old = old["repo"].isna() | old["path"].isna()
-        null_new = new["repo"].isna() | new["path"].isna()
+        null_old = (
+            old["repo"].isna() | old["path"].isna() | old["commit"].isna()
+        )
+        null_new = (
+            new["repo"].isna() | new["path"].isna() | new["commit"].isna()
+        )
         extra = None
         if null_old.any() or null_new.any():
-            extra = pd.DataFrame(
-                {"repo": [""], "path": [""], "status": ["changed"]}
-            )
+            extra = pd.DataFrame({
+                "repo": [""], "path": [""], "commit": [""],
+                "status": ["changed"],
+            })
             old, new = old[~null_old], new[~null_new]
-        m = old.merge(new, on=["repo", "path", "sha"], how="outer",
-                      indicator=True)
+        m = old.merge(new, on=cols, how="outer", indicator=True)
         ct = pd.crosstab(
-            [m["repo"], m["path"]], m["_merge"], dropna=False
+            [m["repo"], m["path"], m["commit"]], m["_merge"], dropna=False
         ).reindex(columns=["left_only", "right_only", "both"], fill_value=0)
         same = (ct["left_only"] == 0) & (ct["right_only"] == 0)
         ct = ct[~same]
         if not len(ct):
             return empty if extra is None else extra
+        # a triple with >1 distinct NEW sha is a corpus carrying duplicate
+        # primary keys with conflicting content — route it through the
+        # full-rebuild path rather than colliding doc ids in a generation
         status = np.where(
-            (ct["both"] == 0) & (ct["left_only"] == 0), "added",
+            (ct["both"] == 0) & (ct["left_only"] == 0)
+            & (ct["right_only"] == 1), "added",
             np.where((ct["both"] == 0) & (ct["right_only"] == 0),
                      "removed", "changed"),
         )
@@ -1194,6 +1293,7 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256) -> IndexPaths:
         out = pd.DataFrame({
             "repo": idx["repo"].to_numpy(),
             "path": idx["path"].to_numpy(),
+            "commit": idx["commit"].to_numpy(),
             "status": status,
         })
         return out if extra is None else pd.concat(
@@ -1201,7 +1301,7 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256) -> IndexPaths:
         )
 
     delta_rows = (
-        old_keys.union(new_keys)
+        tagged_keys
         .map_batches(add_pg, batch_format="pyarrow")
         .groupby("pg")
         .map_groups(classify_part, batch_format="pandas")
@@ -1222,7 +1322,8 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256) -> IndexPaths:
                                         stats.get("has_ngrams"))),
         )
     added = sorted(
-        (r["repo"], r["path"]) for r in delta_rows if r["status"] == "added"
+        (r["repo"], r["path"], r["commit"])
+        for r in delta_rows if r["status"] == "added"
     )
 
     def commit_manifest() -> None:
@@ -1270,9 +1371,12 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256) -> IndexPaths:
     added_ref = ray.put(np.sort(added_keys))
 
     def _keys_of(batch: pa.Table) -> np.ndarray:
+        # the full (repo, path, commit) triple, \x00-joined exactly like
+        # assign_doc_ids — ids must be unique PER COMMIT of a path
         return pc.binary_join_element_wise(
             batch.column("repo").combine_chunks(),
             batch.column("path").combine_chunks(),
+            pc.cast(batch.column("commit").combine_chunks(), pa.string()),
             pa.scalar("\x00"),
         ).to_numpy(zero_copy_only=False)
 
@@ -1372,11 +1476,24 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256) -> IndexPaths:
     # committed the same generation number first makes this rename fail,
     # and our generation is stale by definition (it diffed against a
     # pre-commit corpus), so discard it and re-run against the new state.
+    # The retry is BOUNDED: a rename failure where gen_final does NOT
+    # exist is not a lost race but a real filesystem error (EACCES, EXDEV,
+    # ...) and must surface, not loop; repeated genuine races are capped.
     try:
         os.rename(gen_tmp, gen_final)
     except OSError:
         shutil.rmtree(gen_tmp, ignore_errors=True)
-        return update_index(corpus, out_dir, batch_size=batch_size)
+        if not os.path.exists(gen_final):
+            raise
+        if _retries <= 0:
+            raise RuntimeError(
+                f"update_index: lost the gen-{gen_k} commit race too many "
+                f"times on {out_dir}; a concurrent updater is racing this "
+                "one — retry when it settles"
+            )
+        return update_index(
+            corpus, out_dir, batch_size=batch_size, _retries=_retries - 1
+        )
     commit_manifest()
     return paths
 
@@ -1418,14 +1535,19 @@ def compact_index(index_dir: str, out_dir: str, *, batch_size: int = 1024) -> In
                 k += 1
 
     # doc-length attribute: generation slices are consecutive doc-id
-    # ranges, so the merged array is their concatenation
+    # ranges, so the merged array is their concatenation — each trimmed to
+    # its recorded doc count (an empty base's npy is padded to shape (1,))
     arrs = [
-        np.load(p, mmap_mode="r")
-        for p in src.doc_lens_paths()
+        a if n < 0 else a[:n]
+        for p, n in src.doc_lens_slices()
         if os.path.exists(p)
+        for a in (np.load(p, mmap_mode="r"),)
     ]
     if arrs:
-        np.save(dst.doc_lens_path, np.concatenate(arrs))
+        merged = np.concatenate(arrs) if len(arrs) > 1 else np.asarray(arrs[0])
+        if merged.shape[0] == 0:
+            merged = np.zeros(1, dtype="<i4")  # keep the writer's pad shape
+        np.save(dst.doc_lens_path, merged)
 
     # segments: re-derive from the stored tokens (no tokenize stage)
     tok_ds = rd.read_parquet(

@@ -343,11 +343,20 @@ class Engine:
         if getattr(self, "_dl_arr", None) is None:
             import os
 
-            ps = [
-                q for q in self.paths.doc_lens_paths() if os.path.exists(q)
+            slices = [
+                (q, n) for q, n in self.paths.doc_lens_slices()
+                if os.path.exists(q)
             ]
-            if ps and os.path.exists(self.paths.doc_lens_path):
-                arrs = [np.load(q, mmap_mode="r") for q in ps]
+            if slices and os.path.exists(self.paths.doc_lens_path):
+                # each slice is trimmed to its RECORDED doc count: the
+                # writer pads an empty corpus's npy to shape (1,), so an
+                # untrimmed concat after a zero-doc base build would shift
+                # every generation doc's length by one
+                arrs = [
+                    a if n < 0 else a[:n]
+                    for q, n in slices
+                    for a in (np.load(q, mmap_mode="r"),)
+                ]
                 # generation slices are doc-id ranges in commit order, so a
                 # plain concat is the dense array (single-file case stays a
                 # pure mmap; multi-gen concat materializes — acceptable at

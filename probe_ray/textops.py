@@ -3321,7 +3321,7 @@ def unicode_normalize(sf_dir: str) -> rd.Dataset:
         # never pay the recompose
         t1 = pa.array(
             [
-                s if unicodedata.is_normalized("NFC", s)
+                s if s is None or unicodedata.is_normalized("NFC", s)
                 else unicodedata.normalize("NFC", s)
                 for s in text.to_pylist()
             ],

@@ -323,3 +323,130 @@ def test_changed_file_rebuild_preserves_ngram_index(tmp_path):
 
     got = Engine(p).search(['"etaqual"'], max_results=10)
     assert "src/file1.rs" in got.column("path").to_pylist()
+
+
+def test_update_new_commit_of_same_path_is_added_with_unique_doc_id(tmp_path):
+    """ADVICE r4 (high): the diff/id assignment must key on the full
+    (repo, path, commit) triple. Two commits of one path are two docs with
+    DISTINCT doc ids; a new commit with an UNCHANGED content sha is still
+    an addition (it used to be classified 'same' and silently skipped)."""
+    from probe_ray.build import build_index, update_index
+    from probe_ray.oracle import oracle_search_docs
+    from probe_ray.search import Engine
+
+    base_rows = _rows(3)
+    c1 = tmp_path / "c1.parquet"
+    _write(c1, base_rows)
+    paths = build_index(str(c1), str(tmp_path / "idx"))
+    n0 = paths.stats()["n_docs"]
+
+    # same path re-appears at a NEW commit: once with changed content and
+    # once (file1) with byte-identical content (same sha as the base doc)
+    new_rows = [
+        dict(base_rows[0], commit="1" * 40,
+             content=base_rows[0]["content"] + "// keywordGamma\n"),
+        dict(base_rows[1], commit="2" * 40),  # identical content, new commit
+    ]
+    c2 = tmp_path / "c2.parquet"
+    _write(c2, base_rows + new_rows)
+    p2 = update_index(str(c2), str(tmp_path / "idx"))
+
+    assert len(p2.update_gens()) == 1  # append, not rebuild
+    st = p2.stats()
+    assert st["n_docs"] == n0 + 2
+    docs = _docs_from_index(p2)
+    ids = [d.doc_id for d in docs]
+    assert sorted(ids) == list(range(n0 + 2))  # dense, no duplicates
+    # both commits of file0 / file1 are present as separate docs
+    by_key = {(d.path, d.commit) for d in docs}
+    assert ("src/file0.rs", "0" * 40) in by_key
+    assert ("src/file0.rs", "1" * 40) in by_key
+    assert ("src/file1.rs", "2" * 40) in by_key
+
+    eng = Engine(p2)
+    for queries in (["keywordGamma"], ["keywordAlpha"], ["loader1"]):
+        got = eng.search(queries, max_results=20)
+        want = oracle_search_docs(docs, queries, max_results=20)
+        assert got.column("doc_id").to_pylist() == [
+            r.doc_id for r in want
+        ], queries
+
+
+def test_update_duplicate_triple_conflicting_content_rebuilds(tmp_path):
+    """A corpus carrying the same (repo, path, commit) twice with different
+    content is routed through the full-rebuild path instead of colliding
+    doc ids inside a generation."""
+    from probe_ray.build import build_index, update_index
+
+    c1 = tmp_path / "c1.parquet"
+    _write(c1, _rows(3))
+    build_index(str(c1), str(tmp_path / "idx"))
+
+    dup_a = _rows(1, start=9)[0]
+    dup_b = dict(dup_a, content=dup_a["content"] + "// other\n")
+    c2 = tmp_path / "c2.parquet"
+    _write(c2, _rows(3) + [dup_a, dup_b])
+    p = update_index(str(c2), str(tmp_path / "idx"))
+    assert p.update_gens() == []  # rebuilt
+
+
+def test_update_onto_empty_base_index_has_untrimmed_doc_lens(tmp_path):
+    """ADVICE r4: a zero-doc base writes a (1,)-padded doc_lens.npy; the
+    reader and compact_index must trim each slice to its recorded count or
+    every generation doc's length shifts by one."""
+    import numpy as np
+
+    from probe_ray.build import build_index, compact_index, update_index
+    from probe_ray.oracle import oracle_search_docs
+    from probe_ray.search import Engine
+
+    empty = pa.table(
+        {c: pa.array([], pa.string())
+         for c in ("repo", "path", "commit", "lang", "content")}
+    )
+    c0 = tmp_path / "c0.parquet"
+    pq.write_table(empty, str(c0))
+    paths = build_index(str(c0), str(tmp_path / "idx"))
+    assert paths.stats()["n_docs"] == 0
+
+    c1 = tmp_path / "c1.parquet"
+    _write(c1, _rows(4))
+    p1 = update_index(str(c1), str(tmp_path / "idx"))
+    assert len(p1.update_gens()) == 1 and p1.stats()["n_docs"] == 4
+
+    eng = Engine(p1)
+    dl = eng._doc_len_array()
+    assert dl.shape[0] == 4 and int(dl[0]) > 0
+    docs = _docs_from_index(p1)
+    got = eng.search(["keywordAlpha"], max_results=10)
+    want = oracle_search_docs(docs, ["keywordAlpha"], max_results=10)
+    assert got.column("doc_id").to_pylist() == [r.doc_id for r in want]
+    assert np.allclose(
+        got.column("score").to_pylist(), [r.score for r in want], atol=1e-9
+    )
+
+    p2 = compact_index(str(tmp_path / "idx"), str(tmp_path / "idx2"))
+    dl2 = np.load(p2.doc_lens_path)
+    assert dl2.shape[0] == 4
+    assert np.array_equal(np.asarray(dl, dtype=dl2.dtype), dl2)
+
+
+def test_unicode_normalize_passes_null_text_through(tmp_path):
+    """ADVICE r4: a null text row flows through like the oracle's NULL."""
+    from probe_ray import textops
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["café", None], pa.string()),
+        }),
+        str(d / "documents.parquet"),
+    )
+    rows = sorted(
+        textops.unicode_normalize(str(d)).take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    assert rows[0]["norm_text"] == "café"
+    assert rows[1]["norm_text"] is None
