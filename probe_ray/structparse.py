@@ -41,6 +41,14 @@ Acceptable-parent sets ported per language:
                   properties/constructors/delegates/events
   ruby.rs         method/singleton_method/class/module (end-matched via
                   keyword-depth scan, not braces)
+  php.rs:28-37    function_definition/method_declaration/class/interface/
+                  trait (methods distinguished from functions by leading
+                  visibility/static/abstract/final modifiers; `#` line
+                  comments unmodeled — // and /* */ are)
+  swift.rs:28-41  func/class/struct/enum/protocol/extension/typealias/
+                  variable/constant declarations (var/let/typealias spans
+                  end at the bracket-balanced logical line, so a plain
+                  `let x = 5` never swallows a later block)
 Test-node detection mirrors each language's is_test_node
 (rust #[test] attributes, python/ruby test_ prefix, go Test prefix,
 js/ts test-name functions and describe/it/test/expect calls, java @Test
@@ -73,6 +81,8 @@ SUPPORTED_EXTS = {
     "hh": "cpp",
     "cs": "csharp",
     "rb": "ruby",
+    "php": "php",
+    "swift": "swift",
 }
 
 
@@ -386,6 +396,58 @@ _CS_HEADERS = [
 _CS_TEST_ATTR = re.compile(
     r"^\s*\[\s*(?:\w+\.)*(?:Test|Fact|TestMethod|Theory)\b")
 
+# -- php (php.rs:28-37 acceptable set: function_definition /
+#    method_declaration / class / interface / trait). tree-sitter labels a
+#    class-body function `method_declaration`; without a grammar the
+#    distinction is drawn from leading modifiers (visibility/static/
+#    abstract/final), so an unmodified `function f()` inside a class is
+#    labeled function_definition — both kinds are acceptable parents, so
+#    spans are unaffected; only is_test naming differs (documented) --
+_PHP_MODS = (
+    r"(?:(?:public|private|protected|static|abstract|final|readonly)\s+)+"
+)
+_PHP_HEADERS = [
+    ("class_declaration", re.compile(
+        r"^\s*(?:(?:final|abstract|readonly)\s+)*class\s+\w+")),
+    ("interface_declaration", re.compile(r"^\s*interface\s+\w+")),
+    ("trait_declaration", re.compile(r"^\s*trait\s+\w+")),
+    ("method_declaration", re.compile(
+        rf"^\s*{_PHP_MODS}function\s+&?\w+\s*\(")),
+    ("function_definition", re.compile(r"^\s*function\s+&?\w+\s*\(")),
+]
+_PHP_TEST_DOC = re.compile(r"@test\b")
+
+# -- swift (swift.rs:28-41 acceptable set). `class func`/`class var` are
+#    method modifiers, not class declarations (negative lookahead); var/
+#    let/typealias spans end at the bracket-balanced logical line (a
+#    computed property's `{ ... }` balances; a plain `let x = 5` is one
+#    line), because swift has no `;` terminator for _brace_end to stop at --
+_SWIFT_MODS = (
+    r"(?:(?:@\w+(?:\([^)]*\))?|public|private|fileprivate|internal|open|"
+    r"final|static|class|override|mutating|nonmutating|convenience|"
+    r"required|lazy|weak|unowned|dynamic|indirect|optional|package)\s+)*"
+)
+_SWIFT_HEADERS = [
+    ("function_declaration", re.compile(
+        rf"^\s*{_SWIFT_MODS}func\s+\S+")),
+    ("class_declaration", re.compile(
+        rf"^\s*{_SWIFT_MODS}class\s+(?!func\b|var\b|let\b)\w+")),
+    ("struct_declaration", re.compile(rf"^\s*{_SWIFT_MODS}struct\s+\w+")),
+    ("enum_declaration", re.compile(rf"^\s*{_SWIFT_MODS}enum\s+\w+")),
+    ("protocol_declaration", re.compile(
+        rf"^\s*{_SWIFT_MODS}protocol\s+\w+")),
+    ("extension_declaration", re.compile(
+        rf"^\s*{_SWIFT_MODS}extension\s+[\w.]+")),
+    ("typealias_declaration", re.compile(
+        rf"^\s*{_SWIFT_MODS}typealias\s+\w+")),
+    ("variable_declaration", re.compile(rf"^\s*{_SWIFT_MODS}var\s+\w+")),
+    ("constant_declaration", re.compile(rf"^\s*{_SWIFT_MODS}let\s+\w+")),
+]
+#: swift kinds whose span is the logical line, not a brace scan
+_SWIFT_LINE_KINDS = frozenset({
+    "variable_declaration", "constant_declaration", "typealias_declaration",
+})
+
 # per-language header tables for the shared brace-block branch
 _BRACE_HEADERS = {
     "rust": _RUST_HEADERS,
@@ -394,6 +456,8 @@ _BRACE_HEADERS = {
     "c": _C_HEADERS,
     "cpp": _CPP_HEADERS,
     "csharp": _CS_HEADERS,
+    "php": _PHP_HEADERS,
+    "swift": _SWIFT_HEADERS,
 }
 
 # -- ruby (ruby.rs is_symbol_like: method/class/module + singletons);
@@ -432,12 +496,17 @@ def _ruby_end(code_lines: list[str], start_i: int) -> int:
 
 
 def _brace_is_test(
-    lang: str, kind: str, code_lines: list[str], i: int
+    lang: str, kind: str, code_lines: list[str], i: int,
+    raw_lines: list[str] | None = None,
 ) -> bool:
     """Per-language test-node detection for the brace languages, mirroring
     each language's is_test_node: rust #[test]/#[cfg(test)] attributes,
     go Test-prefixed funcs, java @Test annotations, c# [Test]/[Fact]/...
-    attributes, c/cpp test-named functions (c.rs/cpp.rs name check)."""
+    attributes, c/cpp test-named functions (c.rs/cpp.rs name check), php
+    test-prefixed methods / @test docblocks (php.rs:39-67 — the docblock
+    needs RAW lines, comments are blanked in code_lines), swift test-
+    prefixed funcs / @Test attributes / XCTestCase classes
+    (swift.rs:43-99)."""
     if lang == "rust":
         k = i - 1
         while k >= 0 and code_lines[k].lstrip().startswith("#["):
@@ -473,6 +542,39 @@ def _brace_is_test(
     if lang in ("c", "cpp") and kind == "function_definition":
         name = re.search(r"([\w:~]+)\s*\(", code_lines[i])
         return bool(name and "test" in name.group(1).lower())
+    if lang == "php":
+        if kind != "method_declaration":
+            return False
+        name = re.search(r"function\s+&?(\w+)", code_lines[i])
+        if name and name.group(1).startswith("test"):
+            return True
+        # @test docblock annotation directly above (php.rs:54-62)
+        if raw_lines is not None:
+            k = i - 1
+            while k >= 0 and raw_lines[k].lstrip().startswith(
+                ("*", "/*", "//", "#")
+            ):
+                if _PHP_TEST_DOC.search(raw_lines[k]):
+                    return True
+                k -= 1
+        return False
+    if lang == "swift":
+        if kind == "function_declaration":
+            name = re.search(r"func\s+([\w`]+)", code_lines[i])
+            if name and name.group(1).lstrip("`").startswith("test"):
+                return True
+            # @Test attribute on the header or the lines directly above
+            if "@Test" in code_lines[i]:
+                return True
+            k = i - 1
+            while k >= 0 and code_lines[k].lstrip().startswith("@"):
+                if re.match(r"^\s*@Test\b", code_lines[k]):
+                    return True
+                k -= 1
+            return False
+        if kind == "class_declaration":
+            return "XCTestCase" in code_lines[i]
+        return False
     return False
 
 
@@ -633,8 +735,18 @@ def structural_spans(
                 continue
             for kind, rx in headers:
                 if rx.match(code_lines[i]):
-                    end = _brace_end(code_lines, i)
-                    is_test = _brace_is_test(lang, kind, code_lines, i)
+                    if lang == "swift" and kind in _SWIFT_LINE_KINDS:
+                        # no `;` terminator exists for _brace_end to stop
+                        # at — the span is the bracket-balanced logical
+                        # line (a computed property's { } balances inside)
+                        end = _logical_lines(
+                            code_lines, comment_only, in_str, [i]
+                        )[0][1]
+                    else:
+                        end = _brace_end(code_lines, i)
+                    is_test = _brace_is_test(
+                        lang, kind, code_lines, i, raw_lines=lines
+                    )
                     spans.append(Span(i + 1, end + 1, kind, is_test))
                     break
 
