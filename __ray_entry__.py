@@ -243,6 +243,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "probe_search_blocks_early": probe_search_blocks(
             "spark OR vector", max_results=25, early_termination=True),
         "probe_search_blocks_ast": _probe_search_blocks_ast,
+        # probe symbols over an 18-language fixture corpus (M12 surface;
+        # rows-only: stack-based parent tracking is stateful per file)
+        "probe_symbols": _probe_symbols,
         "probe_search_global_topk": probe_search_global("spark join", max_results=50),
         # cross-encoder rerank of the admitted top-k (T4 surface; the
         # deterministic lexical-proxy scorer stands in for the env-stubbed
@@ -285,6 +288,67 @@ def _probe_search_blocks_ast(sf_dir: str):
     eng = Engine(build_index(out, "/tmp/probe_ray_ast_index_t1"))
     tbl = eng.search_blocks(["keywordAlpha OR keywordBeta"])
     return tbl.drop_columns(["code"])
+
+
+def _probe_symbols(sf_dir: str):
+    """probe symbols (M12, src/extract/symbols.rs) over a deterministic
+    fixture corpus covering all 18 recognizer languages (every factory.rs
+    route except tsx, which shares typescript's recognizer): per-file
+    symbol tables with kind/name/parent-path/signature/params, sorted for
+    a stable rows-only check. The sf_dir argument is unused: the corpus is
+    fixed per the task brief (no external data); golden (kind, name,
+    parent, params) rows are pinned in tests/test_tools.py."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from probe_ray.tools import symbols
+
+    fixtures = {
+        "a.rs": ("rust", "pub struct P { x: f64 }\nimpl P {\n"
+                 "    pub fn norm(&self) -> f64 { self.x }\n}\n"),
+        "a.py": ("python", "class C:\n    def add(self, x):\n"
+                 "        return x\ndef helper(a):\n    return a\n"),
+        "a.go": ("go", "type C struct{}\nfunc (c *C) Add(x int) int {\n"
+                 "    return x\n}\nfunc New() *C { return &C{} }\n"),
+        "a.js": ("javascript", "class C {\n    add(x) { return x; }\n}\n"
+                 "function helper(a) { return a; }\n"),
+        "a.ts": ("typescript", "export interface Ops { run(): void; }\n"
+                 "type Pair = [number, number];\n"),
+        "A.java": ("java", "public class A {\n"
+                   "    public int add(int x) { return x; }\n}\n"),
+        "a.c": ("c", "struct node { int v; };\n"
+                "static int add(int x) {\n    return x;\n}\n"),
+        "a.cpp": ("cpp", "namespace n {\nclass C {\n};\n"
+                  "double C::f(double x) {\n    return x;\n}\n}\n"),
+        "A.cs": ("csharp", "namespace N {\n    public class A {\n"
+                 "        public int Add(int x) { return x; }\n    }\n}\n"),
+        "a.rb": ("ruby", "module M\n  class C\n    def add(x)\n"
+                 "      x\n    end\n  end\nend\n"),
+        "a.php": ("php", "<?php\nclass C {\n"
+                  "    public function add($x) { return $x; }\n}\n"
+                  "function helper($a) { return $a; }\n"),
+        "a.swift": ("swift", "struct P {\n    func norm() -> Double {\n"
+                    "        return 0\n    }\n}\n"),
+        "a.md": ("markdown", "# Title\ntext\n## Usage\nmore\n"),
+        "a.yaml": ("yaml", "server:\n  host: localhost\nlogging:\n"
+                   "  level: info\n"),
+        "a.sol": ("solidity", "contract T {\n"
+                  "    event Moved(address a);\n"
+                  "    function go(address a) public {\n    }\n}\n"),
+        "a.cr": ("crystal", "module M\n  class C\n    def add(x)\n"
+                 "      x\n    end\n  end\nend\n"),
+        "a.hs": ("haskell", "data Shape = Circle Double\n"
+                 "addOne :: Int -> Int\naddOne x = x + 1\n"),
+        "a.html": ("html", "<html>\n<body>\n  <section>\n    <p>t</p>\n"
+                   "  </section>\n</body>\n</html>\n"),
+    }
+    docs = rd.from_arrow(pa.table({
+        "repo": ["fixture"] * len(fixtures),
+        "path": list(fixtures),
+        "lang": [l for l, _ in fixtures.values()],
+        "content": [c for _, c in fixtures.values()],
+    }))
+    return symbols(docs).sort(["path", "line_no", "kind", "name"])
 
 
 def _extract_from_text_refs(sf_dir: str):

@@ -498,6 +498,10 @@ _LANG_EXTENSIONS = {
     "markdown": ["md", "markdown"],
     "html": ["html", "htm"],
     "css": ["css", "scss", "sass"],
+    "solidity": ["sol"],
+    "crystal": ["cr"],
+    "haskell": ["hs", "lhs"],
+    "yaml": ["yaml", "yml"],
 }
 
 _LANG_ALIASES = {

@@ -191,6 +191,65 @@ _SYMBOL_PATTERNS["markdown"] = [
 _SYMBOL_PATTERNS["yaml"] = [
     ("key", re.compile(r"^\s*(?P<name>[A-Za-z0-9_.\-]+):(?:\s|$)")),
 ]
+# solidity.rs:55-72 acceptable parents (contract/interface/library/
+# function/constructor/modifier/fallback-receive/struct/enum/event/error/
+# state_variable/user-defined type)
+_SYMBOL_PATTERNS["solidity"] = [
+    ("contract", re.compile(
+        r"^\s*(?:abstract\s+)?contract\s+(?P<name>\w+)")),
+    ("interface", re.compile(r"^\s*interface\s+(?P<name>\w+)")),
+    ("library", re.compile(r"^\s*library\s+(?P<name>\w+)")),
+    ("struct", re.compile(r"^\s*struct\s+(?P<name>\w+)")),
+    ("enum", re.compile(r"^\s*enum\s+(?P<name>\w+)")),
+    ("event", re.compile(r"^\s*event\s+(?P<name>\w+)")),
+    ("error", re.compile(r"^\s*error\s+(?P<name>\w+)")),
+    ("modifier", re.compile(r"^\s*modifier\s+(?P<name>\w+)")),
+    ("constructor", re.compile(r"^\s*(?P<name>constructor)\s*\(")),
+    ("function", re.compile(r"^\s*function\s+(?P<name>\w+)")),
+    ("function", re.compile(r"^\s*(?P<name>fallback|receive)\s*\(")),
+    ("state_variable", re.compile(
+        r"^\s*(?:mapping\s*\([^;]*\)|uint\d*|int\d*|address|bool|string"
+        r"|bytes\d*)\s+(?:(?:public|private|internal|constant|immutable"
+        r"|override)\s+)*(?P<name>\w+)\s*(?:=[^=>]|;)")),
+]
+# crystal.rs:70-87 acceptable parents (end-keyword scoped like ruby; the
+# shared indent heuristic approximates spans)
+_SYMBOL_PATTERNS["crystal"] = [
+    ("class", re.compile(r"^\s*(?:abstract\s+)?class\s+(?P<name>\w+)")),
+    ("module", re.compile(r"^\s*module\s+(?P<name>\w+)")),
+    ("struct", re.compile(r"^\s*(?:abstract\s+)?struct\s+(?P<name>\w+)")),
+    ("enum", re.compile(r"^\s*enum\s+(?P<name>\w+)")),
+    ("method", re.compile(
+        r"^\s*(?:abstract\s+)?def\s+(?:self\.)?(?P<name>[\w?!]+)")),
+    ("macro", re.compile(r"^\s*macro\s+(?P<name>\w+)")),
+    ("lib", re.compile(r"^\s*lib\s+(?P<name>\w+)")),
+    ("fun", re.compile(r"^\s*fun\s+(?P<name>\w+)")),
+    ("alias", re.compile(r"^\s*alias\s+(?P<name>\w+)")),
+    ("annotation", re.compile(r"^\s*annotation\s+(?P<name>\w+)")),
+]
+# haskell.rs:77-99 acceptable parents; a function symbol is its type
+# signature line (the binding lines below it have no separate node here —
+# the reference's "bind" kind needs the grammar); class/instance bodies
+# span by indentation (`where` blocks indent)
+_SYMBOL_PATTERNS["haskell"] = [
+    ("data", re.compile(
+        r"^\s*data\s+(?:family\s+|instance\s+)?(?P<name>\w+)")),
+    ("newtype", re.compile(r"^\s*newtype\s+(?P<name>\w+)")),
+    ("type", re.compile(
+        r"^\s*type\s+(?:family\s+|instance\s+)?(?P<name>\w+)")),
+    ("class", re.compile(r"^\s*class\s+(?:.*?=>\s*)?(?P<name>\w+)")),
+    ("instance", re.compile(r"^\s*instance\s+(?:.*?=>\s*)?(?P<name>\w+)")),
+    ("foreign", re.compile(
+        r"^\s*foreign\s+(?:import|export)\b.*?\"[^\"]*\"\s+(?P<name>\w+)")),
+    ("function", re.compile(r"^(?P<name>[a-z_][\w']*)\s*::")),
+]
+# html.rs:240-255 acceptable parents: structural/semantic container
+# elements; the span runs to the matching close tag (tag-nesting count)
+_SYMBOL_PATTERNS["html"] = [
+    ("element", re.compile(
+        r"^\s*<(?P<name>html|head|body|header|footer|nav|main|section|"
+        r"article|aside|form|table|div|ul|ol|script|style)\b")),
+]
 
 _TEST_PATH_RE = re.compile(r"(^|/)tests?/|_test\.\w+$|\.test\.\w+$|^test_|/test_")
 _TEST_CONTENT_RE = re.compile(r"#\[test\]|^\s*def test_|\bit\(|\bdescribe\(", re.M)
@@ -292,9 +351,10 @@ def extract(docs: rd.Dataset, repo: str, path: str, line: int | None = None,
                 code="\n".join(lines[lo - 1: hi]))
 
 
-# indentation-scoped block ends; ruby is end-keyword scoped but follows
-# indentation conventions, so the indent heuristic approximates its spans
-_INDENT_LANGS = {"python", "ruby", "yaml"}
+# indentation-scoped block ends; ruby/crystal are end-keyword scoped but
+# follow indentation conventions, so the indent heuristic approximates
+# their spans; haskell `where` blocks indent
+_INDENT_LANGS = {"python", "ruby", "yaml", "crystal", "haskell"}
 
 _MD_HEADING_RE = re.compile(r"^(#{1,6})\s")
 
@@ -314,6 +374,20 @@ def _symbol_end_line(lines: list[str], start_i: int, lang: str) -> int:
             m2 = _MD_HEADING_RE.match(lines[j])
             if m2 and len(m2.group(1)) <= level:
                 return j
+        return n
+    if lang == "html":
+        # an element spans to its matching close tag (same-tag nesting
+        # count; a self-closing or same-line-closed element is one line)
+        m = re.match(r"\s*<(\w+)", lines[start_i])
+        tag = m.group(1) if m else ""
+        open_rx = re.compile(rf"<{tag}\b(?![^>]*/>)")
+        close_rx = re.compile(rf"</{tag}\s*>")
+        depth = 0
+        for j in range(start_i, n):
+            depth += len(open_rx.findall(lines[j]))
+            depth -= len(close_rx.findall(lines[j]))
+            if depth <= 0:
+                return j + 1
         return n
     if lang in _INDENT_LANGS:
         indent = len(lines[start_i]) - len(lines[start_i].lstrip())

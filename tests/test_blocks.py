@@ -832,6 +832,23 @@ def test_new_language_ast_blocks_end_to_end(tmp_path):
             "  end\n"
             "end\n",
         ),
+        "src/pay.php": (
+            "php",
+            "<?php\n"
+            "class Pay {\n"
+            "    public function keywordAlpha(int $x): int {\n"
+            "        return $x + 1;\n"
+            "    }\n"
+            "}\n",
+        ),
+        "src/calc.swift": (
+            "swift",
+            "struct Calc {\n"
+            "    func keywordAlpha(_ x: Int) -> Int {\n"
+            "        return x + 1\n"
+            "    }\n"
+            "}\n",
+        ),
     }
     rows = [
         dict(repo="r", path=p, commit="0" * 40, lang=lang, content=c)
@@ -856,6 +873,8 @@ def test_new_language_ast_blocks_end_to_end(tmp_path):
     assert by_path["src/util.c"] == "function_definition"
     assert by_path["src/geom.cpp"] == "function_definition"
     assert by_path["src/Inv.cs"] == "method_declaration"
+    assert by_path["src/pay.php"] == "method_declaration"
+    assert by_path["src/calc.swift"] == "function_declaration"
     rb = eng.search_blocks(["keyword_alpha"])
     rb_types = dict(zip(rb.column("path").to_pylist(),
                         rb.column("node_type").to_pylist()))

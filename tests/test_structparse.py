@@ -438,3 +438,127 @@ def test_ruby_spans_end_matching():
     assert (17, 17, "method") in spans
     tests = [s for s in spans.values() if s.is_test]
     assert [(s.start, s.end) for s in tests] == [(11, 15)]
+
+
+PHP = """\
+<?php
+final class Invoice {
+    public function addLine(int $amount): void {
+        $this->total += $amount;
+    }
+
+    /**
+     * @test
+     */
+    public function checksTotals(): void {
+        assert($this->total >= 0);
+    }
+
+    public function testAdds(): void {
+        $this->addLine(1);
+    }
+}
+
+interface Payable {
+    public function pay(): bool;
+}
+
+trait Logging {
+    public function log(string $m): void {
+    }
+}
+
+function format_total(int $t): string {
+    return "total: $t";
+}
+"""
+
+
+def test_php_spans_and_test_detection():
+    spans = _spans(PHP, "php")
+    assert (2, 17, "class_declaration") in spans
+    assert (3, 5, "method_declaration") in spans
+    assert (19, 21, "interface_declaration") in spans
+    # bodyless interface method decl ends at its `;`
+    assert (20, 20, "method_declaration") in spans
+    assert (23, 26, "trait_declaration") in spans
+    assert (28, 30, "function_definition") in spans
+    # test methods: testAdds by name prefix, checksTotals by @test docblock
+    tests = sorted((s.start, s.end) for s in spans.values() if s.is_test)
+    assert tests == [(10, 12), (14, 16)]
+    # top-level function named format_total is NOT a test (php.rs tests
+    # method_declaration only)
+    assert not spans[(28, 30, "function_definition")].is_test
+
+
+SWIFT = """\
+import Foundation
+
+public struct Point {
+    var x: Double
+    let origin = 0.0
+
+    func norm() -> Double {
+        return x * x
+    }
+}
+
+final class Calculator: BaseCalc {
+    class func shared() -> Calculator {
+        return Calculator()
+    }
+}
+
+extension Point: CustomStringConvertible {
+    public var description: String {
+        return "p"
+    }
+}
+
+protocol Shape {
+    func area() -> Double
+}
+
+enum Direction {
+    case north
+}
+
+typealias Distance = Double
+
+func testNorm() {
+    assert(Point(x: 1).norm() == 1)
+}
+
+class PointTests: XCTestCase {
+    func helper() {}
+}
+"""
+
+
+def test_swift_spans_and_test_detection():
+    spans = _spans(SWIFT, "swift")
+    assert (3, 10, "struct_declaration") in spans
+    assert (4, 4, "variable_declaration") in spans
+    assert (5, 5, "constant_declaration") in spans
+    assert (7, 9, "function_declaration") in spans
+    # `class func` is a method modifier, not a class declaration
+    assert (12, 16, "class_declaration") in spans
+    assert (13, 15, "function_declaration") in spans
+    assert not any(
+        s.node_type == "class_declaration" and s.start == 13
+        for s in spans.values()
+    )
+    assert (18, 22, "extension_declaration") in spans
+    # computed property spans its balanced braces (logical line), and a
+    # plain var/let never swallows a later block
+    assert (19, 21, "variable_declaration") in spans
+    assert (24, 26, "protocol_declaration") in spans
+    assert (25, 25, "function_declaration") in spans
+    assert (28, 30, "enum_declaration") in spans
+    assert (32, 32, "typealias_declaration") in spans
+    # test detection: func test* prefix and XCTestCase subclass
+    tests = sorted((s.start, s.end, s.node_type)
+                   for s in spans.values() if s.is_test)
+    assert (34, 36, "function_declaration") in tests
+    assert (38, 40, "class_declaration") in tests
+    assert len(tests) == 2

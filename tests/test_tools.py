@@ -671,3 +671,156 @@ def test_symbols_golden_six_more_langs():
     # no false symbols from member/statement lines
     assert not any(k[0] == "calc.cpp" and k[2] in ("base_", "return") for k in got)
     assert not any(k[0] == "calc.swift" and k[2] == "x" for k in got)
+
+
+def test_symbols_golden_final_four_langs():
+    """Golden table for the last factory languages (solidity, crystal,
+    haskell, html) — kinds mirror each language's is_acceptable_parent
+    node set (solidity.rs:55-72, crystal.rs:70-87, haskell.rs:77-99,
+    html.rs:240-255). With these, 18 of the reference's 19 factory
+    routes have a recognizer (tsx shares typescript's)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from probe_ray.tools import symbols
+
+    fixtures = {
+        ("Token.sol", "solidity"): (
+            "contract Token {\n"
+            "    mapping(address => uint256) public balances;\n"
+            "    event Transfer(address from, address to);\n"
+            "    error NotOwner();\n"
+            "    modifier onlyOwner() {\n"
+            "        _;\n"
+            "    }\n"
+            "    constructor(uint256 supply) {\n"
+            "    }\n"
+            "    function transfer(address to, uint256 amount) public {\n"
+            "    }\n"
+            "    receive() external payable {\n"
+            "    }\n"
+            "}\n"
+            "interface IToken {\n"
+            "    function total() external;\n"
+            "}\n"
+            "library MathLib {\n"
+            "}\n"
+        ),
+        ("calc.cr", "crystal"): (
+            "module Billing\n"
+            "  class Calc\n"
+            "    def add(x, y)\n"
+            "      x + y\n"
+            "    end\n"
+            "    def self.build\n"
+            "      new\n"
+            "    end\n"
+            "  end\n"
+            "  enum Mode\n"
+            "    A\n"
+            "  end\n"
+            "  alias Num = Int32\n"
+            "end\n"
+            "lib LibC\n"
+            "  fun strlen(s : UInt8*) : Int32\n"
+            "end\n"
+            "macro define_getter(name)\n"
+            "end\n"
+        ),
+        ("Calc.hs", "haskell"): (
+            "module Calc where\n"
+            "\n"
+            "data Shape = Circle Double | Square Double\n"
+            "newtype Total = Total Double\n"
+            "type Pair = (Int, Int)\n"
+            "\n"
+            "class Area a where\n"
+            "  area :: a -> Double\n"
+            "\n"
+            "instance Area Shape where\n"
+            "  area (Circle r) = r * r\n"
+            "\n"
+            "addOne :: Int -> Int\n"
+            "addOne x = x + 1\n"
+        ),
+        ("index.html", "html"): (
+            "<html>\n"
+            "<head>\n"
+            "  <title>T</title>\n"
+            "</head>\n"
+            "<body>\n"
+            "  <nav>\n"
+            "    <div>menu</div>\n"
+            "  </nav>\n"
+            "  <section>\n"
+            "    <p>text</p>\n"
+            "  </section>\n"
+            "  <script>\n"
+            "    run();\n"
+            "  </script>\n"
+            "</body>\n"
+            "</html>\n"
+        ),
+    }
+    docs = rd.from_arrow(pa.table({
+        "repo": ["r"] * len(fixtures),
+        "path": [p for p, _ in fixtures],
+        "lang": [l for _, l in fixtures],
+        "content": list(fixtures.values()),
+    }))
+    df = symbols(docs).to_pandas()
+    got = {
+        (r.path, r.kind, r.name, r.parent): r.params
+        for r in df.itertuples()
+    }
+
+    golden = [
+        # (path, kind, name, parent, params)
+        ("Token.sol", "contract", "Token", "", None),
+        ("Token.sol", "state_variable", "balances", "Token", None),
+        ("Token.sol", "event", "Transfer", "Token", None),
+        ("Token.sol", "error", "NotOwner", "Token", None),
+        ("Token.sol", "modifier", "onlyOwner", "Token", None),
+        ("Token.sol", "constructor", "constructor", "Token", None),
+        ("Token.sol", "function", "transfer", "Token",
+         "address to, uint256 amount"),
+        ("Token.sol", "function", "receive", "Token", ""),
+        ("Token.sol", "interface", "IToken", "", None),
+        ("Token.sol", "function", "total", "IToken", ""),
+        ("Token.sol", "library", "MathLib", "", None),
+        ("calc.cr", "module", "Billing", "", None),
+        ("calc.cr", "class", "Calc", "Billing", None),
+        ("calc.cr", "method", "add", "Billing::Calc", "x, y"),
+        ("calc.cr", "method", "build", "Billing::Calc", None),
+        ("calc.cr", "enum", "Mode", "Billing", None),
+        ("calc.cr", "alias", "Num", "Billing", None),
+        ("calc.cr", "lib", "LibC", "", None),
+        ("calc.cr", "fun", "strlen", "LibC", None),
+        ("calc.cr", "macro", "define_getter", "", None),
+        ("Calc.hs", "data", "Shape", "", None),
+        ("Calc.hs", "newtype", "Total", "", None),
+        ("Calc.hs", "type", "Pair", "", None),
+        ("Calc.hs", "class", "Area", "", None),
+        ("Calc.hs", "instance", "Area", "", None),
+        ("Calc.hs", "function", "addOne", "", None),
+        ("index.html", "element", "html", "", None),
+        ("index.html", "element", "head", "html", None),
+        ("index.html", "element", "body", "html", None),
+        ("index.html", "element", "nav", "html::body", None),
+        ("index.html", "element", "div", "html::body::nav", None),
+        ("index.html", "element", "section", "html::body", None),
+        ("index.html", "element", "script", "html::body", None),
+    ]
+    for path, kind, name, parent, params in golden:
+        key = (path, kind, name, parent)
+        assert key in got, f"missing {path}:{kind}:{name} under {parent!r}"
+        assert got[key] == params, (
+            f"{path}:{name} params {got[key]!r} != {params!r}"
+        )
+    # html element spans end at the matching close tag
+    h = df[df["path"] == "index.html"]
+    nav = h[h["name"] == "nav"].iloc[0]
+    assert (nav.line_no, nav.end_line) == (6, 8)
+    # haskell 'area ::' inside the class body is indented (column > 0), so
+    # it is NOT a top-level function symbol
+    assert not any(k[0] == "Calc.hs" and k[2] == "area" for k in got)
