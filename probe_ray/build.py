@@ -626,6 +626,18 @@ class IndexPaths:
             os.path.join(g, "doc_lens.npy") for g in self.update_gens()
         ]
 
+    @property
+    def keys_dir(self) -> str:
+        # narrow (repo, path, commit, content_sha256) side table written
+        # at build/update time so update_index's change diff never
+        # re-opens the wide docs parquet (item: cheap diffs)
+        return os.path.join(self.root, "keys")
+
+    def keys_dirs(self) -> list[str]:
+        return [self.keys_dir] + [
+            os.path.join(g, "keys") for g in self.update_gens()
+        ]
+
     def doc_lens_slices(self) -> list[tuple[str, int]]:
         """(path, true_length) per doc-length slice. The sharded writer
         pads an EMPTY corpus's .npy to shape (1,) so the file stays a
@@ -661,6 +673,23 @@ class IndexPaths:
                 return json.load(f)
         with open(self.stats_path) as f:
             return json.load(f)
+
+
+def _file_sig(path: str) -> str:
+    """Per-file identity for the append-only corpus diff: size + mtime_ns
+    (the same signals the corpus fingerprint hashes, finer-grained)."""
+    st = os.stat(path)
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
+def _corpus_listing(corpus) -> dict[str, str] | None:
+    """{basename: file_sig} for a parquet corpus DIRECTORY, else None."""
+    if not (isinstance(corpus, str) and os.path.isdir(corpus)):
+        return None
+    return {
+        f: _file_sig(os.path.join(corpus, f))
+        for f in os.listdir(corpus) if f.endswith(".parquet")
+    }
 
 
 def _fingerprint(corpus, params: dict) -> str:
@@ -902,6 +931,7 @@ def build_index(
         f.endswith(".parquet") for f in os.listdir(tmp.docs_dir)
     ):
         np.save(tmp.doc_lens_path, np.zeros(1, dtype="<i4"))
+        os.makedirs(tmp.keys_dir, exist_ok=True)
         for d in [tmp.segments_dir] + ([tmp.ngrams_dir] if ngram_index else []):
             for s in range(n_shards):
                 os.makedirs(os.path.join(d, f"shard={s}"), exist_ok=True)
@@ -914,13 +944,32 @@ def build_index(
                 f,
             )
         with open(tmp.manifest_path, "w") as f:
-            json.dump(dict(fingerprint=fp, params=params, complete=True), f)
+            json.dump(dict(fingerprint=fp, params=params, complete=True,
+                      corpus_files=_corpus_listing(corpus)), f)
         if os.path.exists(stages_path):
             os.remove(stages_path)
         if os.path.exists(out_dir):
             shutil.rmtree(out_dir)
         os.rename(tmp_root, out_dir)
         return paths
+
+    # narrow key/sha side table: update_index's change diff reads THIS
+    # instead of re-opening every (wide) docs parquet file
+    if "keys" not in done:
+        keys_pipe = rd.read_parquet(
+            tmp.docs_dir,
+            columns=["repo", "path", "commit", "content_sha256"],
+        )
+        if os.path.exists(tmp.keys_dir):
+            shutil.rmtree(tmp.keys_dir)
+        with timed("keys"):
+            staged_write(
+                lambda p: keys_pipe.write_parquet(
+                    p, min_rows_per_file=131072
+                ),
+                tmp.keys_dir,
+            )
+        mark("keys")
 
     # ONE narrow (doc_id, doc_len) scan feeds BOTH the corpus stats and the
     # dense doc-length attribute file (memory-mapped at query time: doc-len
@@ -1093,7 +1142,8 @@ def build_index(
             f,
         )
     with open(tmp.manifest_path, "w") as f:
-        json.dump(dict(fingerprint=fp, params=params, complete=True), f)
+        json.dump(dict(fingerprint=fp, params=params, complete=True,
+                      corpus_files=_corpus_listing(corpus)), f)
     if os.path.exists(stages_path):
         os.remove(stages_path)
 
@@ -1106,6 +1156,137 @@ def build_index(
 # ---------------------------------------------------------------------------
 # Incremental update (segment append — the Lucene commit-point model)
 # ---------------------------------------------------------------------------
+
+#: append-only fast path: max delta keys pulled to the driver. Above it
+#: (a >2M-file drop in one update) the generic shuffle diff takes over —
+#: it is the corpus-scale path anyway.
+_APPEND_DRIVER_KEYS_MAX = 2_000_000
+
+
+def _append_only_added(
+    paths: "IndexPaths", new_files: list[str]
+) -> tuple[str, list[tuple[str, str, str]] | None]:
+    """Resolve the added-doc set when every previously-indexed corpus file
+    is proven byte-identical (append-only update): guard ONLY the new
+    parquet files, pull their narrow keys to the driver (bounded by the
+    delta, capped at _APPEND_DRIVER_KEYS_MAX), and probe the stored key
+    side table for triple collisions with ONE broadcast map over it.
+
+    Returns (mode, added): mode "ok" with the sorted added triples,
+    "rebuild" when a collision carries conflicting content (a changed doc
+    in disguise, or a duplicate triple), or "fallback" when the fast path
+    cannot decide (no key side table yet, or the delta exceeds the driver
+    cap) and the generic shuffle diff must run."""
+    if not new_files:
+        return "ok", []
+    # delta-size guard from parquet FOOTERS (no data read)
+    import pyarrow.parquet as _pq
+
+    n_delta = 0
+    for f in new_files:
+        try:
+            n_delta += _pq.ParquetFile(f).metadata.num_rows
+        except Exception:
+            return "fallback", None
+    if n_delta > _APPEND_DRIVER_KEYS_MAX:
+        return "fallback", None
+    key_files = [
+        os.path.join(d, f)
+        for d in paths.keys_dirs()
+        for f in (sorted(os.listdir(d)) if os.path.isdir(d) else [])
+        if f.endswith(".parquet")
+    ]
+    if not all(os.path.isdir(d) for d in paths.keys_dirs()):
+        return "fallback", None  # pre-side-table index (or older gen)
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "repo": pc.cast(batch.column("repo"), pa.string()),
+            "path": pc.cast(batch.column("path"), pa.string()),
+            "commit": pc.cast(batch.column("commit"), pa.string()),
+            "sha": pc.cast(batch.column("content_sha256"), pa.string()),
+        })
+
+    c_tbl = pa.concat_tables([
+        t for t in (
+            ray.get(r)
+            for r in rd.read_parquet(new_files)
+            .map_batches(guard_batch, batch_format="pyarrow",
+                         batch_size=4096)
+            .map_batches(narrow, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows > 0
+    ]) if n_delta else pa.table(
+        {c: pa.array([], pa.string())
+         for c in ("repo", "path", "commit", "sha")}
+    )
+    if any(
+        c_tbl.column(c).null_count for c in ("repo", "path", "commit")
+    ):
+        return "rebuild", None  # null keys: let the full path reject them
+    repo = c_tbl.column("repo").to_numpy(zero_copy_only=False)
+    path_ = c_tbl.column("path").to_numpy(zero_copy_only=False)
+    com = c_tbl.column("commit").to_numpy(zero_copy_only=False)
+    sha = c_tbl.column("sha").to_numpy(zero_copy_only=False)
+    k3 = np.array(
+        [f"{r}\x00{p}\x00{c}" for r, p, c in zip(repo, path_, com)],
+        dtype=object,
+    )
+    k4 = np.array([f"{a}\x00{s}" for a, s in zip(k3, sha)], dtype=object)
+    uniq4, first4 = np.unique(k4, return_index=True)
+    k3_of4 = k3[first4]
+    uniq3, c3_counts = np.unique(k3_of4, return_counts=True)
+    if (c3_counts > 1).any():
+        # one triple, several distinct contents: duplicate primary keys —
+        # the generic path routes this through a full rebuild too
+        return "rebuild", None
+    sha_of3 = {k: s for k, s in zip(k3_of4, sha[first4])}
+
+    # collision probe: ONE broadcast map over the key side table (sorted
+    # searchsorted against the delta's triples; only matches come back)
+    probe_ref = ray.put(np.sort(uniq3))
+
+    def collide(batch: pa.Table) -> pa.Table:
+        ks = ray.get(probe_ref)
+        bk = pc.binary_join_element_wise(
+            pc.cast(batch.column("repo"), pa.string()).combine_chunks(),
+            pc.cast(batch.column("path"), pa.string()).combine_chunks(),
+            pc.cast(batch.column("commit"), pa.string()).combine_chunks(),
+            pa.scalar("\x00"),
+        ).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, bk)
+        mask = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == bk)
+        return pa.table({
+            "k3": pa.array(bk[mask], pa.string()),
+            "sha": pc.cast(
+                batch.column("content_sha256"), pa.string()
+            ).filter(pa.array(mask)),
+        })
+
+    coll_parts = [
+        t for t in (
+            ray.get(r)
+            for r in rd.read_parquet(
+                key_files,
+                columns=["repo", "path", "commit", "content_sha256"],
+            ).map_batches(collide, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows > 0
+    ] if key_files else []
+    collided: set[str] = set()
+    for t in coll_parts:
+        for k, s in zip(
+            t.column("k3").to_pylist(), t.column("sha").to_pylist()
+        ):
+            if sha_of3.get(k) != s:
+                # the triple exists with DIFFERENT content: a change
+                return "rebuild", None
+            collided.add(k)  # identical re-add: 'same', skip
+    added = sorted(
+        tuple(k.split("\x00", 2)) for k in uniq3 if k not in collided
+    )
+    return "ok", added
 
 def update_index(corpus, out_dir: str, *, batch_size: int = 256,
                  _retries: int = 4) -> IndexPaths:
@@ -1143,9 +1324,19 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256,
     differ between an updated index and a from-scratch build; scores and
     result sets are identical.
 
-    The change diff itself is computed as a narrow tagged-union groupby
-    over (repo, path, commit) — only the CHANGED key lists ever reach the
-    driver, so the diff is bounded by the delta, not the corpus.
+    The change diff runs at two speeds:
+
+    - **append-only fast path**: when the manifest's per-corpus-file
+      (size, mtime_ns) records prove every previously-indexed parquet
+      file untouched, only the NEW files are guarded and their keys are
+      collision-probed against the stored key side table with one
+      broadcast map — diff cost scales with the delta (no full-corpus
+      guard, no key shuffle). Driver state is the delta's keys, capped at
+      ``_APPEND_DRIVER_KEYS_MAX``.
+    - **generic diff**: a narrow tagged-union groupby over
+      (repo, path, commit) keys from the key side table (or the pruned
+      docs parquet for pre-side-table indexes) vs the freshly guarded
+      corpus — only the CHANGED key lists ever reach the driver.
     """
     paths = IndexPaths(out_dir)
     if not os.path.exists(paths.manifest_path):
@@ -1170,161 +1361,244 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256,
             if g.endswith(".tmp"):
                 shutil.rmtree(os.path.join(paths.updates_dir, g))
 
-    # -- narrow diff: (repo, path, commit, sha, src) tagged union ----------
-    # The corpus/doc-id identity is the FULL (repo, path, commit) triple
-    # (assign_doc_ids sorts all three); keying the diff on (repo, path)
-    # alone would give two commits of one path the same doc id and would
-    # classify a new commit with an unchanged sha as 'same' (never
-    # indexed). The sha still decides same-vs-changed PER triple.
-    def tag(src):
-        def run(batch: pa.Table) -> pa.Table:
-            return pa.table({
-                "repo": pc.cast(batch.column("repo"), pa.string()),
-                "path": pc.cast(batch.column("path"), pa.string()),
-                "commit": pc.cast(batch.column("commit"), pa.string()),
-                "sha": pc.cast(batch.column("content_sha256"), pa.string()),
-                "src": pa.array([src] * len(batch), pa.string()),
-            })
-        return run
+    import time as _time
 
-    old_files = [
-        os.path.join(d, f)
-        for d in paths.docs_paths() if os.path.isdir(d)
-        for f in sorted(os.listdir(d)) if f.endswith(".parquet")
-    ]
-    new_ds = read_corpus(corpus) if isinstance(corpus, str) else corpus
-    new_guarded = new_ds.map_batches(
-        guard_batch, batch_format="pyarrow", batch_size=batch_size
-    )
-    new_keys = new_guarded.map_batches(tag("new"), batch_format="pyarrow")
-    if old_files:
-        old_keys = rd.read_parquet(
-            old_files,
-            columns=["repo", "path", "commit", "content_sha256"],
-        ).map_batches(tag("old"), batch_format="pyarrow")
-        tagged_keys = old_keys.union(new_keys)
-    else:
-        # base built from an empty corpus: no docs files exist; every new
-        # triple is an addition
-        tagged_keys = new_keys
+    stage_sec: dict[str, float] = {}
+    _t0 = _time.time()
 
-    # classify keys VECTORIZED inside a bounded number of coarse partitions
-    # (the minhash coarse_members pattern): a per-(repo,path) map_groups
-    # would make one Python group call PER FILE — O(corpus) driver-style
-    # Python at 10^12-file scale. Here each partition resolves its keys
-    # with one pandas outer merge (indicator) + one crosstab.
-    _DIFF_COARSE = 256
+    def _mark_stage(name: str) -> None:
+        nonlocal _t0
+        stage_sec[name] = round(_time.time() - _t0, 3)
+        _t0 = _time.time()
 
-    def add_pg(batch: pa.Table) -> pa.Table:
-        # the hashed key must be NUL-FREE: pandas' siphash truncates object
-        # strings at \x00 on the multi-element path but not the 1-element
-        # path, so the same key can land in different partitions depending
-        # on batch shape (observed; classify would then see one side only
-        # and report phantom added+removed pairs). \x1f keeps (repo, path)
-        # joined unambiguously for dispersion; exactness lives in classify.
-        key = pd.Series(
-            pc.replace_substring(
-                pc.binary_join_element_wise(
-                    batch.column("repo").combine_chunks(),
-                    batch.column("path").combine_chunks(),
-                    batch.column("commit").combine_chunks(),
-                    pa.scalar("\x1f"),
+    listing = _corpus_listing(corpus)
+
+    # ---- append-only fast path ------------------------------------------
+    # The dominant incremental shape is "new parquet files appended to an
+    # otherwise untouched corpus dir". The manifest's per-file
+    # (size, mtime_ns) records prove every previously-indexed corpus file
+    # is byte-identical, so no old key can be removed or changed except by
+    # key COLLISION from a new file — the whole diff reduces to guarding
+    # only the NEW files and one broadcast collision probe against the
+    # stored key side table. No full-corpus guard, no key shuffle: the
+    # diff cost scales with the DELTA, which is the point of an update.
+    added: list[tuple[str, str, str]] | None = None
+    new_files_only: list[str] | None = None
+    recorded = manifest.get("corpus_files")
+    if listing is not None and recorded is not None and all(
+        listing.get(f) == sig for f, sig in recorded.items()
+    ):
+        fresh = sorted(set(listing) - set(recorded))
+        new_files_only = [os.path.join(corpus, f) for f in fresh]
+        mode, fast_added = _append_only_added(paths, new_files_only)
+        if mode == "rebuild":
+            return build_index(
+                corpus, out_dir, overwrite=True,
+                n_shards=int(params.get("n_shards", n_shards)),
+                salt_buckets=int(params.get("salt_buckets", 8)),
+                hot_threshold_frac=float(
+                    params.get("hot_threshold_frac", 0.05)
                 ),
-                pattern="\x00", replacement="\x1f",
-            ).to_pandas()
-        )
-        pg = (
-            pd.util.hash_pandas_object(key, index=False).to_numpy()
-            % _DIFF_COARSE
-        ).astype(np.int64)
-        return batch.append_column("pg", pa.array(pg, pa.int64()))
+                ngram_index=bool(params.get("ngram_index",
+                                            stats.get("has_ngrams"))),
+            )
+        if mode == "ok":
+            added = fast_added
+            _mark_stage("diff_append_only")
+        else:  # "fallback": no key side table / delta too large
+            new_files_only = None
 
-    def classify_part(g: pd.DataFrame) -> pd.DataFrame:
-        # per (key, sha): which sides carry it -> per key: same iff every
-        # pair is on both sides (set equality, matching the old per-group
-        # set comparison); added iff no old pairs; removed iff no new pairs
-        empty = pd.DataFrame({
-            "repo": pd.Series([], dtype="string"),
-            "path": pd.Series([], dtype="string"),
-            "commit": pd.Series([], dtype="string"),
-            "status": pd.Series([], dtype="string"),
-        })
-        if not len(g):
-            return empty
-        cols = ["repo", "path", "commit", "sha"]
-        old = g[g["src"] == "old"][cols].drop_duplicates()
-        new = g[g["src"] == "new"][cols].drop_duplicates()
-        # null-keyed rows would be silently dropped by crosstab's internal
-        # groupby (regardless of dropna=False) and the update would stamp
-        # the new fingerprint without ever seeing them — surface them as
-        # "changed" so the full-rebuild path handles (or loudly rejects)
-        # them instead
-        null_old = (
-            old["repo"].isna() | old["path"].isna() | old["commit"].isna()
+    if added is None:
+        # -- generic narrow diff: (repo, path, commit, sha, src) tagged union --
+        # Runs when the append-only fast path above could not decide. The
+        # corpus/doc-id identity is the FULL (repo, path, commit) triple
+        # (assign_doc_ids sorts all three); keying the diff on (repo, path)
+        # alone would give two commits of one path the same doc id and would
+        # classify a new commit with an unchanged sha as 'same' (never
+        # indexed). The sha still decides same-vs-changed PER triple.
+        def tag(src):
+            def run(batch: pa.Table) -> pa.Table:
+                return pa.table({
+                    "repo": pc.cast(batch.column("repo"), pa.string()),
+                    "path": pc.cast(batch.column("path"), pa.string()),
+                    "commit": pc.cast(batch.column("commit"), pa.string()),
+                    "sha": pc.cast(batch.column("content_sha256"), pa.string()),
+                    "src": pa.array([src] * len(batch), pa.string()),
+                })
+            return run
+
+        # old-side keys come from the NARROW key/sha side table written at
+        # build/update time (base keys/ + one per generation) — the wide docs
+        # parquet is never re-opened for the diff; pre-side-table indexes
+        # (or a gen written by an older version) fall back to the pruned docs
+        # read
+        def _parquet_files(dirs: list[str]) -> list[str]:
+            return [
+                os.path.join(d, f)
+                for d in dirs if os.path.isdir(d)
+                for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            ]
+
+        have_all_keys = all(
+            os.path.isdir(d) for d in paths.keys_dirs()
         )
-        null_new = (
-            new["repo"].isna() | new["path"].isna() | new["commit"].isna()
+        old_files = (
+            _parquet_files(paths.keys_dirs()) if have_all_keys
+            else _parquet_files(paths.docs_paths())
         )
-        extra = None
-        if null_old.any() or null_new.any():
-            extra = pd.DataFrame({
-                "repo": [""], "path": [""], "commit": [""],
-                "status": ["changed"],
+        new_ds = read_corpus(corpus) if isinstance(corpus, str) else corpus
+        # the diff's guard pass only feeds narrow key rows (the delta re-guards
+        # separately), so large batches are safe and cut task-dispatch overhead
+        new_guarded = new_ds.map_batches(
+            guard_batch, batch_format="pyarrow",
+            batch_size=max(batch_size, 4096),
+        )
+        new_keys = new_guarded.map_batches(tag("new"), batch_format="pyarrow")
+        if old_files:
+            old_keys = rd.read_parquet(
+                old_files,
+                columns=["repo", "path", "commit", "content_sha256"],
+            ).map_batches(tag("old"), batch_format="pyarrow")
+            tagged_keys = old_keys.union(new_keys)
+        else:
+            # base built from an empty corpus: no docs files exist; every new
+            # triple is an addition
+            tagged_keys = new_keys
+
+        # classify keys VECTORIZED inside a bounded number of coarse partitions
+        # (the minhash coarse_members pattern): a per-(repo,path) map_groups
+        # would make one Python group call PER FILE — O(corpus) driver-style
+        # Python at 10^12-file scale. Here each partition resolves its keys
+        # with one pandas outer merge (indicator) + one crosstab.
+        _DIFF_COARSE = 64  # classify is vectorized per partition; fewer,
+        # larger groups beat per-task dispatch overhead (still thousands of
+        # keys per partition headroom at 1e9-doc scale: bytes per partition =
+        # corpus_keys/64, itself bounded by the narrow 4-string-column schema)
+
+        def add_pg(batch: pa.Table) -> pa.Table:
+            # the hashed key must be NUL-FREE: pandas' siphash truncates object
+            # strings at \x00 on the multi-element path but not the 1-element
+            # path, so the same key can land in different partitions depending
+            # on batch shape (observed; classify would then see one side only
+            # and report phantom added+removed pairs). \x1f keeps (repo, path)
+            # joined unambiguously for dispersion; exactness lives in classify.
+            key = pd.Series(
+                pc.replace_substring(
+                    pc.binary_join_element_wise(
+                        batch.column("repo").combine_chunks(),
+                        batch.column("path").combine_chunks(),
+                        batch.column("commit").combine_chunks(),
+                        pa.scalar("\x1f"),
+                    ),
+                    pattern="\x00", replacement="\x1f",
+                ).to_pandas()
+            )
+            pg = (
+                pd.util.hash_pandas_object(key, index=False).to_numpy()
+                % _DIFF_COARSE
+            ).astype(np.int64)
+            return batch.append_column("pg", pa.array(pg, pa.int64()))
+
+        def classify_part(g: pd.DataFrame) -> pd.DataFrame:
+            # per (key, sha): which sides carry it -> per key: same iff every
+            # pair is on both sides (set equality); added iff no old pairs;
+            # removed iff no new pairs; changed otherwise. Fully VECTORIZED
+            # (np.unique composite keys + bincount side flags): the former
+            # per-key pandas crosstab cost ~20 ms per partition and serialized
+            # inside map_groups tasks — it dominated the whole update at bench
+            # scale.
+            empty = pd.DataFrame({
+                "repo": pd.Series([], dtype="string"),
+                "path": pd.Series([], dtype="string"),
+                "commit": pd.Series([], dtype="string"),
+                "status": pd.Series([], dtype="string"),
             })
-            old, new = old[~null_old], new[~null_new]
-        m = old.merge(new, on=cols, how="outer", indicator=True)
-        ct = pd.crosstab(
-            [m["repo"], m["path"], m["commit"]], m["_merge"], dropna=False
-        ).reindex(columns=["left_only", "right_only", "both"], fill_value=0)
-        same = (ct["left_only"] == 0) & (ct["right_only"] == 0)
-        ct = ct[~same]
-        if not len(ct):
-            return empty if extra is None else extra
-        # a triple with >1 distinct NEW sha is a corpus carrying duplicate
-        # primary keys with conflicting content — route it through the
-        # full-rebuild path rather than colliding doc ids in a generation
-        status = np.where(
-            (ct["both"] == 0) & (ct["left_only"] == 0)
-            & (ct["right_only"] == 1), "added",
-            np.where((ct["both"] == 0) & (ct["right_only"] == 0),
-                     "removed", "changed"),
-        )
-        idx = ct.index.to_frame(index=False)
-        out = pd.DataFrame({
-            "repo": idx["repo"].to_numpy(),
-            "path": idx["path"].to_numpy(),
-            "commit": idx["commit"].to_numpy(),
-            "status": status,
-        })
-        return out if extra is None else pd.concat(
-            [out, extra], ignore_index=True
-        )
+            if not len(g):
+                return empty
+            # null-keyed rows must not vanish from the diff (the update would
+            # stamp the new fingerprint without ever seeing them) — surface
+            # them as "changed" so the full-rebuild path handles them
+            nul = g["repo"].isna() | g["path"].isna() | g["commit"].isna()
+            extra = None
+            if nul.any():
+                extra = pd.DataFrame({
+                    "repo": [""], "path": [""], "commit": [""],
+                    "status": ["changed"],
+                })
+                g = g[~nul]
+                if not len(g):
+                    return extra
+            sep = "\x00"
+            k3 = (
+                g["repo"].astype(str) + sep + g["path"].astype(str) + sep
+                + g["commit"].astype(str)
+            ).to_numpy()
+            k4 = k3 + sep + g["sha"].astype(str).to_numpy()
+            uniq4, first4, inv4 = np.unique(
+                k4, return_index=True, return_inverse=True
+            )
+            is_new = (g["src"].to_numpy() == "new")
+            has_old = np.bincount(
+                inv4[~is_new], minlength=len(uniq4)
+            ).astype(bool)
+            has_new = np.bincount(
+                inv4[is_new], minlength=len(uniq4)
+            ).astype(bool)
+            _, first3, inv3 = np.unique(
+                k3[first4], return_index=True, return_inverse=True
+            )
+            k = first3.size
+            left_only = np.bincount(inv3[has_old & ~has_new], minlength=k)
+            right_only = np.bincount(inv3[~has_old & has_new], minlength=k)
+            both = np.bincount(inv3[has_old & has_new], minlength=k)
+            same = (left_only == 0) & (right_only == 0)
+            keep = ~same
+            if not keep.any():
+                return empty if extra is None else extra
+            # a triple with >1 distinct NEW sha is a corpus carrying duplicate
+            # primary keys with conflicting content — route it through the
+            # full-rebuild path rather than colliding doc ids in a generation
+            status = np.where(
+                (both == 0) & (left_only == 0) & (right_only == 1), "added",
+                np.where((both == 0) & (right_only == 0), "removed", "changed"),
+            )[keep]
+            rows = g.iloc[first4[first3[keep]]]
+            out = pd.DataFrame({
+                "repo": rows["repo"].to_numpy(),
+                "path": rows["path"].to_numpy(),
+                "commit": rows["commit"].to_numpy(),
+                "status": status,
+            })
+            return out if extra is None else pd.concat(
+                [out, extra], ignore_index=True
+            )
 
-    delta_rows = (
-        tagged_keys
-        .map_batches(add_pg, batch_format="pyarrow")
-        .groupby("pg")
-        .map_groups(classify_part, batch_format="pandas")
-        .take_all()
-    )
-    statuses = {r["status"] for r in delta_rows}
-    if "removed" in statuses or "changed" in statuses:
-        # the rebuild must preserve every knob of the original build (from
-        # the manifest's params record) — dropping ngram_index here would
-        # silently lose the substring index, and a different salt/shard
-        # layout would be a surprise reshape
-        return build_index(
-            corpus, out_dir, overwrite=True,
-            n_shards=int(params.get("n_shards", n_shards)),
-            salt_buckets=int(params.get("salt_buckets", 8)),
-            hot_threshold_frac=float(params.get("hot_threshold_frac", 0.05)),
-            ngram_index=bool(params.get("ngram_index",
-                                        stats.get("has_ngrams"))),
+        delta_rows = (
+            tagged_keys
+            .map_batches(add_pg, batch_format="pyarrow")
+            .groupby("pg")
+            .map_groups(classify_part, batch_format="pandas")
+            .take_all()
         )
-    added = sorted(
-        (r["repo"], r["path"], r["commit"])
-        for r in delta_rows if r["status"] == "added"
-    )
+        _mark_stage("diff")
+        statuses = {r["status"] for r in delta_rows}
+        if "removed" in statuses or "changed" in statuses:
+            # the rebuild must preserve every knob of the original build (from
+            # the manifest's params record) — dropping ngram_index here would
+            # silently lose the substring index, and a different salt/shard
+            # layout would be a surprise reshape
+            return build_index(
+                corpus, out_dir, overwrite=True,
+                n_shards=int(params.get("n_shards", n_shards)),
+                salt_buckets=int(params.get("salt_buckets", 8)),
+                hot_threshold_frac=float(params.get("hot_threshold_frac", 0.05)),
+                ngram_index=bool(params.get("ngram_index",
+                                            stats.get("has_ngrams"))),
+            )
+        added = sorted(
+            (r["repo"], r["path"], r["commit"])
+            for r in delta_rows if r["status"] == "added"
+        )
 
     def commit_manifest() -> None:
         # the updates history is DERIVED from the committed generations on
@@ -1332,6 +1606,9 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256,
         # a crash between the gen rename and this write, or a no-op repair
         # call, can never record a phantom or miss a real generation
         manifest["fingerprint"] = fp
+        # per-file corpus records keep the NEXT update on the append-only
+        # fast path
+        manifest["corpus_files"] = listing
         hist = []
         for g in paths.update_gens():
             try:
@@ -1395,8 +1672,16 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256,
         ids = offset + np.searchsorted(ks, _keys_of(batch))
         return batch.append_column("doc_id", pa.array(ids, pa.int64()))
 
+    # append-only fast path: the delta can only live in the new files —
+    # never re-read (or re-stream) the rest of the corpus
+    if new_files_only is not None:
+        src_ds = rd.read_parquet(new_files_only)
+    elif isinstance(corpus, str):
+        src_ds = read_corpus(corpus)
+    else:
+        src_ds = corpus
     docs_pipe = (
-        (read_corpus(corpus) if isinstance(corpus, str) else corpus)
+        src_ds
         .map_batches(pick, batch_format="pyarrow")
         .map_batches(guard_batch, batch_format="pyarrow", batch_size=batch_size)
         .map_batches(add_ids, batch_format="pyarrow")
@@ -1404,41 +1689,56 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256,
     )
     gen_docs = os.path.join(gen_tmp, "docs")
     docs_pipe.write_parquet(gen_docs, min_rows_per_file=8192)
+    _mark_stage("docs")
 
-    ds_len = rd.read_parquet(gen_docs, columns=["doc_id", "doc_len"])
+    # the four remaining artifacts (doc_lens slice, posting segments, gram
+    # segments, key side table) all derive from gen_docs and are mutually
+    # independent — run them as CONCURRENT Ray jobs from driver threads
+    # instead of a serial tail of per-job fixed latencies (this tail used
+    # to dominate small deltas; the cleaning pipeline uses the same
+    # ThreadPoolExecutor-over-Ray-jobs pattern)
+    from concurrent.futures import ThreadPoolExecutor
 
-    def rebase(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": pc.subtract(batch.column("doc_id"), pa.scalar(offset)),
-            "doc_len": batch.column("doc_len"),
-        })
+    def job_doc_lens() -> tuple[int, int]:
+        ds_len = rd.read_parquet(gen_docs, columns=["doc_id", "doc_len"])
 
-    m_docs, m_sum_dl = _write_doc_lens_sharded(
-        ds_len.map_batches(rebase, batch_format="pyarrow"),
-        os.path.join(gen_tmp, "doc_lens.npy"),
-    )
+        def rebase(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": pc.subtract(
+                    batch.column("doc_id"), pa.scalar(offset)
+                ),
+                "doc_len": batch.column("doc_len"),
+            })
 
-    tok_ds = rd.read_parquet(
-        gen_docs,
-        columns=["doc_id", "tokens", "n_content_tokens", "shadow_tokens"],
-    )
-    partial = make_partial_segments(hot, salt_shift)
-    merger = make_segment_merger(n_shards)
-    segments = (
-        tok_ds.map_batches(
-            partial, batch_format="pyarrow", batch_size=max(batch_size, 1024)
+        return _write_doc_lens_sharded(
+            ds_len.map_batches(rebase, batch_format="pyarrow"),
+            os.path.join(gen_tmp, "doc_lens.npy"),
         )
-        .sort(["term", "salt"])
-        .map_batches(merger, batch_format="pyarrow")
-    )
-    gen_segs = os.path.join(gen_tmp, "segments")
-    segments.write_parquet(gen_segs, partition_cols=["shard"])
-    _compact_shard_dir(gen_segs, ["term", "salt"])
-    # every shard dir must exist even if this update touched no term in it
-    for s in range(n_shards):
-        os.makedirs(os.path.join(gen_segs, f"shard={s}"), exist_ok=True)
 
-    if stats.get("has_ngrams"):
+    def job_segments() -> None:
+        tok_ds = rd.read_parquet(
+            gen_docs,
+            columns=["doc_id", "tokens", "n_content_tokens",
+                     "shadow_tokens"],
+        )
+        partial = make_partial_segments(hot, salt_shift)
+        merger = make_segment_merger(n_shards)
+        segments = (
+            tok_ds.map_batches(
+                partial, batch_format="pyarrow",
+                batch_size=max(batch_size, 1024),
+            )
+            .sort(["term", "salt"])
+            .map_batches(merger, batch_format="pyarrow")
+        )
+        gen_segs = os.path.join(gen_tmp, "segments")
+        segments.write_parquet(gen_segs, partition_cols=["shard"])
+        _compact_shard_dir(gen_segs, ["term", "salt"])
+        # every shard dir must exist even if no term of it was touched
+        for s in range(n_shards):
+            os.makedirs(os.path.join(gen_segs, f"shard={s}"), exist_ok=True)
+
+    def job_ngrams() -> None:
         # the gram index appends exactly like the term index (same
         # multi-row read-time merge)
         gen_ngrams = os.path.join(gen_tmp, "ngrams")
@@ -1454,7 +1754,30 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256,
         )
         _compact_shard_dir(gen_ngrams, ["gram", "salt"])
         for s in range(n_shards):
-            os.makedirs(os.path.join(gen_ngrams, f"shard={s}"), exist_ok=True)
+            os.makedirs(
+                os.path.join(gen_ngrams, f"shard={s}"), exist_ok=True
+            )
+
+    def job_keys() -> None:
+        # this generation's slice of the key/sha side table, so the NEXT
+        # update's diff stays off the wide docs parquet
+        rd.read_parquet(
+            gen_docs,
+            columns=["repo", "path", "commit", "content_sha256"],
+        ).write_parquet(
+            os.path.join(gen_tmp, "keys"), min_rows_per_file=131072
+        )
+
+    jobs = [job_segments, job_keys]
+    if stats.get("has_ngrams"):
+        jobs.append(job_ngrams)
+    with ThreadPoolExecutor(max_workers=1 + len(jobs)) as ex:
+        fut_lens = ex.submit(job_doc_lens)
+        futs = [ex.submit(j) for j in jobs]
+        m_docs, m_sum_dl = fut_lens.result()
+        for f in futs:
+            f.result()
+    _mark_stage("tail_concurrent")
 
     n_docs = offset + m_docs
     sum_dl = int(stats["sum_dl"]) + m_sum_dl
@@ -1465,7 +1788,8 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256,
         avgdl=(sum_dl / n_docs) if n_docs else 0.0,
         metrics=dict(
             stats.get("metrics", {}),
-            last_update=dict(gen=gen_k, added=m_docs),
+            last_update=dict(gen=gen_k, added=m_docs,
+                             stage_sec=stage_sec),
         ),
     )
     with open(os.path.join(gen_tmp, "stats.json"), "w") as f:
@@ -1548,6 +1872,16 @@ def compact_index(index_dir: str, out_dir: str, *, batch_size: int = 1024) -> In
         if merged.shape[0] == 0:
             merged = np.zeros(1, dtype="<i4")  # keep the writer's pad shape
         np.save(dst.doc_lens_path, merged)
+
+    # key/sha side table: regenerate from the merged docs (one narrow job;
+    # robust even when the source index predates the side table)
+    if any(f.endswith(".parquet") for f in os.listdir(dst.docs_dir)):
+        rd.read_parquet(
+            dst.docs_dir,
+            columns=["repo", "path", "commit", "content_sha256"],
+        ).write_parquet(dst.keys_dir, min_rows_per_file=131072)
+    else:
+        os.makedirs(dst.keys_dir, exist_ok=True)
 
     # segments: re-derive from the stored tokens (no tokenize stage)
     tok_ds = rd.read_parquet(

@@ -124,11 +124,14 @@ def test_knn_lsh_recall_vs_bruteforce():
 
     exact = T.knn_cosine(SF).to_pandas()["vec_id"].tolist()
     approx = T.knn_lsh(SF).to_pandas()["vec_id"].tolist()
-    # the synthetic embeddings are weakly clustered, so the Hamming-ring
-    # bucket recovers a fraction of the exact top-10 (recall/compute
-    # trade-off of LSH); require a nontrivial overlap
+    # multi-table rings (5 tables x Hamming<=2 over 10 planes) compound
+    # per-table recall: 0.6 here at sf0.001, 0.7 at sf0.1
+    # (scripts/measure_recall.py) — threshold raised from the single-table
+    # era's 0.3 (round-4 verdict item 4)
     overlap = len(set(exact) & set(approx))
-    assert overlap >= 3, (exact, approx)
+    assert overlap >= 5, (exact, approx)
+    # the rings must still PRUNE: well under half the store scanned
+    assert 0 < T.LAST_KNN_LSH_METRICS["scan_fraction"] < 0.5
 
 
 def test_events_tumbling_watermark_drops_late():
