@@ -207,7 +207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_batch": T.knn_cosine_batch,        # SQL-checked
         "knn_lsh": T.knn_lsh,                          # rows-only (approx)
         "knn_ivf": T.knn_ivf,                          # rows-only (approx)
-        "embedding_cosine_dedup": T.embedding_cosine_dedup,  # rows-only
+        "ivf_assignments": T.ivf_assignments,          # SQL-checked (k-means replay)
+        "embedding_cosine_dedup": T.embedding_cosine_dedup,  # SQL-checked (LSH replay)
         "embedding_cosine_window_pairs": T.embedding_cosine_window_pairs,  # SQL-checked
         # --- language id (stopword vote SQL-checked; bigram heuristic
         #     rows-only) ---
@@ -375,6 +376,146 @@ def _extract_from_text_refs(sf_dir: str):
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
+
+_EMB_DIM = 64  # embeddings.parquet schema constant (list<float>[64])
+
+
+def _hyperplane_values_sql(n_planes: int, seed: int) -> str:
+    """VALUES rows (pid, DOUBLE[] plane) for the seeded Gaussian
+    hyperplanes — the exact arrays textops._lsh_planes produces (repr()
+    round-trips float64 exactly, so engine and oracle share bit-identical
+    planes)."""
+    import numpy as np
+
+    pl = np.random.default_rng(seed).standard_normal((n_planes, _EMB_DIM))
+    rows = ",\n  ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in pl[i])}]::DOUBLE[])"
+        for i in range(n_planes)
+    )
+    return rows
+
+
+def _embedding_cosine_dedup_sql(
+    n_tables: int = 8, planes_per_table: int = 4, threshold: float = 0.35,
+) -> str:
+    """Full SQL replay of embedding_cosine_dedup (the minhash-replay
+    pattern for cosine LSH): seeded plane literals -> per-table 4-bit
+    bucket signatures (strict dot > 0, bit j = plane 4t+j) -> 64-smallest-
+    id bucket cap -> exact cosine verify -> cross-table DISTINCT. All dot
+    products run in DOUBLE from the same float32 inputs as the engine
+    (measured signature margin ~4e-4 >> the ~1e-13 summation-order
+    noise)."""
+    planes = _hyperplane_values_sql(n_tables * planes_per_table, seed=7)
+    return f"""
+        WITH planes(pid, p) AS (VALUES
+          {planes}
+        ),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        bits AS (
+          SELECT e.vec_id, p.pid,
+                 CASE WHEN list_dot_product(e.emb, p.p) > 0
+                      THEN 1 ELSE 0 END AS b
+          FROM e CROSS JOIN planes p
+        ),
+        buckets AS (
+          SELECT vec_id, pid // {planes_per_table} AS tbl,
+                 sum(b * (1 << (pid % {planes_per_table})))::BIGINT AS bucket
+          FROM bits GROUP BY vec_id, pid // {planes_per_table}
+        ),
+        members AS (
+          SELECT * FROM (
+            SELECT vec_id, tbl, bucket,
+                   row_number() OVER (
+                     PARTITION BY tbl, bucket ORDER BY vec_id
+                   ) AS rn
+            FROM buckets
+          ) WHERE rn <= 64
+        )
+        SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+        FROM members a
+        JOIN members b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND b.vec_id > a.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE list_cosine_similarity(ea.emb, eb.emb) >= {threshold}
+        ORDER BY vec_id_a, vec_id_b
+    """
+
+
+def _ivf_assignments_sql(n_centroids: int = 16, iters: int = 8) -> str:
+    """Full SQL replay of the IVF coarse quantizer (textops._ivf_store):
+    unit-normalize the deterministic vec_id<4096 training sample, strided
+    init (smat[::max(1, n//k)][:k]), ``iters`` UNROLLED Lloyd iterations
+    (argmax ties to the smallest centroid id, empty/zero-sum clusters keep
+    their previous centroid), then the final raw-dot argmax assignment of
+    every vector (scale-invariant, so the engine's unit-normalize can be
+    skipped). Element sums are spelled out per dimension — the embedding
+    schema is a fixed 64-wide float list."""
+    sum_list = ", ".join(f"sum(u[{j + 1}])" for j in range(_EMB_DIM))
+    steps = []
+    prev = "c0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+        a{i} AS (
+          SELECT s.rid, s.u, c.cid,
+                 row_number() OVER (
+                   PARTITION BY s.rid
+                   ORDER BY list_dot_product(s.u, c.c) DESC, c.cid
+                 ) AS rnk
+          FROM s CROSS JOIN {prev} c
+        ),
+        g{i} AS (
+          SELECT cid, [{sum_list}]::DOUBLE[] AS v
+          FROM a{i} WHERE rnk = 1 GROUP BY cid
+        ),
+        n{i} AS (
+          SELECT cid,
+                 CASE WHEN sqrt(list_dot_product(v, v)) > 0
+                      THEN list_transform(
+                        v, x -> x / sqrt(list_dot_product(v, v)))
+                      ELSE NULL END AS c2
+          FROM g{i}
+        ),
+        c{i} AS (
+          SELECT p.cid, coalesce(n.c2, p.c) AS c
+          FROM {prev} p LEFT JOIN n{i} n ON n.cid = p.cid
+        )""")
+        prev = f"c{i}"
+    steps_sql = ",".join(steps)
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        ),
+        s AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rid,
+                 CASE WHEN sqrt(list_dot_product(emb, emb)) > 0
+                      THEN list_transform(
+                        emb, x -> x / sqrt(list_dot_product(emb, emb)))
+                      ELSE emb END AS u
+          FROM e WHERE vec_id < 4096
+        ),
+        params AS (
+          SELECT greatest(count(*) // {n_centroids}, 1) AS stride,
+                 least({n_centroids}, count(*)) AS k
+          FROM s
+        ),
+        c0 AS (
+          SELECT (rid // stride)::BIGINT AS cid, u AS c
+          FROM s, params
+          WHERE rid % stride = 0 AND rid // stride < k
+        ),{steps_sql}
+        SELECT vec_id, cid::INTEGER AS centroid
+        FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.emb, c.c) DESC, c.cid
+                 ) AS rnk
+          FROM e CROSS JOIN {prev} c
+        ) WHERE rnk = 1
+        ORDER BY vec_id
+    """
+
 
 def oracle_sql() -> dict[str, str]:
     toks = SIMPLE_TOKENS_SQL
@@ -1248,6 +1389,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, rank, vec_id FROM s
             WHERE rank <= 10 ORDER BY query_id, rank
         """,
+        "embedding_cosine_dedup": _embedding_cosine_dedup_sql(),
+        "ivf_assignments": _ivf_assignments_sql(),
         "embedding_cosine_window_pairs": """
             WITH t AS (SELECT vec_id, embedding FROM embeddings)
             SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b

@@ -886,12 +886,24 @@ class Engine:
                 probe_blocks=self._probe_block_stats,
             )
             return result
+        self._last_limits_meta = None
         result = self._search_compat(
             ctx, queries, exact, max_results, max_bytes, max_tokens,
             files_only, seen, allow_tests, exhaustive,
         )
         if reranker in _rr.RERANKER_MODELS and not files_only:
             result = self._rerank_result(result, queries, question, reranker)
+        # LimitedSearchResults metadata (models.rs:2-9) at doc granularity
+        lm = self._last_limits_meta or dict(
+            limits_applied=None, n_skipped_by_limits=0
+        )
+        self.last_search_meta = dict(
+            n_results=result.num_rows,
+            limits_applied=lm.get("limits_applied"),
+            n_skipped_by_limits=lm.get("n_skipped_by_limits", 0),
+            cached_blocks_skipped=None,
+            files_skipped_early_termination=None,
+        )
         ranks = result.column("rank").to_pylist()
         self.last_metrics = dict(
             mode="compat",
@@ -1035,10 +1047,11 @@ class Engine:
         lang_exts = None
         if ctx.language:
             lang_exts = qp._LANG_EXTENSIONS.get(qp.normalize_language(ctx.language))
+        self._cached_skip_counter = {"n": 0, "calls": 0}
         extract = _make_block_extractor(
             ctx, patterns, fname_matches, ranking_terms, lang_exts,
             allow_tests=allow_tests, exact=exact, seen=seen,
-            seen_blocks=seen_blocks,
+            seen_blocks=seen_blocks, counter=self._cached_skip_counter,
         )
         cols = ["doc_id", "repo", "path", "content"] + (
             ["is_test"] if self._has_is_test() else []
@@ -1155,6 +1168,7 @@ class Engine:
                     max_results, max_bytes, max_tokens,
                     no_merge=no_merge, merge_threshold=merge_threshold,
                     session=session, reranker=reranker, question=question,
+                    n_matched=n_feats,
                 )
             # zero-row blocks pass through map_batches with the upstream
             # schema — drop before concat
@@ -1246,13 +1260,13 @@ class Engine:
         return self._assemble_block_results(
             rows, queries, max_results, max_bytes, max_tokens,
             no_merge=no_merge, merge_threshold=merge_threshold, session=session,
-            reranker=reranker, question=question,
+            reranker=reranker, question=question, n_matched=n,
         )
 
     def _assemble_block_results(
         self, rows, queries, max_results, max_bytes, max_tokens,
         *, no_merge, merge_threshold, session,
-        reranker="bm25", question=None,
+        reranker="bm25", question=None, n_matched=None,
     ) -> pa.Table:
         """Shared block finish: limits over code bytes -> code attach ->
         contained dedup -> adjacent merge -> session record -> optional
@@ -1261,6 +1275,8 @@ class Engine:
         from probe_ray import blocks as blk
 
         # limits over block code bytes (search_limiter.rs:22-226)
+        pre_limit = len(rows)
+        limits_meta = dict(limits_applied=None, n_skipped_by_limits=0)
         if max_results is not None or max_bytes is not None or max_tokens is not None:
             max_iter = min(max_results if max_results is not None else 1000, len(rows))
             out_rows: list[dict] = []
@@ -1280,6 +1296,17 @@ class Engine:
                 tt += toks
                 out_rows.append(r)
             rows = out_rows
+            # callers that pre-trim candidate rows for scale pass the true
+            # matched-block count so the skip count reflects everything the
+            # limits cut, not just the finish-local trim
+            base = n_matched if n_matched is not None else pre_limit
+            limits_meta = dict(
+                limits_applied=dict(
+                    max_results=max_results, max_bytes=max_bytes,
+                    max_tokens=max_tokens, total_bytes=tb, total_tokens=tt,
+                ),
+                n_skipped_by_limits=max(base - len(rows), 0),
+            )
 
         # attach code text for the surviving rows (content only for the
         # final files — small), then contained dedup + adjacent merge
@@ -1329,6 +1356,23 @@ class Engine:
                 out, question or " ".join(queries), model=reranker,
                 text_col="code",
             )
+        # LimitedSearchResults metadata (models.rs:2-9): applied limits +
+        # totals, limit-skip count, cached-block skips (exact when the
+        # extractor ran in-process; None on the distributed fan-out), and
+        # the early-termination file skip count
+        counter = getattr(self, "_cached_skip_counter", None) or {}
+        early = self.LAST_BLOCKS_EARLY or {}
+        self.last_search_meta = dict(
+            n_results=out.num_rows,
+            limits_applied=limits_meta["limits_applied"],
+            n_skipped_by_limits=limits_meta["n_skipped_by_limits"],
+            cached_blocks_skipped=(
+                counter.get("n") if counter.get("calls") else None
+            ),
+            files_skipped_early_termination=early.get(
+                "files_skipped_early_termination"
+            ),
+        )
         return out
 
     # beyond this many block-feat rows the ranking finish goes distributed
@@ -1340,7 +1384,7 @@ class Engine:
     def _finish_blocks_distributed(
         self, feats_ds: rd.Dataset, queries, ranking_ast, ranking_terms,
         max_results, max_bytes, max_tokens, *, no_merge, merge_threshold,
-        session, reranker="bm25", question=None,
+        session, reranker="bm25", question=None, n_matched=None,
     ) -> pa.Table:
         """Block-granularity analogue of _finish_ranked_distributed: the
         feats Dataset never concatenates driver-side. Canonical candidate
@@ -1540,7 +1584,7 @@ class Engine:
         return self._assemble_block_results(
             rows, queries, max_results, max_bytes, max_tokens,
             no_merge=no_merge, merge_threshold=merge_threshold, session=session,
-            reranker=reranker, question=question,
+            reranker=reranker, question=question, n_matched=n_matched,
         )
 
     def _docs_rows_for(self, ids: np.ndarray, cols: list[str]) -> pa.Table:
@@ -2046,11 +2090,17 @@ class Engine:
                  matched_terms=_bits_to_terms(mts_b[i], plan_terms))
             for i in flagged_order
         ]
+        limits_meta: dict = {}
         out_rows = _apply_limits_rows(out_rows, max_results, max_bytes, max_tokens,
                                       nbytes_by_id=dict(zip(
                                           feats_tbl.column("doc_id").to_pylist(),
                                           feats_tbl.column("n_bytes").to_pylist(),
-                                      )))
+                                      )), meta=limits_meta)
+        if limits_meta.get("limits_applied") is not None:
+            # ranked+flagged rows are pre-capped for scale; the true skip
+            # count is measured against ALL verified matched docs (n)
+            limits_meta["n_skipped_by_limits"] = max(n - len(out_rows), 0)
+        self._last_limits_meta = limits_meta
         # whole-file contained-dedup (block_merging.rs:17-118)
         seen: dict[str, dict] = {}
         deduped = []
@@ -2325,7 +2375,14 @@ class Engine:
                 if stop:
                     break
         all_rows = out_rows + flagged_rows
-        all_rows = _apply_limits_rows(all_rows, max_results, max_bytes, max_tokens)
+        limits_meta: dict = {}
+        all_rows = _apply_limits_rows(all_rows, max_results, max_bytes,
+                                      max_tokens, meta=limits_meta)
+        if limits_meta.get("limits_applied") is not None:
+            limits_meta["n_skipped_by_limits"] = max(
+                int(n_cand) - len(all_rows), 0
+            )
+        self._last_limits_meta = limits_meta
         # whole-file contained-dedup (block_merging.rs:17-118)
         seen_files: dict[str, dict] = {}
         deduped = []
@@ -2558,7 +2615,8 @@ _BLOCK_FEATS_SCHEMA = pa.schema(
 
 
 def _make_block_extractor(ctx, patterns, fname_matches, ranking_terms, lang_exts,
-                          *, allow_tests, exact, seen, seen_blocks=None):
+                          *, allow_tests, exact, seen, seen_blocks=None,
+                          counter=None):
     """Per-batch closure: candidate docs -> block feature rows (no code
     text; narrow columns only). Line matching, window extraction and block
     stats are blocks.py pure functions — identical to the oracle's."""
@@ -2580,6 +2638,11 @@ def _make_block_extractor(ctx, patterns, fname_matches, ranking_terms, lang_exts
     rt_set = frozenset(rt)
 
     def extract(batch: pa.Table) -> pa.Table:
+        # the cached-skip counter only survives when this closure runs in
+        # the driver process (the local / early paths); Ray tasks mutate a
+        # pickled copy, so callers treat calls == 0 as "count unknown"
+        if counter is not None:
+            counter["calls"] += 1
         pats = ray.get(pat_ref)
         fnames = ray.get(fname_ref)
         ids = batch.column("doc_id").to_pylist()
@@ -2632,7 +2695,10 @@ def _make_block_extractor(ctx, patterns, fname_matches, ranking_terms, lang_exts
             cached_ranges = seen_blocks.get(f"{repo}/{path}", [])
             if cached_ranges:
                 # block-granularity session: drop lines inside previously
-                # returned blocks pre-extraction (cache.rs:418-505)
+                # returned blocks pre-extraction (cache.rs:418-505); each
+                # cached span of an admitted file counts as a skipped block
+                if counter is not None:
+                    counter["n"] += len(cached_ranges)
                 term_map = blk.remove_cached_lines(term_map, cached_ranges)
                 if not term_map:
                     continue
@@ -2641,7 +2707,8 @@ def _make_block_extractor(ctx, patterns, fname_matches, ranking_terms, lang_exts
                 allow_tests=allow_tests, exact=exact,
             ):
                 if (b["start"], b["end"]) in cached_ranges:
-                    continue  # exact-id post-filter (cache.rs:318-360)
+                    continue  # exact-id post-filter (cache.rs:318-360;
+                    # span already counted with its file's cached ranges)
                 if rt:
                     cnt: dict[str, int] = {}
                     for tok_ in b["tokenized"]:
@@ -3042,11 +3109,17 @@ def _make_hybrid_verifier(ctx, lang_exts, fname_matches, ranking_terms,
     return verify
 
 
-def _apply_limits_rows(rows, max_results, max_bytes, max_tokens, nbytes_by_id=None):
+def _apply_limits_rows(rows, max_results, max_bytes, max_tokens,
+                       nbytes_by_id=None, meta=None):
     """Running-total limiting in result order (search_limiter.rs:22-226);
     token estimate = bytes/4 (search_limiter.rs:151; tiktoken unavailable
-    here — documented deviation, see oracle.estimate_tokens)."""
+    here — documented deviation, see oracle.estimate_tokens). When
+    ``meta`` is a dict it is populated with the LimitedSearchResults
+    record (models.rs:2-22): the applied limits + running totals and the
+    skipped-row count."""
     if max_results is None and max_bytes is None and max_tokens is None:
+        if meta is not None:
+            meta.update(limits_applied=None, n_skipped_by_limits=0)
         return rows
     out, total_bytes, total_tokens = [], 0, 0
     for r in rows:
@@ -3061,6 +3134,15 @@ def _apply_limits_rows(rows, max_results, max_bytes, max_tokens, nbytes_by_id=No
         total_bytes += size
         total_tokens += toks
         out.append(r)
+    if meta is not None:
+        meta.update(
+            limits_applied=dict(
+                max_results=max_results, max_bytes=max_bytes,
+                max_tokens=max_tokens, total_bytes=total_bytes,
+                total_tokens=total_tokens,
+            ),
+            n_skipped_by_limits=len(rows) - len(out),
+        )
     return out
 
 

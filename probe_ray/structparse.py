@@ -49,6 +49,14 @@ Acceptable-parent sets ported per language:
                   variable/constant declarations (var/let/typealias spans
                   end at the bracket-balanced logical line, so a plain
                   `let x = 5` never swallows a later block)
+  markdown.rs:102-121  structural blocks: atx/setext headings, fenced code
+                  blocks, block quotes, lists + list items, thematic
+                  breaks, paragraphs (approximations: setext headings are
+                  single-line; `document` deliberately truncated like
+                  python's module node)
+  yaml.rs:96-111  block_mapping_pair / block_sequence item spans by
+                  indentation (stream/document whole-file parents
+                  deliberately truncated)
 Test-node detection mirrors each language's is_test_node
 (rust #[test] attributes, python/ruby test_ prefix, go Test prefix,
 js/ts test-name functions and describe/it/test/expect calls, java @Test
@@ -83,6 +91,10 @@ SUPPORTED_EXTS = {
     "rb": "ruby",
     "php": "php",
     "swift": "swift",
+    "md": "markdown",
+    "markdown": "markdown",
+    "yaml": "yaml",
+    "yml": "yaml",
 }
 
 
@@ -112,9 +124,13 @@ def scan_lines(lines: list[str], ext: str) -> tuple[list[str], list[bool], list[
     # comments plus ' " and triple-quoted strings for python.  Escapes are
     honored; raw-string edge cases degrade to treating the line as code,
     which only widens spans (never drops a matched line)."""
-    # ruby shares python's comment/string shape (# comments, '/" strings;
-    # the triple-quote branch is harmless noise there)
-    python = ext in ("py", "rb")
+    # markdown has NO comment/string syntax: prose apostrophes and slashes
+    # must never toggle scanner state — raw passthrough
+    if ext in ("md", "markdown"):
+        return list(lines), [False] * len(lines), [False] * len(lines)
+    # ruby/yaml share python's comment/string shape (# comments, '/"
+    # strings; the triple-quote branch is harmless noise there)
+    python = ext in ("py", "rb", "yaml", "yml")
     code_lines: list[str] = []
     comment_only: list[bool] = []
     in_str_line: list[bool] = []
@@ -764,6 +780,117 @@ def structural_spans(
                     )
                     spans.append(Span(i + 1, end + 1, kind, is_test))
                     break
+
+    elif lang == "markdown":
+        # markdown.rs:102-121 structural blocks over RAW lines (no
+        # comment/string stripping applies to prose)
+        fence_re = re.compile(r"^ {0,3}(```|~~~)")
+        heading_re = re.compile(r"^ {0,3}#{1,6}\s")
+        break_re = re.compile(r"^ {0,3}(?:-{3,}|\*{3,}|_{3,})\s*$")
+        quote_re = re.compile(r"^ {0,3}>")
+        item_re = re.compile(r"^(\s*)(?:[-*+]|\d{1,9}[.)])\s+")
+        setext_re = re.compile(r"^ {0,3}(?:=+|-+)\s*$")
+        i = 0
+        while i < n:
+            line = lines[i]
+            if not line.strip():
+                i += 1
+                continue
+            m = fence_re.match(line)
+            if m:
+                fence = m.group(1)
+                j = i + 1
+                while j < n and not re.match(
+                    rf"^ {{0,3}}{re.escape(fence)}", lines[j]
+                ):
+                    j += 1
+                end = min(j, n - 1)
+                spans.append(Span(i + 1, end + 1, "fenced_code_block"))
+                i = end + 1
+                continue
+            if heading_re.match(line):
+                spans.append(Span(i + 1, i + 1, "atx_heading"))
+                i += 1
+                continue
+            if break_re.match(line):
+                spans.append(Span(i + 1, i + 1, "thematic_break"))
+                i += 1
+                continue
+            if quote_re.match(line):
+                j = i
+                while j + 1 < n and quote_re.match(lines[j + 1]):
+                    j += 1
+                spans.append(Span(i + 1, j + 1, "block_quote"))
+                i = j + 1
+                continue
+            if item_re.match(line):
+                start = i
+                j = i
+                items: list[tuple[int, int]] = []
+                while j < n:
+                    mi = item_re.match(lines[j]) if lines[j].strip() else None
+                    if mi:
+                        k = j
+                        ind = len(mi.group(1))
+                        while (
+                            k + 1 < n and lines[k + 1].strip()
+                            and item_re.match(lines[k + 1]) is None
+                            and len(lines[k + 1])
+                            - len(lines[k + 1].lstrip()) > ind
+                        ):
+                            k += 1
+                        items.append((j, k))
+                        j = k + 1
+                    elif not lines[j].strip():
+                        if j + 1 < n and item_re.match(lines[j + 1]):
+                            j += 1
+                        else:
+                            break
+                    else:
+                        break
+                end = items[-1][1]
+                spans.append(Span(start + 1, end + 1, "list"))
+                for s_, e_ in items:
+                    spans.append(Span(s_ + 1, e_ + 1, "list_item"))
+                i = end + 1
+                continue
+            # single-line setext heading (text + ===/--- underline);
+            # multi-line setext degrades to paragraph + thematic_break
+            # (documented approximation)
+            if i + 1 < n and setext_re.match(lines[i + 1]):
+                spans.append(Span(i + 1, i + 2, "setext_heading"))
+                i += 2
+                continue
+            j = i
+            while (
+                j + 1 < n and lines[j + 1].strip()
+                and not heading_re.match(lines[j + 1])
+                and not fence_re.match(lines[j + 1])
+                and not quote_re.match(lines[j + 1])
+                and not item_re.match(lines[j + 1])
+                and not break_re.match(lines[j + 1])
+                and not setext_re.match(lines[j + 1])
+            ):
+                j += 1
+            spans.append(Span(i + 1, j + 1, "paragraph"))
+            i = j + 1
+
+    elif lang == "yaml":
+        # yaml.rs:96-111: mapping pairs and sequence items, spans by
+        # indentation (stream/document whole-file parents truncated)
+        key_re = re.compile(r"^(\s*)[^\s#-][^:#]*:(?:\s|$)")
+        item_re = re.compile(r"^(\s*)-(?:\s|$)")
+        for i in range(n):
+            if comment_only[i] or in_str[i] or not code_lines[i].strip():
+                continue
+            kind = None
+            if key_re.match(code_lines[i]):
+                kind = "block_mapping_pair"
+            elif item_re.match(code_lines[i]):
+                kind = "block_sequence"
+            if kind:
+                end = _indent_end(lines, in_str, i)
+                spans.append(Span(i + 1, end + 1, kind))
 
     else:  # javascript / typescript
         headers = list(_JS_HEADERS) + (_TS_EXTRA if lang == "typescript" else [])

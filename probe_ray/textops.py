@@ -1786,13 +1786,20 @@ def knn_lsh(
             columns=["sig", "vec_id", "embedding"],
             filter=pads.field("sig").isin(ring),
         )
-        tops.append(
+        t_top = (
             cand.map_batches(score, batch_format="pyarrow")
             .filter(expr=f"vec_id != {int(query_vec_id)}")
             .sort(["sim", "vec_id"], descending=[True, False])
             .limit(k)
             .to_pandas()
         )
+        if "vec_id" not in t_top.columns:
+            # an empty ring yields a column-less frame on tiny corpora
+            t_top = pd.DataFrame({
+                "vec_id": pd.Series([], dtype="int64"),
+                "sim": pd.Series([], dtype="float64"),
+            })
+        tops.append(t_top)
         scanned += cand.count()
         if t == 0:
             n_total = rd.read_parquet(store, columns=["vec_id"]).count()
@@ -1998,6 +2005,20 @@ def knn_ivf(
     return pa.Table.from_pandas(top[["rank", "vec_id"]])
 
 
+def ivf_assignments(sf_dir: str, n_centroids: int = 16) -> rd.Dataset:
+    """The IVF coarse quantizer's full assignment table (vec_id ->
+    nearest-centroid id) — the data structure knn_ivf's inverted lists are
+    built from. SQL-checked: the DuckDB oracle REPLAYS the deterministic
+    spherical k-means itself (strided init over the vec_id<4096 sample,
+    8 unrolled Lloyd iterations, empty clusters keeping their previous
+    centroid) and the final argmax assignment, all in DOUBLE arithmetic
+    matching the engine's float64 path."""
+    store, _cents = _ivf_store(sf_dir, n_centroids)
+    return rd.read_parquet(
+        store, columns=["vec_id", "centroid"], file_extensions=["parquet"]
+    ).sort("vec_id")
+
+
 def embedding_cosine_dedup(
     sf_dir: str,
     threshold: float = 0.35,
@@ -2012,9 +2033,14 @@ def embedding_cosine_dedup(
 
     A single 10-plane table (round 1) had ~0.7% collision probability at
     the data's actual near-dup level — the check was vacuous. Banding
-    (8 tables x 4 planes) raises recall to ~70% at cosine 0.35; the op is
-    approximate by construction (rows-only oracle), with the exact windowed
-    twin `embedding_cosine_window_pairs` SQL-checked."""
+    (8 tables x 4 planes) raises recall to ~70% at cosine 0.35. The op is
+    approximate vs ground truth, but its computation is DETERMINISTIC and
+    now fully SQL-checked: the DuckDB oracle replays the seeded hyperplane
+    signatures (plane literals embedded in the query), the per-(table,
+    bucket) 64-smallest-id cap, the exact cosine verification and the
+    cross-table distinct — the minhash-replay pattern applied to cosine
+    LSH. The exact windowed twin `embedding_cosine_window_pairs` stays
+    SQL-checked as before."""
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     n_planes = n_tables * planes_per_table
     import pyarrow.parquet as _pq
@@ -2588,27 +2614,120 @@ def decode_wav_samples(p: bytes) -> np.ndarray:
     return arr[: arr.size // n_ch * n_ch].reshape(-1, n_ch)
 
 
+def decode_png_pixels(p: bytes) -> np.ndarray:
+    """Real PNG pixel decode — stdlib zlib + numpy only, no image
+    libraries: IDAT inflate + per-row unfilter (None/Sub/Up/Average/
+    Paeth) for 8-bit greyscale / grey+alpha / RGB / RGBA / palette.
+    Returns uint8 (H, W, C). Non-8-bit depths and Adam7 interlacing raise
+    NotImplementedError (they need none of the machinery below, just more
+    bit-plumbing; compressed codecs like JPEG remain the documented
+    env stub)."""
+    import struct
+    import zlib
+
+    if p[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    i = 8
+    ihdr = None
+    idat: list[bytes] = []
+    plte = None
+    while i + 8 <= len(p):
+        ln = struct.unpack(">I", p[i : i + 4])[0]
+        typ = p[i + 4 : i + 8]
+        body = p[i + 8 : i + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body[:13])
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif typ == b"IEND":
+            break
+        i += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"PNG bit depth {depth}/compression {comp} not supported "
+            "(8-bit non-interlaced only)"
+        )
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < (stride + 1) * h:
+        raise ValueError("truncated PNG pixel data")
+    arr = np.frombuffer(raw[: (stride + 1) * h], np.uint8).reshape(
+        h, stride + 1
+    )
+    ftypes = arr[:, 0]
+    out = np.zeros((h, stride), np.int32)
+    bpp = channels
+    for y in range(h):
+        f = int(ftypes[y])
+        cur = arr[y, 1:].astype(np.int32)
+        prior = out[y - 1] if y else np.zeros(stride, np.int32)
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif f == 2:  # Up (vectorized)
+            cur = (cur + prior) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = int(prior[x])
+                c = int(prior[x - bpp]) if x >= bpp else 0
+                pp = a + b - c
+                pa_, pb_, pc_ = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (
+                    b if pb_ <= pc_ else c
+                )
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur
+    px = out.astype(np.uint8).reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        px = plte[px[:, :, 0]]
+    return px
+
+
 class MediaFeatureExtractor:
     """Actor-pool stage for opaque binary media columns: schema, batching
     and actor lifecycle are real, and container METADATA (png/gif/jpeg
     dimensions, wav channels/rate/duration) is parsed byte-level with the
     stdlib. With ``decode=True`` WAV payloads get REAL sample decoding
-    (decode_wav_samples — PCM/float via struct+numpy) and per-channel RMS
-    features; pixel decoding for image containers still requires codecs
-    absent from this environment and raises the documented
-    NotImplementedError (as do unknown containers). Replace ``_decode``
-    with a real decoder (PIL/ffmpeg) on a cluster that has them;
-    everything else (small batch_size for large payloads, per-actor init,
-    Arrow binary in/out) carries over."""
+    (decode_wav_samples — PCM/float via struct+numpy) with per-channel
+    RMS features, and PNG payloads get REAL pixel decoding
+    (decode_png_pixels — zlib inflate + unfilter) with per-channel
+    mean/std pixel stats; only COMPRESSED image codecs (jpeg, gif's LZW)
+    still require libraries absent from this environment and raise the
+    documented NotImplementedError (as do unknown containers). Replace
+    ``_decode`` with a real decoder (PIL/ffmpeg) on a cluster that has
+    them; everything else (small batch_size for large payloads, per-actor
+    init, Arrow binary in/out) carries over."""
 
     def __init__(self, decode: bool = False):
         self.decode = decode
 
     def _decode(self, payload: bytes, kind: str):
         raise NotImplementedError(
-            f"pixel decode for {kind!r} requires image codecs not present in "
-            "this environment; WAV payloads decode natively "
-            "(decode_wav_samples) and the pipeline otherwise uses "
+            f"pixel decode for {kind!r} requires compressed-image codecs "
+            "not present in this environment; WAV payloads decode natively "
+            "(decode_wav_samples), PNG payloads decode natively "
+            "(decode_png_pixels), and the pipeline otherwise uses "
             "deterministic byte-level features"
         )
 
@@ -2616,9 +2735,11 @@ class MediaFeatureExtractor:
         payloads = batch.column("payload").to_pylist()
         n_bytes, sha, feats, rms_col, frames_col = [], [], [], [], []
         kinds, widths, heights, chans, rates, durs = [], [], [], [], [], []
+        px_mean_col, px_std_col = [], []
         for p in payloads:
             meta = sniff_media(p)
             rms = None
+            px_mean = px_std = None
             if self.decode:
                 if meta["kind"] == "wav":
                     frames = decode_wav_samples(p)
@@ -2627,9 +2748,15 @@ class MediaFeatureExtractor:
                         if frames.size
                         else []
                     )
+                elif meta["kind"] == "png":
+                    px = decode_png_pixels(p).astype(np.float64) / 255.0
+                    px_mean = px.mean(axis=(0, 1)).tolist()
+                    px_std = px.std(axis=(0, 1)).tolist()
                 elif meta["kind"] != "mp4":
                     self._decode(p, meta["kind"])
             rms_col.append(rms)
+            px_mean_col.append(px_mean)
+            px_std_col.append(px_std)
             # frame-sampling PLAN for video (real plumbing: the seek
             # timestamps a decoder would use; pixel decode = codec stub)
             frames_col.append(
@@ -2661,6 +2788,12 @@ class MediaFeatureExtractor:
                 "sample_rate": pa.array(rates, pa.int32()),
                 "duration_ms": pa.array(durs, pa.int64()),
                 "rms_per_channel": pa.array(rms_col, pa.list_(pa.float64())),
+                "pixel_mean_per_channel": pa.array(
+                    px_mean_col, pa.list_(pa.float64())
+                ),
+                "pixel_std_per_channel": pa.array(
+                    px_std_col, pa.list_(pa.float64())
+                ),
                 "frame_sample_ms": pa.array(
                     frames_col, pa.list_(pa.int64())
                 ),

@@ -879,3 +879,49 @@ def test_new_language_ast_blocks_end_to_end(tmp_path):
     rb_types = dict(zip(rb.column("path").to_pylist(),
                         rb.column("node_type").to_pylist()))
     assert rb_types["src/bill.rb"] == "method"
+
+
+def test_limited_search_results_metadata(t2_rows, t2_index):
+    """models.rs:2-9 LimitedSearchResults parity surface (r4 verdict item
+    9): engine.last_search_meta records the applied limits + running
+    totals, the limit-skip count, cached-block skips (exact on in-process
+    extraction), and the early-termination file skip count."""
+    engine = Engine(t2_index)
+    queries = ["keywordAlpha OR keywordBeta"]
+
+    got = engine.search_blocks(queries, max_results=3)
+    m = engine.last_search_meta
+    assert m["n_results"] == got.num_rows
+    la = m["limits_applied"]
+    assert la is not None and la["max_results"] == 3
+    assert la["total_bytes"] > 0 and la["total_tokens"] > 0
+    assert m["n_skipped_by_limits"] > 0  # many more blocks matched
+    assert m["cached_blocks_skipped"] in (0, None)
+    assert m["files_skipped_early_termination"] is None
+
+    # unlimited: no limits record, nothing skipped
+    engine.search_blocks(queries)
+    m = engine.last_search_meta
+    assert m["limits_applied"] is None and m["n_skipped_by_limits"] == 0
+
+    # session page 2: previously returned spans are counted as cached
+    # skips (extraction runs in-process at this corpus size)
+    engine.search_blocks(queries, max_results=3, session="meta_s")
+    engine.search_blocks(queries, session="meta_s")
+    m = engine.last_search_meta
+    assert m["cached_blocks_skipped"] is not None
+    assert m["cached_blocks_skipped"] > 0
+
+    # early termination records the skipped-file count
+    engine.search_blocks(queries, max_results=3, early_termination=True)
+    m = engine.last_search_meta
+    assert m["files_skipped_early_termination"] is not None
+    assert m["files_skipped_early_termination"] > 0
+
+    # doc-granularity search carries the same record shape
+    engine.search(queries, max_results=2)
+    m = engine.last_search_meta
+    assert m["n_results"] <= 2
+    assert m["limits_applied"]["max_results"] == 2
+    assert m["n_skipped_by_limits"] > 0
+    assert m["cached_blocks_skipped"] is None

@@ -562,3 +562,72 @@ def test_swift_spans_and_test_detection():
     assert (34, 36, "function_declaration") in tests
     assert (38, 40, "class_declaration") in tests
     assert len(tests) == 2
+
+
+MARKDOWN = """\
+# Title
+
+Intro paragraph line one
+continues on line two.
+
+## Usage
+
+- first item
+  with a continuation
+- second item
+
+> quoted wisdom
+> second quote line
+
+```python
+print("fenced")
+```
+
+---
+
+Setext heading
+==============
+"""
+
+
+def test_markdown_spans():
+    spans = _spans(MARKDOWN, "md")
+    assert (1, 1, "atx_heading") in spans
+    assert (3, 4, "paragraph") in spans
+    assert (6, 6, "atx_heading") in spans
+    assert (8, 10, "list") in spans
+    assert (8, 9, "list_item") in spans
+    assert (10, 10, "list_item") in spans
+    assert (12, 13, "block_quote") in spans
+    assert (15, 17, "fenced_code_block") in spans
+    assert (19, 19, "thematic_break") in spans
+    assert (21, 22, "setext_heading") in spans
+    # prose apostrophes/slashes never toggle scanner state: every span
+    # above is derived from raw lines
+    assert not any(s.is_test for s in spans.values())
+
+
+YAML = """\
+server:
+  host: localhost
+  ports:
+    - 8080
+    - 9090
+logging:
+  level: info
+# trailing comment
+single: value
+"""
+
+
+def test_yaml_spans():
+    spans = _spans(YAML, "yaml")
+    assert (1, 5, "block_mapping_pair") in spans  # server block
+    assert (2, 2, "block_mapping_pair") in spans
+    assert (3, 5, "block_mapping_pair") in spans  # ports block
+    assert (4, 4, "block_sequence") in spans
+    assert (5, 5, "block_sequence") in spans
+    assert (6, 7, "block_mapping_pair") in spans
+    assert (9, 9, "block_mapping_pair") in spans
+    # comment line opens no span
+    assert not any(s.start == 8 for s in spans.values())
