@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": T.doc_fingerprint,          # SQL-checked
         "minhash_lsh_dedup": T.minhash_lsh_dedup,      # SQL-checked
         "simhash64": T.simhash64,                      # SQL-checked
+        "simhash_near_dup": T.simhash_near_dup,        # SQL-checked (banded Hamming)
         "winnowing_fingerprints": T.winnowing_fingerprints,  # SQL-checked
         # --- similarity search over embeddings ---
         "knn_cosine": T.knn_cosine,                    # SQL-checked
@@ -376,6 +377,50 @@ def _extract_from_text_refs(sf_dir: str):
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
+
+_SIMHASH_REPLAY_CTES = """
+            -- 64-bit SimHash replay: per-token md5, the first 8 digest
+            -- bytes little-endian (bit b = bit b%8 of hex pair b//8, via a
+            -- 256-row hex LUT), tf-weighted signed bit sums, bits with
+            -- acc > 0 set, then the engine's unconditional -2^63 shift
+            -- into int64 (shared by the simhash64 and simhash_near_dup
+            -- oracles)
+            toks AS (
+              SELECT doc_id, u.t AS t
+              FROM documents,
+                   unnest(list_filter(string_split_regex(lower(text),
+                          '[^a-z0-9]+'), x -> x <> '')) AS u(t)
+            ),
+            counts AS (
+              SELECT doc_id, t, count(*)::BIGINT AS c
+              FROM toks GROUP BY doc_id, t
+            ),
+            hx AS (SELECT doc_id, c, md5(t) AS h FROM counts),
+            lut AS (SELECT i, printf('%02x', i) AS hxp FROM range(256) tt(i)),
+            bits AS (
+              SELECT hx.doc_id, b.b AS bitpos,
+                     SUM(CASE WHEN (lut.i >> CAST(b.b % 8 AS INTEGER)) & 1 = 1
+                              THEN hx.c ELSE -hx.c END) AS acc
+              FROM hx
+              CROSS JOIN range(64) b(b)
+              JOIN lut
+                ON lut.hxp = substr(hx.h, CAST(2*(b.b // 8) + 1 AS INTEGER), 2)
+              GROUP BY hx.doc_id, b.b
+            ),
+            sums AS (
+              SELECT doc_id,
+                     SUM(CASE WHEN acc > 0
+                              THEN (1::HUGEINT << CAST(bitpos AS INTEGER))
+                              ELSE 0::HUGEINT END) AS uns
+              FROM bits GROUP BY doc_id
+            ),
+            simhashes AS (
+              SELECT d.doc_id,
+                     CAST(COALESCE(s.uns, 0::HUGEINT) - (1::HUGEINT << 63)
+                          AS BIGINT) AS simhash
+              FROM documents d LEFT JOIN sums s USING (doc_id)
+            )"""
+
 
 _EMB_DIM = 64  # embeddings.parquet schema constant (list<float>[64])
 
@@ -1318,46 +1363,40 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN agg a USING (doc_id)
             ORDER BY d.doc_id
         """,
-        "simhash64": """
-            -- 64-bit SimHash replay: per-token md5, the first 8 digest
-            -- bytes little-endian (bit b = bit b%8 of hex pair b//8, via a
-            -- 256-row hex LUT), tf-weighted signed bit sums, bits with
-            -- acc > 0 set, then the engine's unconditional -2^63 shift
-            -- into int64
-            WITH toks AS (
-              SELECT doc_id, u.t AS t
-              FROM documents,
-                   unnest(list_filter(string_split_regex(lower(text),
-                          '[^a-z0-9]+'), x -> x <> '')) AS u(t)
+        "simhash64": f"""
+            WITH {_SIMHASH_REPLAY_CTES}
+            SELECT doc_id, simhash FROM simhashes ORDER BY doc_id
+        """,
+        "simhash_near_dup": f"""
+            -- banded Hamming near-dup replay over the simhash CTEs: band
+            -- keys via signed arithmetic shift + mask (identical low-16
+            -- bits to the engine's unsigned chunks), 64-smallest-id cap
+            -- per (band, key), popcount verify, cross-band distinct
+            WITH {_SIMHASH_REPLAY_CTES},
+            banded AS (
+              SELECT b.b AS band,
+                     ((simhash >> CAST(16 * b.b AS INTEGER)) & 65535)
+                       AS key,
+                     doc_id, simhash
+              FROM simhashes CROSS JOIN range(4) b(b)
             ),
-            counts AS (
-              SELECT doc_id, t, count(*)::BIGINT AS c
-              FROM toks GROUP BY doc_id, t
-            ),
-            hx AS (SELECT doc_id, c, md5(t) AS h FROM counts),
-            lut AS (SELECT i, printf('%02x', i) AS hxp FROM range(256) tt(i)),
-            bits AS (
-              SELECT hx.doc_id, b.b AS bitpos,
-                     SUM(CASE WHEN (lut.i >> CAST(b.b % 8 AS INTEGER)) & 1 = 1
-                              THEN hx.c ELSE -hx.c END) AS acc
-              FROM hx
-              CROSS JOIN range(64) b(b)
-              JOIN lut
-                ON lut.hxp = substr(hx.h, CAST(2*(b.b // 8) + 1 AS INTEGER), 2)
-              GROUP BY hx.doc_id, b.b
-            ),
-            sums AS (
-              SELECT doc_id,
-                     SUM(CASE WHEN acc > 0
-                              THEN (1::HUGEINT << CAST(bitpos AS INTEGER))
-                              ELSE 0::HUGEINT END) AS uns
-              FROM bits GROUP BY doc_id
+            capped AS (
+              SELECT * FROM (
+                SELECT band, key, doc_id, simhash,
+                       row_number() OVER (
+                         PARTITION BY band, key ORDER BY doc_id
+                       ) AS rn
+                FROM banded
+              ) WHERE rn <= 64
             )
-            SELECT d.doc_id,
-                   CAST(COALESCE(s.uns, 0::HUGEINT) - (1::HUGEINT << 63)
-                        AS BIGINT) AS simhash
-            FROM documents d LEFT JOIN sums s USING (doc_id)
-            ORDER BY d.doc_id
+            SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+            FROM capped a
+            JOIN capped b
+              ON a.band = b.band AND a.key = b.key
+             AND b.doc_id > a.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY doc_id_a, doc_id_b
         """,
         "knn_cosine": """
             WITH s AS (

@@ -57,6 +57,20 @@ Acceptable-parent sets ported per language:
   yaml.rs:96-111  block_mapping_pair / block_sequence item spans by
                   indentation (stream/document whole-file parents
                   deliberately truncated)
+  solidity.rs:55-72  contract/interface/library/function/constructor/
+                  modifier/fallback-receive/struct/enum/event/error/
+                  state-variable/user-defined-type (brace language)
+  crystal.rs:70-87  class/module/struct/enum/method/macro/lib/fun/alias/
+                  annotation/type/union defs (ruby-shaped end matching;
+                  lib-body fun/alias/type declarations are single-line)
+  haskell.rs:77-99  top-level data/newtype/type/class/instance/foreign/
+                  pattern decls + function (signature grouped with its
+                  binding equations) and standalone binds, spans by
+                  indentation; where-locals resolve to their enclosing
+                  span
+  html.rs:240-255  every element is acceptable; container/semantic
+                  elements span to their matching close tag, leaves are
+                  single-line
 Test-node detection mirrors each language's is_test_node
 (rust #[test] attributes, python/ruby test_ prefix, go Test prefix,
 js/ts test-name functions and describe/it/test/expect calls, java @Test
@@ -95,6 +109,12 @@ SUPPORTED_EXTS = {
     "markdown": "markdown",
     "yaml": "yaml",
     "yml": "yaml",
+    "sol": "solidity",
+    "cr": "crystal",
+    "hs": "haskell",
+    "lhs": "haskell",
+    "html": "html",
+    "htm": "html",
 }
 
 
@@ -116,6 +136,66 @@ _PY_SPECIAL_RE = re.compile(r"[#'\"\\]")
 _BRACE_SPECIAL_RE = re.compile(r"[/'\"`\\]")
 
 
+def _scan_haskell(
+    lines: list[str],
+) -> tuple[list[str], list[bool], list[bool]]:
+    """haskell scanner: ``--`` line comments (not when part of an operator
+    like ``-->``; the plain prefix case covers real code), ``{- -}`` block
+    comments (nesting approximated as non-nesting), ``"`` strings."""
+    code_lines: list[str] = []
+    comment_only: list[bool] = []
+    in_str_line: list[bool] = []
+    in_block = False
+    for raw in lines:
+        out: list[str] = []
+        i, n = 0, len(raw)
+        saw_code = False
+        saw_comment = in_block
+        while i < n:
+            if in_block:
+                j = raw.find("-}", i)
+                if j < 0:
+                    out.append(" " * (n - i))
+                    i = n
+                else:
+                    out.append(" " * (j + 2 - i))
+                    i = j + 2
+                    in_block = False
+                continue
+            if raw.startswith("{-", i):
+                saw_comment = True
+                in_block = True
+                continue
+            if raw.startswith("--", i) and (
+                i + 2 >= n or not raw[i + 2] in "->:#$%&*+./<=>?@\\^|~"
+            ):
+                saw_comment = True
+                out.append(" " * (n - i))
+                break
+            c = raw[i]
+            if c == '"':
+                j = i + 1
+                while j < n:
+                    if raw[j] == "\\":
+                        j += 2
+                        continue
+                    if raw[j] == '"':
+                        break
+                    j += 1
+                out.append('"' + " " * (max(j, i + 1) - i - 1) + ('"' if j < n else ""))
+                i = min(j + 1, n)
+                saw_code = True
+                continue
+            if not c.isspace():
+                saw_code = True
+            out.append(c)
+            i += 1
+        code_lines.append("".join(out))
+        comment_only.append(saw_comment and not saw_code)
+        in_str_line.append(False)
+    return code_lines, comment_only, in_str_line
+
+
 def scan_lines(lines: list[str], ext: str) -> tuple[list[str], list[bool], list[bool]]:
     """Per line: (code with string/comment text blanked, comment_only flag,
     in_string flag for lines fully inside a multi-line string).
@@ -124,13 +204,22 @@ def scan_lines(lines: list[str], ext: str) -> tuple[list[str], list[bool], list[
     # comments plus ' " and triple-quoted strings for python.  Escapes are
     honored; raw-string edge cases degrade to treating the line as code,
     which only widens spans (never drops a matched line)."""
-    # markdown has NO comment/string syntax: prose apostrophes and slashes
-    # must never toggle scanner state — raw passthrough
+    # markdown/html have NO //-style comment/string syntax: prose
+    # apostrophes and slashes must never toggle scanner state — raw
+    # passthrough, except html comment-only lines (<!-- ... -->)
     if ext in ("md", "markdown"):
         return list(lines), [False] * len(lines), [False] * len(lines)
-    # ruby/yaml share python's comment/string shape (# comments, '/"
-    # strings; the triple-quote branch is harmless noise there)
-    python = ext in ("py", "rb", "yaml", "yml")
+    if ext in ("html", "htm"):
+        comment_only = [
+            bool(re.match(r"^\s*<!--.*-->\s*$", ln)) for ln in lines
+        ]
+        return list(lines), comment_only, [False] * len(lines)
+    if ext in ("hs", "lhs"):
+        # haskell: -- line comments, {- -} block comments, " strings
+        return _scan_haskell(lines)
+    # ruby/crystal/yaml share python's comment/string shape (# comments,
+    # '/" strings; the triple-quote branch is harmless noise there)
+    python = ext in ("py", "rb", "yaml", "yml", "cr")
     code_lines: list[str] = []
     comment_only: list[bool] = []
     in_str_line: list[bool] = []
@@ -464,6 +553,30 @@ _SWIFT_LINE_KINDS = frozenset({
     "variable_declaration", "constant_declaration", "typealias_declaration",
 })
 
+# -- solidity (solidity.rs:55-72 acceptable set; brace language — event/
+#    error/state-variable declarations end at their `;` via _brace_end) --
+_SOL_HEADERS = [
+    ("contract_declaration", re.compile(
+        r"^\s*(?:abstract\s+)?contract\s+\w+")),
+    ("interface_declaration", re.compile(r"^\s*interface\s+\w+")),
+    ("library_declaration", re.compile(r"^\s*library\s+\w+")),
+    ("struct_declaration", re.compile(r"^\s*struct\s+\w+")),
+    ("enum_declaration", re.compile(r"^\s*enum\s+\w+")),
+    ("event_definition", re.compile(r"^\s*event\s+\w+")),
+    ("error_declaration", re.compile(r"^\s*error\s+\w+")),
+    ("modifier_definition", re.compile(r"^\s*modifier\s+\w+")),
+    ("constructor_definition", re.compile(r"^\s*constructor\s*\(")),
+    ("fallback_receive_definition", re.compile(
+        r"^\s*(?:fallback|receive)\s*\(")),
+    ("function_definition", re.compile(r"^\s*function\s+\w+")),
+    ("user_defined_type_definition", re.compile(
+        r"^\s*type\s+\w+\s+is\b")),
+    ("state_variable_declaration", re.compile(
+        r"^\s*(?:mapping\s*\([^;]*\)|uint\d*|int\d*|address|bool"
+        r"|string|bytes\d*)\s+(?:(?:public|private|internal|constant"
+        r"|immutable|override)\s+)*\w+\s*(?:=[^=>]|;)")),
+]
+
 # per-language header tables for the shared brace-block branch
 _BRACE_HEADERS = {
     "rust": _RUST_HEADERS,
@@ -474,6 +587,7 @@ _BRACE_HEADERS = {
     "csharp": _CS_HEADERS,
     "php": _PHP_HEADERS,
     "swift": _SWIFT_HEADERS,
+    "solidity": _SOL_HEADERS,
 }
 
 # -- ruby (ruby.rs is_symbol_like: method/class/module + singletons);
@@ -490,18 +604,45 @@ _RB_DO_TAIL = re.compile(r"\bdo\s*(?:\|[^|]*\|)?\s*$")
 _RB_END = re.compile(r"(?:^|;)\s*end\b")
 _RB_ENDLESS_DEF = re.compile(r"^\s*def\s+[\w.?!=\[\]]+(?:\([^)]*\))?\s*=")
 
+# -- crystal (crystal.rs:70-87 acceptable set) — ruby-shaped end matching;
+#    fun/alias/type declarations inside lib bodies are single-line forms --
+_CR_HEADERS = [
+    ("abstract_method_def", re.compile(r"^\s*abstract\s+def\s+")),
+    ("method_def", re.compile(r"^\s*def\s+")),
+    ("class_def", re.compile(r"^\s*(?:abstract\s+)?class\s+[A-Z]")),
+    ("module_def", re.compile(r"^\s*module\s+[A-Z]")),
+    ("struct_def", re.compile(r"^\s*(?:abstract\s+)?struct\s+[A-Z]")),
+    ("enum_def", re.compile(r"^\s*enum\s+[A-Z]")),
+    ("macro_def", re.compile(r"^\s*macro\s+\w+")),
+    ("lib_def", re.compile(r"^\s*lib\s+[A-Z]")),
+    ("annotation_def", re.compile(r"^\s*annotation\s+[A-Z]")),
+    ("union_def", re.compile(r"^\s*union\s+\w+")),
+    ("fun_def", re.compile(r"^\s*fun\s+\w+")),
+    ("alias", re.compile(r"^\s*alias\s+[A-Z]")),
+    ("type_def", re.compile(r"^\s*type\s+[A-Z]")),
+]
+#: crystal kinds with no `end` terminator (lib-body declaration forms)
+_CR_SINGLE_LINE = frozenset({
+    "abstract_method_def", "fun_def", "alias", "type_def",
+})
+_CR_OPENER = re.compile(
+    r"^\s*(?:def|class|module|struct|enum|macro|lib|annotation|union"
+    r"|if|unless|case|while|until|begin|for)\b")
 
-def _ruby_end(code_lines: list[str], start_i: int) -> int:
-    """0-based end line of a ruby def/class/module: keyword-depth scan over
-    line-leading openers, trailing do-blocks and line-leading ``end``s.
-    Modifier forms (``x if y``) never open because they are not
+
+def _ruby_end(code_lines: list[str], start_i: int,
+              opener_re=None) -> int:
+    """0-based end line of a ruby/crystal def/class/module: keyword-depth
+    scan over line-leading openers, trailing do-blocks and line-leading
+    ``end``s. Modifier forms (``x if y``) never open because they are not
     line-leading; an endless def (``def x = expr``) is its own line."""
+    opener_re = opener_re or _RB_OPENER
     if _RB_ENDLESS_DEF.match(code_lines[start_i]):
         return start_i
     depth = 0
     for j in range(start_i, len(code_lines)):
         line = code_lines[j]
-        if _RB_OPENER.match(line) and not _RB_ENDLESS_DEF.match(line):
+        if opener_re.match(line) and not _RB_ENDLESS_DEF.match(line):
             depth += 1
         elif _RB_DO_TAIL.search(line):
             depth += 1
@@ -558,6 +699,23 @@ def _brace_is_test(
     if lang in ("c", "cpp") and kind == "function_definition":
         name = re.search(r"([\w:~]+)\s*\(", code_lines[i])
         return bool(name and "test" in name.group(1).lower())
+    if lang == "solidity":
+        # solidity.rs:78-97: *Test/*Tests contracts; setUp / test* /
+        # invariant_* functions
+        if kind == "contract_declaration":
+            name = re.search(r"contract\s+(\w+)", code_lines[i])
+            return bool(
+                name and (name.group(1).endswith("Test")
+                          or name.group(1).endswith("Tests"))
+            )
+        if kind == "function_definition":
+            name = re.search(r"function\s+(\w+)", code_lines[i])
+            return bool(name and (
+                name.group(1) == "setUp"
+                or name.group(1).startswith("test")
+                or name.group(1).startswith("invariant_")
+            ))
+        return False
     if lang == "php":
         if kind != "method_declaration":
             return False
@@ -766,18 +924,32 @@ def structural_spans(
                     spans.append(Span(i + 1, end + 1, kind, is_test))
                     break
 
-    elif lang == "ruby":
+    elif lang in ("ruby", "crystal"):
+        headers = _RB_HEADERS if lang == "ruby" else _CR_HEADERS
+        opener = _RB_OPENER if lang == "ruby" else _CR_OPENER
         for i in range(n):
             if comment_only[i] or in_str[i]:
                 continue
-            for kind, rx in _RB_HEADERS:
+            for kind, rx in headers:
                 if rx.match(code_lines[i]):
-                    end = _ruby_end(code_lines, i)
-                    name = re.search(r"def\s+(?:self\.)?([\w?!]+)", code_lines[i])
+                    if kind in _CR_SINGLE_LINE:
+                        end = i  # lib-body declaration form: no `end`
+                    else:
+                        end = _ruby_end(code_lines, i, opener)
+                    name = re.search(
+                        r"def\s+(?:self\.)?([\w?!]+)", code_lines[i]
+                    )
                     is_test = bool(
-                        kind in ("method", "singleton_method")
+                        kind in ("method", "singleton_method",
+                                 "method_def", "abstract_method_def",
+                                 "macro_def")
                         and name and name.group(1).startswith("test_")
                     )
+                    if kind == "macro_def":
+                        mname = re.search(r"macro\s+(\w+)", code_lines[i])
+                        is_test = bool(
+                            mname and mname.group(1).startswith("test_")
+                        )
                     spans.append(Span(i + 1, end + 1, kind, is_test))
                     break
 
@@ -891,6 +1063,115 @@ def structural_spans(
             if kind:
                 end = _indent_end(lines, in_str, i)
                 spans.append(Span(i + 1, end + 1, kind))
+
+    elif lang == "haskell":
+        # haskell.rs:77-99 acceptable parents at the TOP LEVEL (^-anchored:
+        # where-locals and class members are indented and resolve to their
+        # enclosing span); a function span = its type signature plus the
+        # following same-name binding equations (the grammar's "bind"
+        # nodes; standalone binds get their own span)
+        hs_heads = [
+            ("data_type", re.compile(
+                r"^data\s+(?:family\s+|instance\s+)?[A-Z(]")),
+            ("newtype", re.compile(r"^newtype\s+[A-Z]")),
+            ("type_synomym", re.compile(
+                r"^type\s+(?:family\s+|instance\s+)?[A-Z(]")),
+            ("class", re.compile(r"^class\s+")),
+            ("instance", re.compile(r"^instance\s+")),
+            ("foreign_import", re.compile(r"^foreign\s+import\b")),
+            ("foreign_export", re.compile(r"^foreign\s+export\b")),
+            ("pattern_synonym", re.compile(r"^pattern\s+[A-Z]")),
+        ]
+        sig_re = re.compile(r"^([a-z_][\w']*)\s*(?:,\s*[a-z_][\w']*\s*)*::")
+        bind_re = re.compile(r"^([a-z_][\w']*)\b")
+        consumed: set[int] = set()
+        i = 0
+        while i < n:
+            if i in consumed or comment_only[i] or not code_lines[i].strip():
+                i += 1
+                continue
+            line = code_lines[i]
+            head = next(
+                ((k, rx) for k, rx in hs_heads if rx.match(line)), None
+            )
+            if head is not None:
+                end = _indent_end(lines, in_str, i)
+                spans.append(Span(i + 1, end + 1, head[0]))
+                i += 1
+                continue
+            m = sig_re.match(line)
+            if m is not None:
+                nm = m.group(1)
+                end = _indent_end(lines, in_str, i)
+                j = end
+                bind_nm = re.compile(rf"^{re.escape(nm)}\b")
+                while j + 1 < n:
+                    nxt = j + 1
+                    if not code_lines[nxt].strip() or comment_only[nxt]:
+                        # blank/comment joins only if a same-name bind
+                        # follows directly
+                        if nxt + 1 < n and bind_nm.match(code_lines[nxt + 1]):
+                            j = nxt
+                            continue
+                        break
+                    if bind_nm.match(code_lines[nxt]):
+                        j = _indent_end(lines, in_str, nxt)
+                        continue
+                    break
+                consumed.update(range(i, j + 1))
+                is_test = nm.startswith(("prop_", "test_", "spec_"))
+                spans.append(Span(i + 1, j + 1, "function", is_test))
+                i = j + 1
+                continue
+            m = bind_re.match(line)
+            if m is not None and "=" in line:
+                nm = m.group(1)
+                end = _indent_end(lines, in_str, i)
+                is_test = nm.startswith(("prop_", "test_", "spec_"))
+                spans.append(Span(i + 1, end + 1, "bind", is_test))
+                consumed.update(range(i, end + 1))
+                i = end + 1
+                continue
+            i += 1
+
+    elif lang == "html":
+        # html.rs:240-255: every element is acceptable; container/semantic
+        # elements span to their matching close tag (same-tag nesting
+        # count), leaf elements are single-line spans
+        open_tag = re.compile(r"^\s*<(?P<tag>[A-Za-z][\w-]*)")
+        containers = {
+            "html", "head", "body", "header", "footer", "nav", "main",
+            "section", "article", "aside", "div", "form", "table", "ul",
+            "ol", "script", "style", "blockquote",
+        }
+        for i in range(n):
+            if comment_only[i]:
+                continue
+            m = open_tag.match(lines[i])
+            if m is None:
+                continue
+            tag = m.group("tag").lower()
+            kind = (
+                "script_element" if tag == "script"
+                else "style_element" if tag == "style"
+                else "element"
+            )
+            if tag not in containers or re.search(
+                rf"<{tag}\b[^>]*/>", lines[i], re.I
+            ):
+                spans.append(Span(i + 1, i + 1, "element"))
+                continue
+            o_rx = re.compile(rf"<{tag}\b(?![^>]*/>)", re.I)
+            c_rx = re.compile(rf"</{tag}\s*>", re.I)
+            depth = 0
+            end = n - 1
+            for j in range(i, n):
+                depth += len(o_rx.findall(lines[j]))
+                depth -= len(c_rx.findall(lines[j]))
+                if depth <= 0:
+                    end = j
+                    break
+            spans.append(Span(i + 1, end + 1, kind))
 
     else:  # javascript / typescript
         headers = list(_JS_HEADERS) + (_TS_EXTRA if lang == "typescript" else [])

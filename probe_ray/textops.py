@@ -1342,6 +1342,84 @@ def simhash64(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(sim, batch_format="pyarrow")
 
 
+def simhash_near_dup(
+    sf_dir: str, max_hamming: int = 3, n_bands: int = 4
+) -> rd.Dataset:
+    """SimHash near-dup pairs: docs whose 64-bit simhash Hamming distance
+    is <= ``max_hamming``, found via banding — the simhash is split into
+    ``n_bands`` disjoint 16-bit bands, candidates share a band, and
+    candidates are verified by exact popcount. Banding is EXACT here, not
+    approximate: by pigeonhole, <= 3 differing bits cannot touch all 4
+    disjoint bands, so every qualifying pair shares at least one band
+    key. Per-(band, key) membership keeps the ``_LSH_BUCKET_CAP``
+    smallest doc ids (the degenerate-bucket bound every bucketed op here
+    uses; the SQL oracle replays the cap). Output (doc_id_a, doc_id_b,
+    hamming), distinct, sorted. Fully SQL-checked: the DuckDB oracle
+    reuses the simhash md5-bit replay, extracts band keys with signed
+    arithmetic shifts (identical low-16 bits), and verifies with
+    bit_count(xor(...))."""
+    assert 64 % n_bands == 0
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+    sig = simhash64(sf_dir)
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        s = batch.column("simhash").to_numpy()
+        d = batch.column("doc_id").to_numpy()
+        u = s.view(np.uint64)
+        bs, ks, ds, ss = [], [], [], []
+        for b in range(n_bands):
+            key = ((u >> np.uint64(width * b)) & mask).astype(np.int64)
+            bs.append(np.full(d.size, b, dtype=np.int64))
+            ks.append(key)
+            ds.append(d)
+            ss.append(s)
+        return pa.table({
+            "band": pa.array(np.concatenate(bs), pa.int64()),
+            "key": pa.array(np.concatenate(ks), pa.int64()),
+            "doc_id": pa.array(np.concatenate(ds), pa.int64()),
+            "simhash": pa.array(np.concatenate(ss), pa.int64()),
+        })
+
+    _schema = pa.schema([
+        ("doc_id_a", pa.int64()), ("doc_id_b", pa.int64()),
+        ("hamming", pa.int32()),
+    ])
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids_all = group.column("doc_id").to_numpy()
+        order = np.argsort(ids_all, kind="stable")[:_LSH_BUCKET_CAP]
+        if order.size < 2:
+            return _schema.empty_table()
+        sel = group.take(pa.array(order))
+        ids = sel.column("doc_id").to_numpy().astype(np.int64)
+        u = sel.column("simhash").to_numpy().view(np.uint64)
+        iu, ju = np.triu_indices(ids.size, k=1)
+        x = np.bitwise_xor(u[iu], u[ju])
+        pc = np.unpackbits(
+            x.astype("<u8").view(np.uint8).reshape(-1, 8), axis=1
+        ).sum(axis=1).astype(np.int32)
+        hit = pc <= max_hamming
+        return pa.table({
+            "doc_id_a": pa.array(ids[iu[hit]], pa.int64()),
+            "doc_id_b": pa.array(ids[ju[hit]], pa.int64()),
+            "hamming": pa.array(pc[hit], pa.int32()),
+        })
+
+    from ray.data.aggregate import Min
+
+    # a pair found in several bands dedups distributed (hamming is a pure
+    # function of the pair, so Min == the single value)
+    return (
+        sig.map_batches(to_bands, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(pairs, batch_format="pyarrow")
+        .groupby(["doc_id_a", "doc_id_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+        .sort(["doc_id_a", "doc_id_b"])
+    )
+
+
 def near_dup_word_jaccard(sf_dir: str, window: int = 5, threshold: float = 0.5) -> rd.Dataset:
     """Word-set Jaccard for doc pairs within a doc_id window (the
     SQL-checkable near-dup variant; the unrestricted version is

@@ -849,6 +849,34 @@ def test_new_language_ast_blocks_end_to_end(tmp_path):
             "    }\n"
             "}\n",
         ),
+        "src/tok.sol": (
+            "solidity",
+            "contract Tok {\n"
+            "    function keywordAlpha(uint x) public {\n"
+            "    }\n"
+            "}\n",
+        ),
+        "src/calc.cr": (
+            "crystal",
+            "class Calc\n"
+            "  def keyword_alpha(x)\n"
+            "    x + 1\n"
+            "  end\n"
+            "end\n",
+        ),
+        "src/Calc.hs": (
+            "haskell",
+            "keywordAlpha :: Int -> Int\n"
+            "keywordAlpha x = x + 1\n",
+        ),
+        "src/index.html": (
+            "html",
+            "<body>\n"
+            "  <section>\n"
+            "    <p>keywordAlpha</p>\n"
+            "  </section>\n"
+            "</body>\n",
+        ),
     }
     rows = [
         dict(repo="r", path=p, commit="0" * 40, lang=lang, content=c)
@@ -875,10 +903,14 @@ def test_new_language_ast_blocks_end_to_end(tmp_path):
     assert by_path["src/Inv.cs"] == "method_declaration"
     assert by_path["src/pay.php"] == "method_declaration"
     assert by_path["src/calc.swift"] == "function_declaration"
+    assert by_path["src/tok.sol"] == "function_definition"
+    assert by_path["src/Calc.hs"] == "function"
+    assert by_path["src/index.html"] in ("element",)
     rb = eng.search_blocks(["keyword_alpha"])
     rb_types = dict(zip(rb.column("path").to_pylist(),
                         rb.column("node_type").to_pylist()))
     assert rb_types["src/bill.rb"] == "method"
+    assert rb_types["src/calc.cr"] == "method_def"
 
 
 def test_limited_search_results_metadata(t2_rows, t2_index):

@@ -631,3 +631,171 @@ def test_yaml_spans():
     assert (9, 9, "block_mapping_pair") in spans
     # comment line opens no span
     assert not any(s.start == 8 for s in spans.values())
+
+
+SOLIDITY = """\
+contract Token {
+    mapping(address => uint256) public balances;
+    event Transfer(address a, address b);
+    modifier onlyOwner() {
+        _;
+    }
+    constructor(uint256 supply) {
+    }
+    function transfer(address to) public {
+        balances[to] += 1;
+    }
+    function testTransfer() public {
+    }
+}
+
+contract TokenTest {
+}
+
+interface IToken {
+    function total() external;
+}
+"""
+
+
+def test_solidity_spans_and_test_detection():
+    spans = _spans(SOLIDITY, "sol")
+    assert (1, 14, "contract_declaration") in spans
+    assert (2, 2, "state_variable_declaration") in spans
+    assert (3, 3, "event_definition") in spans
+    assert (4, 6, "modifier_definition") in spans
+    assert (7, 8, "constructor_definition") in spans
+    assert (9, 11, "function_definition") in spans
+    assert (19, 21, "interface_declaration") in spans
+    assert (20, 20, "function_definition") in spans
+    tests = sorted(
+        (s.start, s.end, s.node_type)
+        for s in spans.values() if s.is_test
+    )
+    assert (12, 13, "function_definition") in tests   # test* name
+    assert (16, 17, "contract_declaration") in tests  # *Test contract
+    assert len(tests) == 2
+
+
+CRYSTAL = """\
+module Billing
+  class Calc
+    def add(x, y)
+      x + y
+    end
+
+    def test_add
+      add(1, 2)
+    end
+  end
+
+  enum Mode
+    A
+  end
+
+  alias Num = Int32
+end
+
+lib LibC
+  fun strlen(s : UInt8*) : Int32
+  type FileDesc = Int32
+end
+
+macro define_getter(name)
+end
+"""
+
+
+def test_crystal_spans_end_matching():
+    spans = _spans(CRYSTAL, "cr")
+    assert (1, 17, "module_def") in spans
+    assert (2, 10, "class_def") in spans
+    assert (3, 5, "method_def") in spans
+    assert (12, 14, "enum_def") in spans
+    assert (16, 16, "alias") in spans
+    assert (19, 22, "lib_def") in spans
+    assert (20, 20, "fun_def") in spans      # lib declaration: no `end`
+    assert (21, 21, "type_def") in spans
+    assert (24, 25, "macro_def") in spans
+    tests = [(s.start, s.end) for s in spans.values() if s.is_test]
+    assert tests == [(7, 9)]
+
+
+HASKELL = """\
+module Calc where
+
+-- | shapes
+data Shape = Circle Double
+           | Square Double
+
+newtype Total = Total Double
+
+class Area a where
+  area :: a -> Double
+
+instance Area Shape where
+  area (Circle r) = r * r
+  area (Square s) = s * s
+
+addOne :: Int -> Int
+addOne 0 = 1
+addOne x = x + 1
+
+limit = 42
+
+prop_addOne :: Int -> Bool
+prop_addOne x = addOne x > x
+"""
+
+
+def test_haskell_spans_function_grouping():
+    spans = _spans(HASKELL, "hs")
+    assert (4, 5, "data_type") in spans
+    assert (7, 7, "newtype") in spans
+    assert (9, 10, "class") in spans
+    assert (12, 14, "instance") in spans
+    # the function span groups the signature with BOTH binding equations
+    assert (16, 18, "function") in spans
+    # a standalone top-level bind gets its own span
+    assert (20, 20, "bind") in spans
+    tests = [(s.start, s.end) for s in spans.values() if s.is_test]
+    assert tests == [(22, 23)]  # prop_ prefix (haskell.rs:112-119)
+    # indented class members never open top-level spans
+    assert not any(s.start == 10 for s in spans.values())
+
+
+HTML = """\
+<html>
+<head>
+  <title>T</title>
+</head>
+<body>
+  <!-- navigation -->
+  <nav>
+    <div>menu</div>
+  </nav>
+  <section>
+    <p>text</p>
+    <img src="x.png"/>
+  </section>
+  <script>
+    run();
+  </script>
+</body>
+</html>
+"""
+
+
+def test_html_spans_tag_matching():
+    spans = _spans(HTML, "html")
+    assert (1, 18, "element") in spans          # <html>
+    assert (2, 4, "element") in spans           # <head>
+    assert (3, 3, "element") in spans           # <title> leaf
+    assert (5, 17, "element") in spans          # <body>
+    assert (7, 9, "element") in spans           # <nav>
+    assert (8, 8, "element") in spans           # <div>menu</div> same line
+    assert (10, 13, "element") in spans         # <section>
+    assert (12, 12, "element") in spans         # self-closing <img/>
+    assert (14, 16, "script_element") in spans
+    # the comment line opens no span
+    assert not any(s.start == 6 for s in spans.values())

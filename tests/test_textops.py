@@ -1072,3 +1072,38 @@ def test_png_pixel_decode_stats():
     import pytest as _pt
     with _pt.raises(NotImplementedError):
         decode_png_pixels(deep)
+
+
+def test_simhash_near_dup_banding_is_exact(tmp_path):
+    """Banding over 4 disjoint 16-bit bands is EXACT for Hamming <= 3
+    (pigeonhole): the op's pairs equal a brute-force popcount sweep."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from probe_ray import textops as T
+
+    got = T.simhash_near_dup(SF).take_all()
+    # sort by doc_id so positional i<j implies id_a < id_b below
+    sims = (
+        T.simhash64(SF).to_pandas()
+        .sort_values("doc_id").set_index("doc_id")["simhash"]
+    )
+    u = sims.to_numpy().view(np.uint64)
+    ids = sims.index.to_numpy()
+    iu, ju = np.triu_indices(ids.size, k=1)
+    pc = np.unpackbits(
+        np.bitwise_xor(u[iu], u[ju]).astype("<u8").view(np.uint8)
+        .reshape(-1, 8), axis=1
+    ).sum(axis=1)
+    hit = pc <= 3
+    want = sorted(
+        (int(a), int(b), int(h))
+        for a, b, h in zip(ids[iu[hit]], ids[ju[hit]], pc[hit])
+    )
+    # brute force has no bucket cap; equality holds when no (band, key)
+    # bucket overflows — true on this corpus (assert to keep it honest)
+    assert len(want) == len(got)
+    assert want == sorted(
+        (r["doc_id_a"], r["doc_id_b"], r["hamming"]) for r in got
+    )
+    assert any(r["hamming"] > 0 for r in got) or got  # sane values
