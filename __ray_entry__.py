@@ -532,12 +532,16 @@ def _ivf_assignments_sql(n_centroids: int = 16, iters: int = 8) -> str:
           SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
         ),
         s AS (
+          -- the train_sample smallest ids relative to the corpus minimum,
+          -- ordered by vec_id — the engine's exact (file-order-free)
+          -- sampling rule
           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rid,
                  CASE WHEN sqrt(list_dot_product(emb, emb)) > 0
                       THEN list_transform(
                         emb, x -> x / sqrt(list_dot_product(emb, emb)))
                       ELSE emb END AS u
-          FROM e WHERE vec_id < 4096
+          FROM e
+          WHERE vec_id < (SELECT min(vec_id) + 4096 FROM e)
         ),
         params AS (
           SELECT greatest(count(*) // {n_centroids}, 1) AS stride,

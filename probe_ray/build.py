@@ -841,6 +841,11 @@ def build_index(
         schema_version=DOCS_SCHEMA_VERSION,
     )
     fp = _fingerprint(corpus, params)
+    # the per-file corpus listing must be captured at the SAME moment as
+    # the fingerprint (BEFORE the corpus is read): a file dropped into the
+    # dir mid-build would otherwise be recorded as already-indexed and a
+    # later append-only update would silently skip it forever
+    listing = _corpus_listing(corpus)
     if not overwrite and os.path.exists(paths.manifest_path):
         try:
             with open(paths.manifest_path) as f:
@@ -945,7 +950,7 @@ def build_index(
             )
         with open(tmp.manifest_path, "w") as f:
             json.dump(dict(fingerprint=fp, params=params, complete=True,
-                      corpus_files=_corpus_listing(corpus)), f)
+                      corpus_files=listing), f)
         if os.path.exists(stages_path):
             os.remove(stages_path)
         if os.path.exists(out_dir):
@@ -1143,7 +1148,7 @@ def build_index(
         )
     with open(tmp.manifest_path, "w") as f:
         json.dump(dict(fingerprint=fp, params=params, complete=True,
-                      corpus_files=_corpus_listing(corpus)), f)
+                      corpus_files=listing), f)
     if os.path.exists(stages_path):
         os.remove(stages_path)
 
@@ -1207,20 +1212,27 @@ def _append_only_added(
             "sha": pc.cast(batch.column("content_sha256"), pa.string()),
         })
 
-    c_tbl = pa.concat_tables([
-        t for t in (
-            ray.get(r)
-            for r in rd.read_parquet(new_files)
-            .map_batches(guard_batch, batch_format="pyarrow",
-                         batch_size=4096)
-            .map_batches(narrow, batch_format="pyarrow")
-            .to_arrow_refs()
-        )
-        if t.num_rows > 0
-    ]) if n_delta else pa.table(
+    _empty_keys = pa.table(
         {c: pa.array([], pa.string())
          for c in ("repo", "path", "commit", "sha")}
     )
+    if n_delta:
+        parts = [
+            t for t in (
+                ray.get(r)
+                for r in rd.read_parquet(new_files)
+                .map_batches(guard_batch, batch_format="pyarrow",
+                             batch_size=4096)
+                .map_batches(narrow, batch_format="pyarrow")
+                .to_arrow_refs()
+            )
+            if t.num_rows > 0
+        ]
+        # guard_batch may drop EVERY delta row (NUL / oversized content):
+        # that is a clean no-op append, not an error
+        c_tbl = pa.concat_tables(parts) if parts else _empty_keys
+    else:
+        c_tbl = _empty_keys
     if any(
         c_tbl.column(c).null_count for c in ("repo", "path", "commit")
     ):
@@ -1234,7 +1246,15 @@ def _append_only_added(
         dtype=object,
     )
     k4 = np.array([f"{a}\x00{s}" for a, s in zip(k3, sha)], dtype=object)
-    uniq4, first4 = np.unique(k4, return_index=True)
+    uniq4, first4, c4_counts = np.unique(
+        k4, return_index=True, return_counts=True
+    )
+    if (c4_counts > 1).any():
+        # byte-identical duplicate ROWS of one triple: pick() would keep
+        # both physical rows and assign them the same doc id, corrupting
+        # the generation's doc_lens slice — route through the rebuild,
+        # same as the conflicting-content duplicate
+        return "rebuild", None
     k3_of4 = k3[first4]
     uniq3, c3_counts = np.unique(k3_of4, return_counts=True)
     if (c3_counts > 1).any():
@@ -1242,6 +1262,10 @@ def _append_only_added(
         # the generic path routes this through a full rebuild too
         return "rebuild", None
     sha_of3 = {k: s for k, s in zip(k3_of4, sha[first4])}
+    if uniq3.size == 0:
+        # every delta row was guarded away (NUL / oversized content):
+        # a clean no-op append
+        return "ok", []
 
     # collision probe: ONE broadcast map over the key side table (sorted
     # searchsorted against the delta's triples; only matches come back)
@@ -1541,9 +1565,8 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256,
             has_old = np.bincount(
                 inv4[~is_new], minlength=len(uniq4)
             ).astype(bool)
-            has_new = np.bincount(
-                inv4[is_new], minlength=len(uniq4)
-            ).astype(bool)
+            new_counts = np.bincount(inv4[is_new], minlength=len(uniq4))
+            has_new = new_counts.astype(bool)
             _, first3, inv3 = np.unique(
                 k3[first4], return_index=True, return_inverse=True
             )
@@ -1551,6 +1574,10 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256,
             left_only = np.bincount(inv3[has_old & ~has_new], minlength=k)
             right_only = np.bincount(inv3[~has_old & has_new], minlength=k)
             both = np.bincount(inv3[has_old & has_new], minlength=k)
+            # byte-identical duplicate PHYSICAL rows of a NEW triple would
+            # all pass pick() and share one doc id — force such keys through
+            # the rebuild path instead of 'added'
+            dup_new = np.bincount(inv3[new_counts > 1], minlength=k) > 0
             same = (left_only == 0) & (right_only == 0)
             keep = ~same
             if not keep.any():
@@ -1559,7 +1586,8 @@ def update_index(corpus, out_dir: str, *, batch_size: int = 256,
             # primary keys with conflicting content — route it through the
             # full-rebuild path rather than colliding doc ids in a generation
             status = np.where(
-                (both == 0) & (left_only == 0) & (right_only == 1), "added",
+                (both == 0) & (left_only == 0) & (right_only == 1)
+                & ~dup_new, "added",
                 np.where((both == 0) & (right_only == 0), "removed", "changed"),
             )[keep]
             rows = g.iloc[first4[first3[keep]]]

@@ -885,6 +885,19 @@ class Engine:
                 wall_sec=round(_time.time() - t0, 4),
                 probe_blocks=self._probe_block_stats,
             )
+            # fresh LimitedSearchResults record (global mode applies only
+            # max_results, inside the MaxScore top-k itself)
+            self.last_search_meta = dict(
+                n_results=result.num_rows,
+                limits_applied=(
+                    dict(max_results=max_results, max_bytes=None,
+                         max_tokens=None, total_bytes=0, total_tokens=0)
+                    if max_results is not None else None
+                ),
+                n_skipped_by_limits=0,
+                cached_blocks_skipped=None,
+                files_skipped_early_termination=None,
+            )
             return result
         self._last_limits_meta = None
         result = self._search_compat(
@@ -2024,8 +2037,10 @@ class Engine:
         feats_tbl = verify(cand_tbl, cand_mask) if fast else verify(cand_tbl)
 
         if files_only or exact or ctx.ast_all_exact:
+            self._last_limits_meta = {}
             return _finish_exact_local(
-                feats_tbl, plan, max_results, max_bytes, max_tokens
+                feats_tbl, plan, max_results, max_bytes, max_tokens,
+                meta=self._last_limits_meta,
             )
 
         n = feats_tbl.num_rows
@@ -2147,9 +2162,12 @@ class Engine:
                 pa.concat_tables(parts)
                 if parts else _FEATS_SCHEMA.empty_table()
             )
+            self._last_limits_meta = {}
             return _finish_exact_local(
-                tbl, plan, max_results, max_bytes, max_tokens
+                tbl, plan, max_results, max_bytes, max_tokens,
+                meta=self._last_limits_meta,
             )
+        n_matched = feats_ds.count()
         sorted_ds = feats_ds.map_batches(
             self._file_key_column, batch_format="pyarrow"
         ).sort("file_key")
@@ -2176,6 +2194,21 @@ class Engine:
                 out_rows.append(r)
             if stop:
                 break
+        limited = (
+            max_results is not None or max_bytes is not None
+            or max_tokens is not None
+        )
+        self._last_limits_meta = dict(
+            limits_applied=(
+                dict(max_results=max_results, max_bytes=max_bytes,
+                     max_tokens=max_tokens, total_bytes=total_bytes,
+                     total_tokens=total_tokens)
+                if limited else None
+            ),
+            n_skipped_by_limits=(
+                max(n_matched - len(out_rows), 0) if limited else 0
+            ),
+        )
         return _rows_to_result(out_rows, ranked=False)
 
     def _finish_ranked_distributed(
@@ -3375,14 +3408,16 @@ def _score_feats_vectorized(feats_tbl, ranking_ast, ranking_terms, idfs, avgdl,
 
 
 def _finish_exact_local(
-    feats_tbl: pa.Table, plan, max_results, max_bytes, max_tokens
+    feats_tbl: pa.Table, plan, max_results, max_bytes, max_tokens,
+    meta: dict | None = None,
 ) -> pa.Table:
     """Shared files_only/exact finish over driver-sized feats: file-key
     sort, running-total limits, matched-term decode (used by both the
     local verify branch and the small-feats distributed shortcut)."""
     rows = feats_tbl.to_pylist()
     rows.sort(key=lambda r: f"{r['repo']}/{r['path']}")
-    rows = _apply_limits_rows(rows, max_results, max_bytes, max_tokens)
+    rows = _apply_limits_rows(rows, max_results, max_bytes, max_tokens,
+                              meta=meta)
     pt = sorted(plan.term_indices, key=plan.term_indices.__getitem__)
     for r in rows:
         r["matched_terms"] = _bits_to_terms(r.get("matched_bits", b""), pt)

@@ -15,6 +15,7 @@ the in-repo oracle instead.
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 import shutil
 import tempfile
@@ -1859,14 +1860,20 @@ def knn_lsh(
             for j in range(i + 1, n_planes):
                 ring.append(qsig ^ (1 << i) ^ (1 << j))
         store = _lsh_sig_store(sf_dir, n_planes, seed)
-        cand = rd.read_parquet(
-            store,
-            columns=["sig", "vec_id", "embedding"],
-            filter=pads.field("sig").isin(ring),
+        # ONE execution per table: the scored candidates are narrow
+        # (vec_id, sim), so materialize them and let the count and the
+        # top-k sort share the same probed-ring read (the knn_ivf pattern)
+        scored = (
+            rd.read_parquet(
+                store,
+                columns=["sig", "vec_id", "embedding"],
+                filter=pads.field("sig").isin(ring),
+            )
+            .map_batches(score, batch_format="pyarrow")
+            .materialize()
         )
         t_top = (
-            cand.map_batches(score, batch_format="pyarrow")
-            .filter(expr=f"vec_id != {int(query_vec_id)}")
+            scored.filter(expr=f"vec_id != {int(query_vec_id)}")
             .sort(["sim", "vec_id"], descending=[True, False])
             .limit(k)
             .to_pandas()
@@ -1878,9 +1885,15 @@ def knn_lsh(
                 "sim": pd.Series([], dtype="float64"),
             })
         tops.append(t_top)
-        scanned += cand.count()
+        scanned += scored.count()
         if t == 0:
-            n_total = rd.read_parquet(store, columns=["vec_id"]).count()
+            # store row count from parquet FOOTERS — no data read
+            import pyarrow.parquet as _pq
+
+            n_total = sum(
+                _pq.ParquetFile(os.path.join(store, f)).metadata.num_rows
+                for f in os.listdir(store) if f.endswith(".parquet")
+            )
     top = (
         pd.concat(tops, ignore_index=True)
         .drop_duplicates("vec_id")
@@ -1921,7 +1934,7 @@ def _ivf_store(
     src = f"{sf_dir}/embeddings.parquet"
     st = os.stat(src)
     tag = hashlib.md5(
-        f"{src}:{st.st_size}:{int(st.st_mtime)}:ivf2:{n_centroids}:{seed}:"
+        f"{src}:{st.st_size}:{int(st.st_mtime)}:ivf3:{n_centroids}:{seed}:"
         f"{train_sample}:{iters}".encode()
     ).hexdigest()[:12]
     out = f"/tmp/probe_ray_ivf_{tag}"
@@ -1933,28 +1946,20 @@ def _ivf_store(
         # dir: rebuild from scratch
         shutil.rmtree(out)
 
-    # --- train on a deterministic sample (vec_id prefix via predicate;
-    # falls back to the first rows in file order when the id prefix is
-    # empty, e.g. non-zero-based vec_ids — STREAMED, never the full
-    # column) ---
-    sample = _pq.read_table(
-        src, columns=["embedding"],
-        filters=[("vec_id", "<", train_sample)],
-    )
-    if sample.num_rows == 0:
-        got: list[pa.RecordBatch] = []
-        n_got = 0
-        for rb in _pq.ParquetFile(src).iter_batches(
-            batch_size=min(train_sample, 1024), columns=["embedding"]
-        ):
-            got.append(rb)
-            n_got += rb.num_rows
-            if n_got >= train_sample:
-                break
-        if got:
-            sample = pa.Table.from_batches(got).slice(0, train_sample)
-    if sample.num_rows == 0:
+    # --- train on a deterministic sample: the train_sample SMALLEST
+    # vec ids relative to the corpus minimum (vec_id < min + train_sample,
+    # rows ORDERED by vec_id) — a rule independent of parquet file order
+    # and exactly replayable in SQL (the ivf_assignments oracle); the
+    # min-relative window also covers non-zero-based id spaces without a
+    # separate fallback ---
+    vid_col = _pq.read_table(src, columns=["vec_id"]).column("vec_id")
+    if len(vid_col) == 0:
         raise ValueError("cannot build an IVF index over an empty table")
+    min_vid = int(pc.min(vid_col).as_py())
+    sample = _pq.read_table(
+        src, columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", min_vid + train_sample)],
+    ).sort_by("vec_id")
     smat = _emb_matrix(sample.column("embedding"))
     norms = np.linalg.norm(smat, axis=1, keepdims=True)
     smat = smat / np.where(norms > 0, norms, 1.0)

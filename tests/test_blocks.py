@@ -957,3 +957,20 @@ def test_limited_search_results_metadata(t2_rows, t2_index):
     assert m["limits_applied"]["max_results"] == 2
     assert m["n_skipped_by_limits"] > 0
     assert m["cached_blocks_skipped"] is None
+
+    # exact / files_only route through the exact finish — limits recorded
+    engine.search(['"keywordAlpha"'], max_results=2)
+    m = engine.last_search_meta
+    assert m["limits_applied"]["max_results"] == 2
+    assert m["n_skipped_by_limits"] > 0
+    engine.search(queries, files_only=True, max_results=1)
+    m = engine.last_search_meta
+    assert m["limits_applied"]["max_results"] == 1
+    assert m["n_skipped_by_limits"] > 0
+
+    # global mode gets a FRESH record (never the previous query's)
+    engine.search(queries, max_results=3, mode="global")
+    m = engine.last_search_meta
+    assert m["n_results"] <= 3
+    assert m["limits_applied"]["max_results"] == 3
+    assert m["cached_blocks_skipped"] is None

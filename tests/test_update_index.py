@@ -635,3 +635,45 @@ def test_update_sequence_fuzz_matches_fresh_build(tmp_path):
                 assert results_of(p, queries) == results_of(f, queries), (
                     seed, step, op, queries
                 )
+
+
+def test_append_only_all_delta_rows_guarded_is_noop(tmp_path):
+    """Code-review r5: a new parquet file whose every row is dropped by
+    the guard (NUL content) is a clean no-op append, not a crash."""
+    from probe_ray.build import build_index, update_index
+
+    cdir = _dir_corpus(tmp_path, "corpus", {"a.parquet": _rows(3)})
+    build_index(cdir, str(tmp_path / "idx"))
+    bad = _rows(1, start=50)
+    bad[0]["content"] = "has a NUL \x00 byte"
+    _write(os.path.join(cdir, "b.parquet"), bad)
+    p = update_index(cdir, str(tmp_path / "idx"))
+    assert p.update_gens() == []  # nothing indexable added
+    assert p.stats()["n_docs"] == 3
+    # idempotent: fingerprint stamped, second call is a no-op
+    p = update_index(cdir, str(tmp_path / "idx"))
+    assert p.stats()["n_docs"] == 3
+
+
+def test_append_duplicate_identical_rows_rebuild(tmp_path):
+    """Code-review r5: byte-identical duplicate ROWS of one new triple
+    must not share a doc id inside a generation — both diff paths route
+    them through the full rebuild."""
+    from probe_ray.build import build_index, update_index
+
+    # fast path
+    cdir = _dir_corpus(tmp_path, "corpus", {"a.parquet": _rows(3)})
+    build_index(cdir, str(tmp_path / "idx"))
+    dup = _rows(1, start=60)
+    _write(os.path.join(cdir, "b.parquet"), dup + dup)  # same row twice
+    p = update_index(cdir, str(tmp_path / "idx"))
+    assert p.update_gens() == []  # rebuilt, not appended
+
+    # generic path (single-file corpus -> no fast path)
+    c1 = tmp_path / "c1.parquet"
+    _write(c1, _rows(3))
+    build_index(str(c1), str(tmp_path / "idx2"))
+    c2 = tmp_path / "c2.parquet"
+    _write(c2, _rows(3) + dup + dup)
+    p = update_index(str(c2), str(tmp_path / "idx2"))
+    assert p.update_gens() == []  # rebuilt, not appended
