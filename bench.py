@@ -260,6 +260,14 @@ def run_bench() -> dict:
     t0 = time.time()
     T.c4_line_filter(SF_DIR).count()
     results["docs_c4_line_filter"] = round(time.time() - t0, 3)
+    # round-5 headline ops: connected-components cluster assignment and
+    # the banded-Hamming simhash near-dup sweep
+    t0 = time.time()
+    T.dedup_clusters(SF_DIR).count()
+    results["docs_dedup_clusters"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    T.simhash_near_dup(SF_DIR).count()
+    results["docs_simhash_near_dup"] = round(time.time() - t0, 3)
 
     total = time.time() - t_total
     ray.shutdown()
