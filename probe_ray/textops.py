@@ -856,9 +856,13 @@ def _cc_labels_distributed(edges: rd.Dataset) -> tuple[rd.Dataset, int]:
 
     Returns (labels Dataset with columns (doc_id, cluster_id) covering
     every edge-touched node, rounds run). Duplicate input edges are
-    harmless (a few extra message rows)."""
-    from ray.data.aggregate import Min
+    harmless (a few extra message rows).
 
+    Every per-node reduction runs as a COARSE groupby (n_pg hash
+    partitions, one vectorized pandas reduce per partition) — Ray's
+    native per-key Min aggregate measured 66 s over 700k rows / 20k keys
+    where the coarse reduce takes under a second; the same group-count
+    bound every bucketed op in this module uses."""
     n_edges = edges.count()
     # coarse partitions scale with edge count: each pg group is one
     # vectorized pandas call, so the group count only needs to bound the
@@ -878,21 +882,35 @@ def _cc_labels_distributed(edges: rd.Dataset) -> tuple[rd.Dataset, int]:
 
     adj0 = edges.map_batches(sym_pg, batch_format="pyarrow").materialize()
 
-    # initial labels: min(node, min neighbor) — the first round for free,
-    # via the native (vectorized) Min aggregate
+    _lab_empty = pd.DataFrame({
+        "node": pd.Series([], dtype="int64"),
+        "lab": pd.Series([], dtype="int64"),
+        "pg": pd.Series([], dtype="int64"),
+    })
+
+    def init_part(g: pd.DataFrame) -> pd.DataFrame:
+        # initial labels: min(node, min neighbor) — the first round free
+        if not len(g):
+            return _lab_empty
+        m = g.groupby("node", sort=False)["other"].min()
+        node = m.index.to_numpy()
+        lab = np.minimum(node, m.to_numpy())
+        return pd.DataFrame({
+            "node": node, "lab": lab, "pg": node % n_pg,
+        }).astype({"node": "int64", "lab": "int64", "pg": "int64"})
+
+    def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return _lab_empty
+        m = g.groupby("node", sort=False)["lab"].min()
+        node = m.index.to_numpy()
+        return pd.DataFrame({
+            "node": node, "lab": m.to_numpy(), "pg": node % n_pg,
+        }).astype({"node": "int64", "lab": "int64", "pg": "int64"})
+
     labels = (
-        adj0.groupby("node")
-        .aggregate(Min("other", alias_name="lab"))
-        .map_batches(
-            lambda t: pa.table({
-                "node": t.column("node"),
-                "lab": pc.min_element_wise(
-                    t.column("node"), t.column("lab")
-                ),
-            }),
-            batch_format="pyarrow",
-        )
-        .repartition(n_pg)
+        adj0.groupby("pg")
+        .map_groups(init_part, batch_format="pandas")
         .materialize()
     )
     prev_sum = int(labels.sum("lab") or 0)
@@ -918,21 +936,21 @@ def _cc_labels_distributed(edges: rd.Dataset) -> tuple[rd.Dataset, int]:
         })
 
     def step(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({
-            "node": pd.Series([], dtype="int64"),
-            "lab": pd.Series([], dtype="int64"),
-        })
+        # messages re-keyed by their TARGET node's partition for the
+        # coarse reduce that follows
         if not len(g):
-            return empty
-        lab = g[g["is_lab"]].groupby("node")["other"].min()
+            return _lab_empty
+        lab = g[g["is_lab"]].groupby("node", sort=False)["other"].min()
         adj = g[~g["is_lab"]]
         sent = adj["node"].map(lab)
+        node = np.concatenate(
+            [adj["other"].to_numpy(), lab.index.to_numpy()]
+        )
         return pd.DataFrame({
-            "node": np.concatenate(
-                [adj["other"].to_numpy(), lab.index.to_numpy()]
-            ),
+            "node": node,
             "lab": np.concatenate([sent.to_numpy(), lab.to_numpy()]),
-        }).astype({"node": "int64", "lab": "int64"})
+            "pg": node % n_pg,
+        }).astype({"node": "int64", "lab": "int64", "pg": "int64"})
 
     rounds = 0
     while True:
@@ -947,9 +965,8 @@ def _cc_labels_distributed(edges: rd.Dataset) -> tuple[rd.Dataset, int]:
             )
             .groupby("pg")
             .map_groups(step, batch_format="pandas")
-            .groupby("node")
-            .aggregate(Min("lab", alias_name="lab"))
-            .repartition(n_pg)  # keep block count flat across rounds
+            .groupby("pg")
+            .map_groups(reduce_min, batch_format="pandas")
             .materialize()
         )
         s = int(labels.sum("lab") or 0)
