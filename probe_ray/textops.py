@@ -833,7 +833,9 @@ def _cc_union_find(a: np.ndarray, b: np.ndarray) -> pa.Table:
     })
 
 
-def _cc_labels_distributed(edges: rd.Dataset) -> tuple[rd.Dataset, int]:
+def _cc_labels_distributed(
+    edges: rd.Dataset, n_edges: int | None = None
+) -> tuple[rd.Dataset, int]:
     """Dataset-native connected components: min-label propagation with
     label-SHORTCUT edges (pointer doubling), the swap point the round-4
     verdict required for the dedup graph.
@@ -844,9 +846,9 @@ def _cc_labels_distributed(edges: rd.Dataset) -> tuple[rd.Dataset, int]:
     jumps messages straight to each node's best-known ancestor, so a
     diameter-d component converges in O(log d) rounds instead of O(d)
     (the windowed near-dup ops produce long chain components where this
-    matters). The per-round work is two bounded shuffles: one coarse
-    node-hash groupby resolving messages VECTORIZED in pandas, and one
-    native Min aggregate; driver state per round is a single int64 sum.
+    matters). The per-round work is two bounded coarse node-hash
+    groupbys — one resolving messages, one reducing per-node minima —
+    each VECTORIZED in pandas; driver state per round is one int64 sum.
 
     Fixpoint detection is exact, not heuristic: labels are monotonically
     non-increasing per node, so sum(labels) strictly decreases while
@@ -862,8 +864,11 @@ def _cc_labels_distributed(edges: rd.Dataset) -> tuple[rd.Dataset, int]:
     partitions, one vectorized pandas reduce per partition) — Ray's
     native per-key Min aggregate measured 66 s over 700k rows / 20k keys
     where the coarse reduce takes under a second; the same group-count
-    bound every bucketed op in this module uses."""
-    n_edges = edges.count()
+    bound every bucketed op in this module uses. Callers that already
+    know the edge count pass it via ``n_edges`` (sparing one execution
+    of an unmaterialized edge projection)."""
+    if n_edges is None:
+        n_edges = edges.count()
     # coarse partitions scale with edge count: each pg group is one
     # vectorized pandas call, so the group count only needs to bound the
     # per-group ROW count, and thousands of tiny groups are pure overhead
@@ -888,25 +893,23 @@ def _cc_labels_distributed(edges: rd.Dataset) -> tuple[rd.Dataset, int]:
         "pg": pd.Series([], dtype="int64"),
     })
 
-    def init_part(g: pd.DataFrame) -> pd.DataFrame:
-        # initial labels: min(node, min neighbor) — the first round free
-        if not len(g):
-            return _lab_empty
-        m = g.groupby("node", sort=False)["other"].min()
-        node = m.index.to_numpy()
-        lab = np.minimum(node, m.to_numpy())
-        return pd.DataFrame({
-            "node": node, "lab": lab, "pg": node % n_pg,
-        }).astype({"node": "int64", "lab": "int64", "pg": "int64"})
+    def _node_min(col: str, include_self: bool):
+        # shared coarse per-node-min reduce: labels frame (node, lab, pg)
+        def run(g: pd.DataFrame) -> pd.DataFrame:
+            if not len(g):
+                return _lab_empty
+            m = g.groupby("node", sort=False)[col].min()
+            node = m.index.to_numpy()
+            lab = np.minimum(node, m.to_numpy()) if include_self else m.to_numpy()
+            return pd.DataFrame({
+                "node": node, "lab": lab, "pg": node % n_pg,
+            }).astype({"node": "int64", "lab": "int64", "pg": "int64"})
 
-    def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            return _lab_empty
-        m = g.groupby("node", sort=False)["lab"].min()
-        node = m.index.to_numpy()
-        return pd.DataFrame({
-            "node": node, "lab": m.to_numpy(), "pg": node % n_pg,
-        }).astype({"node": "int64", "lab": "int64", "pg": "int64"})
+        return run
+
+    # initial labels: min(node, min neighbor) — the first round free
+    init_part = _node_min("other", include_self=True)
+    reduce_min = _node_min("lab", include_self=False)
 
     labels = (
         adj0.groupby("pg")
@@ -1303,7 +1306,7 @@ def minhash_lsh_dedup(
             sort_keys=[("cluster_id", "ascending"), ("doc_id", "ascending")],
         )
         return labels.take(order)
-    labels_ds, rounds = _cc_labels_distributed(edges_ds)
+    labels_ds, rounds = _cc_labels_distributed(edges_ds, n_edges=n_edges)
     LAST_MINHASH_METRICS.update(
         cc_mode="distributed-min-label", cc_rounds=rounds
     )
@@ -1550,7 +1553,8 @@ def dedup_clusters(
                                edge_rows=n_pairs)
     else:
         labeled_ds, rounds = _cc_labels_distributed(
-            pairs_ds.map_batches(as_edges, batch_format="pyarrow")
+            pairs_ds.map_batches(as_edges, batch_format="pyarrow"),
+            n_edges=n_pairs,
         )
         LAST_CC_METRICS.update(mode="distributed-min-label", rounds=rounds,
                                edge_rows=n_pairs)
