@@ -1855,6 +1855,18 @@ def knn_lsh(
     qn_ref = ray.put(q / np.linalg.norm(q))
     shifts = 1 << np.arange(n_planes, dtype=np.uint64)
 
+    # first call on a fresh corpus builds all n_tables signature stores —
+    # independent Ray jobs, so build them CONCURRENTLY from driver threads
+    # (cached runs skip this entirely; the per-store first-rename-wins
+    # commit makes concurrent builders safe)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=n_tables) as ex:
+        stores = list(ex.map(
+            lambda t: _lsh_sig_store(sf_dir, n_planes, 42 + 1000 * t),
+            range(n_tables),
+        ))
+
     def score(batch: pa.Table) -> pa.Table:
         qv = ray.get(qn_ref)
         mat = _emb_matrix(batch.column("embedding"))
@@ -1880,7 +1892,7 @@ def knn_lsh(
             ring.append(qsig ^ (1 << i))
             for j in range(i + 1, n_planes):
                 ring.append(qsig ^ (1 << i) ^ (1 << j))
-        store = _lsh_sig_store(sf_dir, n_planes, seed)
+        store = stores[t]
         # ONE execution per table: the scored candidates are narrow
         # (vec_id, sim), so materialize them and let the count and the
         # top-k sort share the same probed-ring read (the knn_ivf pattern)
